@@ -1,0 +1,42 @@
+"""Stable row identity for Dataset rows.
+
+The reference works on in-memory frames where 1-based positions are free
+(/root/reference/src/rust/src/utils.rs:7-20). A distributed Dataset has no
+global row index, so join assembly (left/anti/semi complements) needs an
+explicit unique id column. Callers that already have a key (``doc_id``)
+pass it; otherwise :func:`ensure_row_id` assigns contiguous int64 ids in
+dataset order — a metadata-only pass over block row counts (no data is
+read on the driver), at the cost of materializing the dataset's blocks in
+the object store. At 100 TB scale inputs are expected to carry their own
+id column; this helper exists for reference-parity workloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+ROWID = "__fj_rowid"
+
+
+@ray.remote
+def _add_ids(block: pa.Table, start: int, col: str) -> pa.Table:
+    return block.append_column(col, pa.array(np.arange(start, start + block.num_rows)))
+
+
+def ensure_row_id(ds: rd.Dataset, id_col: str | None, col: str = ROWID):
+    """Return (dataset, id_column_name). If ``id_col`` is given it must be a
+    unique key and is used as-is; otherwise a contiguous int64 id column is
+    appended in dataset order."""
+    if id_col is not None:
+        return ds, id_col
+    ds = ds.materialize()
+    refs = []
+    offset = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for blk_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(_add_ids.remote(blk_ref, offset, col))
+            offset += meta.num_rows
+    return rd.from_arrow_refs(refs), col

@@ -1,0 +1,467 @@
+"""Vectorized batch string-distance kernels.
+
+Distance semantics mirror the reference's kernels (rapidfuzz-backed Rust,
+/root/reference/src/rust/src/string/):
+
+- levenshtein / osa / damerau_levensthein / hamming: unit-cost edit
+  distances over *characters* (unicode scalars), cf. edit/*.rs.
+- lcs: ``m + n - 2*LCS`` over characters, cf. edit/lcs.rs:10-26.
+- qgram / cosine / jaccard: distances over counted q-gram profiles,
+  cf. ngram/{qgram,cosine}.rs and ngram/jaccard.rs:40-66 (note the
+  first-pass jaccard is the *generalized* (multiset) jaccard over
+  counts; the pairwise-refine jaccard is set-based, jaccard.rs:84-93).
+- jaro_winkler: jaro distance plus the reference's prefix adjustment
+  ``x2 = x + min(prefix, max_prefix) * prefix_weight * (1 - x)``,
+  cf. jaro_winkler.rs:66-68 (defaults 0/0 reduce to pure Jaro).
+
+Execution strategy: DuckDB's C++ ``levenshtein`` / ``damerau_levenshtein``
+/ ``jaro_similarity`` kernels are *byte*-based, so ASCII batches go
+straight through DuckDB; batches containing non-ASCII characters are
+transparently remapped (each distinct non-ASCII char -> one unused byte
+0x80..0xFF) so byte distance == char distance, with a pure-Python
+fallback if a batch somehow has >128 distinct non-ASCII chars. osa /
+lcs / hamming use numpy batch DP (min-plus / max scans vectorized over
+the pair axis).
+
+All kernels take aligned lists of non-null strings and return float64
+distances. Callers apply the inclusive ``dist <= max_distance`` filter
+and the NA-never-matches rule (semantics.py).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from ..semantics import canon_method
+
+__all__ = [
+    "score_pairs",
+    "get_qgrams",
+    "get_qgram_set",
+    "qgram_distance",
+    "cosine_distance",
+    "jaccard_distance_counted",
+    "jaccard_distance_set",
+]
+
+_INF = float("inf")
+
+# ---------------------------------------------------------------------------
+# encoding helpers
+
+
+def _encode(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Encode strings to an (N, Lmax) int32 codepoint matrix (pad=-1) plus
+    char lengths. Two different pad values for the two sides are applied by
+    callers so padded positions never compare equal."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    lmax = int(lens.max()) if n else 0
+    mat = np.full((n, max(lmax, 1)), -1, dtype=np.int32)
+    for i, s in enumerate(strs):
+        if s:
+            mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int32
+            )
+    return mat, lens
+
+
+def _pair_mats(a: list[str], b: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    A, la = _encode(a)
+    B, lb = _encode(b)
+    # distinct pad sentinels so pad never equals pad
+    B[B == -1] = -2
+    return A, la, B, lb
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-backed kernels (per-process lazy connection)
+
+_DUCK = None
+
+
+def _duck():
+    global _DUCK
+    if _DUCK is None:
+        import duckdb
+
+        _DUCK = duckdb.connect()
+    return _DUCK
+
+
+def _duck_binary(fn: str, a: list[str], b: list[str]) -> np.ndarray:
+    con = _duck()
+    tbl = pa.table({"a": pa.array(a, type=pa.string()), "b": pa.array(b, type=pa.string())})
+    con.register("_fj_pairs", tbl)
+    try:
+        out = con.execute(f"SELECT {fn}(a, b) AS d FROM _fj_pairs").fetch_arrow_table()
+    finally:
+        con.unregister("_fj_pairs")
+    return out.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _duckdb_char_metric(fn: str, a: list[str], b: list[str], py_fallback) -> np.ndarray:
+    """DuckDB's string metrics are byte-based; a char == a byte only for
+    ASCII. Route ASCII pairs (the common case) through DuckDB's C++ kernel
+    and the non-ASCII minority through a char-based python fallback."""
+    ascii_mask = np.fromiter(
+        ((x.isascii() and y.isascii()) for x, y in zip(a, b)), dtype=bool, count=len(a)
+    )
+    if ascii_mask.all():
+        return _duck_binary(fn, a, b)
+    out = np.empty(len(a), dtype=np.float64)
+    idx_ok = np.nonzero(ascii_mask)[0]
+    idx_py = np.nonzero(~ascii_mask)[0]
+    if len(idx_ok):
+        out[idx_ok] = _duck_binary(fn, [a[i] for i in idx_ok], [b[i] for i in idx_ok])
+    for i in idx_py:
+        out[i] = py_fallback(a[i], b[i])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pure-python per-pair fallbacks (non-ASCII minority only)
+
+
+def _py_levenshtein(a: str, b: str) -> float:
+    if a == b:
+        return 0.0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return float(lb)
+    if lb == 0:
+        return float(la)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return float(prev[lb])
+
+
+def _py_damerau_levenshtein(a: str, b: str) -> float:
+    """Unrestricted Damerau-Levenshtein (matches rapidfuzz / DuckDB)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return 0.0
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return float(d[la + 1][lb + 1])
+
+
+def _py_jaro_sim(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ca:
+                a_flags[i] = b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3.0
+
+
+def _py_jaro_dist(a: str, b: str) -> float:
+    return 1.0 - _py_jaro_sim(a, b)
+
+
+# ---------------------------------------------------------------------------
+# numpy batch DP kernels
+
+
+def _lev_like_scan(full: np.ndarray, jcost: np.ndarray) -> np.ndarray:
+    """min-plus prefix scan: cur[j] = min_k<=j (full[k] + (j-k))."""
+    shifted = full - jcost
+    np.minimum.accumulate(shifted, axis=1, out=shifted)
+    return shifted + jcost
+
+
+def _osa_batch(a: list[str], b: list[str]) -> np.ndarray:
+    A, la, B, lb = _pair_mats(a, b)
+    n, La = A.shape
+    Lb = B.shape[1]
+    res = np.zeros(n, dtype=np.float64)
+    jcost = np.arange(Lb + 1, dtype=np.float64)
+    prev = np.broadcast_to(jcost, (n, Lb + 1)).copy()
+    prevprev = None
+    m0 = la == 0
+    res[m0] = lb[m0]
+    full = np.empty((n, Lb + 1), dtype=np.float64)
+    for i in range(1, La + 1):
+        ai = A[:, i - 1][:, None]
+        eq = B == ai
+        tent = np.minimum(prev[:, 1:] + 1.0, prev[:, :-1] + (~eq))
+        if i >= 2 and Lb >= 2:
+            cond = (ai == B[:, :-1]) & (A[:, i - 2][:, None] == B[:, 1:])
+            tent[:, 1:] = np.where(
+                cond, np.minimum(tent[:, 1:], prevprev[:, :-2] + 1.0), tent[:, 1:]
+            )
+        full[:, 0] = i
+        full[:, 1:] = tent
+        cur = _lev_like_scan(full, jcost)
+        mask = la == i
+        if mask.any():
+            res[mask] = cur[mask, lb[mask]]
+        prevprev = prev
+        prev = cur
+    return res
+
+
+def _lcs_batch(a: list[str], b: list[str]) -> np.ndarray:
+    A, la, B, lb = _pair_mats(a, b)
+    n, La = A.shape
+    Lb = B.shape[1]
+    lcs = np.zeros(n, dtype=np.int64)
+    prev = np.zeros((n, Lb + 1), dtype=np.int32)
+    full = np.empty((n, Lb + 1), dtype=np.int32)
+    for i in range(1, La + 1):
+        eq = (B == A[:, i - 1][:, None]).astype(np.int32)
+        tent = np.maximum(prev[:, 1:], prev[:, :-1] + eq)
+        full[:, 0] = 0
+        full[:, 1:] = tent
+        cur = np.maximum.accumulate(full, axis=1)
+        mask = la == i
+        if mask.any():
+            lcs[mask] = cur[mask, lb[mask]]
+        prev = cur
+    # rows with la == 0 keep lcs 0
+    return (la + lb - 2 * lcs).astype(np.float64)
+
+
+def _hamming_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Unequal lengths -> inf (rapidfuzz errors, reference treats as
+    non-match, cf. edit/hamming.rs:84-87)."""
+    A, la, B, lb = _pair_mats(a, b)
+    L = max(A.shape[1], B.shape[1])
+    if A.shape[1] < L:
+        A = np.pad(A, ((0, 0), (0, L - A.shape[1])), constant_values=-1)
+    if B.shape[1] < L:
+        B = np.pad(B, ((0, 0), (0, L - B.shape[1])), constant_values=-2)
+    cols = np.arange(L)[None, :] < la[:, None]
+    res = ((A != B) & cols).sum(axis=1).astype(np.float64)
+    res[la != lb] = _INF
+    return res
+
+
+def _prefix_len_batch(a: list[str], b: list[str]) -> np.ndarray:
+    A, la, B, lb = _pair_mats(a, b)
+    L = min(A.shape[1], B.shape[1])
+    eq = A[:, :L] == B[:, :L]
+    # position of first mismatch = count of leading equal chars
+    run = np.cumprod(eq, axis=1)
+    return run.sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# q-gram kernels
+
+
+def get_qgrams(s: str, q: int) -> Counter:
+    """Counted q-gram profile, cf. /root/reference/src/rust/src/utils.rs:81-99."""
+    if len(s) < q:
+        return Counter()
+    return Counter(s[i : i + q] for i in range(len(s) - q + 1))
+
+
+def get_qgram_set(s: str, q: int) -> frozenset:
+    """Set q-gram profile, cf. ngram/jaccard.rs:17-38."""
+    if len(s) < q:
+        return frozenset()
+    return frozenset(s[i : i + q] for i in range(len(s) - q + 1))
+
+
+def qgram_distance(p1: Counter, p2: Counter) -> float:
+    """L1 mismatch over counted profiles, cf. ngram/qgram.rs:12-31."""
+    mismatch = 0
+    for g, c1 in p1.items():
+        mismatch += abs(c1 - p2.get(g, 0))
+    for g, c2 in p2.items():
+        if g not in p1:
+            mismatch += c2
+    return float(mismatch)
+
+
+def cosine_distance(p1: Counter, p2: Counter) -> float:
+    """1 - cosine over counted profiles; either profile empty -> 1.0,
+    cf. ngram/cosine.rs:12-39."""
+    dot = 0
+    n1 = 0
+    n2 = 0
+    for g, c1 in p1.items():
+        c2 = p2.get(g)
+        if c2 is not None:
+            dot += c1 * c2
+        n1 += c1 * c1
+    for c2 in p2.values():
+        n2 += c2 * c2
+    if n1 == 0 or n2 == 0:
+        return 1.0
+    return 1.0 - dot / (n1**0.5) / (n2**0.5)
+
+
+def jaccard_distance_counted(p1: Counter, p2: Counter) -> float:
+    """Generalized (multiset) jaccard over counted profiles; union 0 -> 1.0.
+    Used on the first-key candidate path, cf. ngram/jaccard.rs:40-66."""
+    inter = 0
+    union = 0
+    for g in set(p1) | set(p2):
+        c1 = p1.get(g, 0)
+        c2 = p2.get(g, 0)
+        inter += min(c1, c2)
+        union += max(c1, c2)
+    if union == 0:
+        return 1.0
+    return 1.0 - inter / union
+
+
+def jaccard_distance_set(s1: frozenset, s2: frozenset) -> float:
+    """Set jaccard; both empty -> 0.0. Used on the pairwise-refine path,
+    cf. ngram/jaccard.rs:84-93 (compare_pairs)."""
+    if not s1 and not s2:
+        return 0.0
+    union = len(s1 | s2)
+    if union == 0:
+        return 1.0
+    return 1.0 - len(s1 & s2) / union
+
+
+def _qgram_family_batch(method: str, a: list[str], b: list[str], q: int) -> np.ndarray:
+    cache: dict[str, Counter] = {}
+
+    def prof(s: str) -> Counter:
+        p = cache.get(s)
+        if p is None:
+            p = get_qgrams(s, q)
+            cache[s] = p
+        return p
+
+    if method == "qgram":
+        fn = qgram_distance
+    elif method == "cosine":
+        fn = cosine_distance
+    else:
+        fn = jaccard_distance_counted
+    return np.fromiter((fn(prof(x), prof(y)) for x, y in zip(a, b)), np.float64, count=len(a))
+
+
+def jaccard_set_batch(a: list[str], b: list[str], q: int) -> np.ndarray:
+    cache: dict[str, frozenset] = {}
+
+    def prof(s: str) -> frozenset:
+        p = cache.get(s)
+        if p is None:
+            p = get_qgram_set(s, q)
+            cache[s] = p
+        return p
+
+    return np.fromiter(
+        (jaccard_distance_set(prof(x), prof(y)) for x, y in zip(a, b)),
+        np.float64,
+        count=len(a),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public entry
+
+
+def score_pairs(
+    method: str,
+    a: list[str],
+    b: list[str],
+    *,
+    q: int = 2,
+    max_prefix: int = 0,
+    prefix_weight: float = 0.0,
+) -> np.ndarray:
+    """Score aligned pairs of non-null strings; returns float64 distances.
+
+    ``soundex`` returns 0.0 for matching code pairs and inf otherwise
+    (reference: match iff any of the 4 dual-code equalities, distance
+    always 0, cf. soundex.rs:49-53).
+    """
+    method = canon_method(method)
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    if method == "levenshtein":
+        return _duckdb_char_metric("levenshtein", a, b, _py_levenshtein)
+    if method == "damerau_levensthein":
+        return _duckdb_char_metric("damerau_levenshtein", a, b, _py_damerau_levenshtein)
+    if method == "osa":
+        return _osa_batch(a, b)
+    if method == "hamming":
+        return _hamming_batch(a, b)
+    if method == "lcs":
+        return _lcs_batch(a, b)
+    if method in ("qgram", "cosine", "jaccard"):
+        return _qgram_family_batch(method, a, b, q)
+    if method == "jaro_winkler":
+        sim = _duckdb_char_metric("jaro_similarity", a, b, _py_jaro_sim)
+        # DuckDB returns 0.0 for two empty strings; rapidfuzz jaro says
+        # identical -> similarity 1. Fix up both-empty (and any equal pair).
+        eq = np.fromiter((x == y for x, y in zip(a, b)), bool, count=n)
+        sim[eq] = 1.0
+        x = 1.0 - sim
+        if max_prefix > 0 and prefix_weight != 0.0:
+            pref = np.minimum(_prefix_len_batch(a, b), max_prefix)
+            x = x + pref * prefix_weight * (1.0 - x)
+        return x
+    if method == "soundex":
+        from .soundex import soundex_match_pairs
+
+        return soundex_match_pairs(a, b)
+    raise AssertionError(method)

@@ -1,0 +1,227 @@
+"""Golden join tests ported from the reference
+(/root/reference/tests/testthat/test_fozzie_string_*_join.R), compared
+order-insensitively (conformance contract, SURVEY.md §2.4)."""
+
+import math
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fozziejoin_ray import fuzzy_string_join
+from tests.fixtures import NAMES, rows_sorted, test_df_table, whoops_table
+
+
+@pytest.fixture()
+def tables():
+    return rd.from_arrow(test_df_table()), rd.from_arrow(whoops_table())
+
+
+def _pairs(ds):
+    return sorted((d["Name.x"], d["Name.y"]) for d in ds.take_all())
+
+
+def test_inner_lv(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="lv", how="inner", max_distance=1, distance_col="mydist")
+    rows = rows_sorted(out, ["Name.x", "Name.y"])
+    assert [(d["Name.x"], d["Name.y"], d["mydist"]) for d in rows] == [
+        ("Amelia", "Smelia", 1.0),
+        ("Emma", "Emma", 0.0),
+        ("James", "Jams", 1.0),
+        ("Oliver", "Olive", 1.0),
+    ]
+    # non-key columns carried through with their types (Emma's int_col is the NA)
+    assert rows[1]["int_col"] is None
+    assert rows[2]["int_col"] == 5
+    assert rows[0]["factor_col"] == "D"
+
+
+def test_inner_hamming(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="hamming", how="inner", max_distance=1, distance_col="d")
+    assert [(a, b) for a, b in _pairs(out)] == [("Amelia", "Smelia"), ("Emma", "Emma")]
+
+
+def test_inner_lcs(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="lcs", how="inner", max_distance=1)
+    assert _pairs(out) == [("Emma", "Emma"), ("James", "Jams"), ("Oliver", "Olive")]
+
+
+def test_inner_osa(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="osa", how="inner", max_distance=1)
+    assert _pairs(out) == [
+        ("Amelia", "Smelia"),
+        ("Emma", "Emma"),
+        ("James", "Jams"),
+        ("Liam", "Laim"),
+        ("Oliver", "Olive"),
+    ]
+
+
+def test_inner_qgram(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="qgram", how="inner", max_distance=1, q=2)
+    assert _pairs(out) == [("Emma", "Emma"), ("Oliver", "Olive")]
+
+
+def test_inner_cosine_q3(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="cosine", how="inner", max_distance=0.9, q=3)
+    assert _pairs(out) == [
+        ("Amelia", "Smelia"),
+        ("Emma", "Emma"),
+        ("James", "Jams"),
+        ("Oliver", "Oliv HEE-YAH"),
+        ("Oliver", "Olive"),
+        ("Olivia", "Oliv HEE-YAH"),
+        ("Olivia", "Olive"),
+    ]
+
+
+def test_inner_jaccard_q3(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="jaccard", how="inner", max_distance=0.9, q=3)
+    assert _pairs(out) == [
+        ("Amelia", "Smelia"),
+        ("Emma", "Emma"),
+        ("James", "Jams"),
+        ("Oliver", "Oliv HEE-YAH"),
+        ("Oliver", "Olive"),
+        ("Olivia", "Oliv HEE-YAH"),
+        ("Olivia", "Olive"),
+    ]
+
+
+def test_inner_jw(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="jw", how="inner", max_distance=0.2)
+    assert _pairs(out) == [
+        ("Amelia", "Smelia"),
+        ("Emma", "Emma"),
+        ("James", "Jams"),
+        ("Liam", "Laim"),
+        ("Noah", "No, ahhh"),
+        ("Oliver", "Olive"),
+        ("Olivia", "Olive"),
+    ]
+
+
+def test_anti(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="lv", how="anti", max_distance=1)
+    assert sorted(d["Name"] for d in out.take_all()) == [
+        "Charlotte",
+        "Liam",
+        "Mia",
+        "Noah",
+        "Olivia",
+        "Theodore",
+    ]
+
+
+def test_semi(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="lv", how="semi", max_distance=1)
+    assert sorted(d["Name"] for d in out.take_all()) == ["Amelia", "Emma", "James", "Oliver"]
+
+
+def test_left(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="lv", how="left", max_distance=1, distance_col="d")
+    rows = rows_sorted(out, ["Name.x", "Name.y"])
+    assert len(rows) == 10
+    matched = [d for d in rows if d["Name.y"] is not None]
+    unmatched = [d for d in rows if d["Name.y"] is None]
+    assert len(matched) == 4 and len(unmatched) == 6
+    assert all(math.isnan(d["d"]) for d in unmatched)
+    assert sorted(d["Name.x"] for d in unmatched) == [
+        "Charlotte",
+        "Liam",
+        "Mia",
+        "Noah",
+        "Olivia",
+        "Theodore",
+    ]
+
+
+def test_right(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="lv", how="right", max_distance=1)
+    rows = out.take_all()
+    assert len(rows) == 11  # 4 matched + 7 unmatched right rows (incl. NA)
+    assert sum(1 for d in rows if d["Name.x"] is None) == 7
+
+
+def test_full(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="lv", how="full", max_distance=1)
+    assert len(out.take_all()) == 17  # 4 + 6 + 7 (full.rs:31-60; not a cross product)
+
+
+def test_na_never_matches(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by="Name", method="lv", how="inner", max_distance=100)
+    assert all(d["Name.y"] is not None for d in out.take_all())
+
+
+def test_multikey_and_threshold():
+    left = rd.from_arrow(
+        pa.table({"Name": ["Oliver", "James", "Emma", "Amelia"], "Pet": ["Sparky", "Spike", "Fido", "Bingo"]})
+    )
+    right = rd.from_arrow(
+        pa.table({"Name": ["Olive", "Jams", "Emma", "Smelia"], "Pet": ["Sparky", "Spike", "Fuselage", "Bongo"]})
+    )
+    out = fuzzy_string_join(
+        left,
+        right,
+        by=[("Name", "Name"), ("Pet", "Pet")],
+        method="lv",
+        how="inner",
+        max_distance=1,
+        distance_col="mydist",
+    )
+    rows = rows_sorted(out, ["Name.x"])
+    assert [
+        (d["Name.x"], d["Pet.x"], d["Name.y"], d["Pet.y"], d["mydist_Name_Name"], d["mydist_Pet_Pet"])
+        for d in rows
+    ] == [
+        ("Amelia", "Bingo", "Smelia", "Bongo", 1.0, 1.0),
+        ("James", "Spike", "Jams", "Spike", 1.0, 0.0),
+        ("Oliver", "Sparky", "Olive", "Sparky", 1.0, 0.0),
+    ]
+
+
+def test_soundex_join(tables):
+    names1 = rd.from_arrow(pa.table({"Name": ["Smith", "Smyth", "Ashcraft", "Tymczak", None]}))
+    names2 = rd.from_arrow(pa.table({"Name": ["Smythe", "Ashcroft", "Tymczak", "Smith", None]}))
+    out = fuzzy_string_join(names1, names2, by="Name", method="soundex", how="inner")
+    got = sorted((d["Name.x"], d["Name.y"]) for d in out.take_all())
+    assert ("Smith", "Smythe") in got
+    assert ("Smith", "Smith") in got
+    assert ("Ashcraft", "Ashcroft") in got
+    assert ("Tymczak", "Tymczak") in got
+    assert all(a is not None and b is not None for a, b in got)
+
+
+def test_soundex_prefix_dual():
+    l = rd.from_arrow(pa.table({"Name": ["VanDeusen", "De La Cruz"]}))
+    r = rd.from_arrow(pa.table({"Name": ["Deusen", "Cruz"]}))
+    out = fuzzy_string_join(l, r, by="Name", method="soundex", how="inner")
+    got = sorted((d["Name.x"], d["Name.y"]) for d in out.take_all())
+    assert ("VanDeusen", "Deusen") in got
+    assert ("De La Cruz", "Cruz") in got
+
+
+def test_error_missing_column(tables):
+    l, r = tables
+    with pytest.raises(KeyError):
+        fuzzy_string_join(l, r, by="DoesNotExist", method="lv", max_distance=1)
+
+
+def test_by_none_shared_columns(tables):
+    l, r = tables
+    out = fuzzy_string_join(l, r, by=None, method="lv", how="inner", max_distance=1)
+    assert len(out.take_all()) == 4
