@@ -1,0 +1,257 @@
+"""Difference / distance / interval / regex / temporal join tests,
+modeled on the reference suite (test_fozzie_difference_join.R,
+test_fozzie_distance_join.R:17-59 computed-oracle style,
+test_fozzie_interval_join.R:53-134, test_regex_join.R,
+test_fozzie_temporal_join.R)."""
+
+import datetime as dt
+import itertools
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fozziejoin_ray import (
+    fuzzy_difference_join,
+    fuzzy_distance_join,
+    fuzzy_interval_join,
+    fuzzy_regex_join,
+    fuzzy_temporal_interval_join,
+    fuzzy_temporal_join,
+)
+
+
+def ds(**cols):
+    return rd.from_arrow(pa.table(cols))
+
+
+# ---------------------------------------------------------------- difference
+
+
+def test_difference_inner_basic():
+    l = ds(x=[1.0, 2.0, 3.0], lab=["a", "b", "c"])
+    r = ds(x=[1.05, 2.2, 2.95], lab=["p", "q", "s"])
+    out = fuzzy_difference_join(l, r, by="x", max_distance=0.1, distance_col="d")
+    rows = sorted(
+        ((d["x.x"], d["x.y"], round(d["d"], 6)) for d in out.take_all())
+    )
+    assert rows == [(1.0, 1.05, 0.05), (3.0, 2.95, 0.05)]
+
+
+def test_difference_inclusive_threshold():
+    l = ds(x=[0.0])
+    r = ds(x=[1.0])
+    out = fuzzy_difference_join(l, r, by="x", max_distance=1.0)
+    assert len(out.take_all()) == 1  # |0-1| <= 1 + eps
+
+
+def test_difference_na_never_matches():
+    l = ds(x=[1.0, None, 3.0])
+    r = ds(x=[1.05, 2.0, None])
+    out = fuzzy_difference_join(l, r, by="x", max_distance=10.0)
+    for row in out.take_all():
+        assert row["x.x"] is not None and row["x.y"] is not None
+
+
+def test_difference_multikey():
+    l = ds(x=[1.0, 2.0], y=[10.0, 20.0])
+    r = ds(x=[1.05, 2.0], y=[10.5, 25.0])
+    out = fuzzy_difference_join(
+        l, r, by=[("x", "x"), ("y", "y")], max_distance=0.6, distance_col="d"
+    )
+    rows = out.take_all()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["x.x"] == 1.0 and abs(row["d_x_x"] - 0.05) < 1e-9 and abs(row["d_y_y"] - 0.5) < 1e-9
+
+
+def test_difference_integer_cols():
+    l = ds(x=pa.array([1, 5], pa.int32()))
+    r = ds(x=pa.array([2, 9], pa.int32()))
+    out = fuzzy_difference_join(l, r, by="x", max_distance=1)
+    assert len(out.take_all()) == 1
+
+
+def test_difference_left_join_padding():
+    l = ds(x=[1.0, 100.0])
+    r = ds(x=[1.2])
+    out = fuzzy_difference_join(l, r, by="x", how="left", max_distance=0.5, distance_col="d")
+    rows = sorted(out.take_all(), key=lambda d: d["x.x"])
+    assert rows[0]["x.y"] == 1.2
+    assert rows[1]["x.y"] is None and math.isnan(rows[1]["d"])
+
+
+# ------------------------------------------------------------------ distance
+
+
+def _dist_oracle(lx, rx, method, maxd):
+    out = []
+    for i, a in enumerate(lx):
+        for j, b in enumerate(rx):
+            if any(v is None for v in a) or any(v is None for v in b):
+                continue
+            if method == "manhattan":
+                d = sum(abs(p - q) for p, q in zip(a, b))
+            else:
+                d = math.sqrt(sum((p - q) ** 2 for p, q in zip(a, b)))
+            if d <= maxd:
+                out.append((i, j, round(d, 9)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("method", ["euclidean", "manhattan"])
+def test_distance_join_vs_oracle(method):
+    lx = [(0.0, 0.0), (1.0, 1.0), (None, 2.0), (3.5, 0.5)]
+    rx = [(0.5, 0.0), (1.0, 1.5), (None, None), (3.0, 0.0)]
+    l = ds(a=[p[0] for p in lx], b=[p[1] for p in lx], i=list(range(4)))
+    r = ds(a=[p[0] for p in rx], b=[p[1] for p in rx], j=list(range(4)))
+    out = fuzzy_distance_join(
+        l, r, by=[("a", "a"), ("b", "b")], method=method, max_distance=1.0, distance_col="d"
+    )
+    got = sorted((d["i"], d["j"], round(d["d"], 9)) for d in out.take_all())
+    assert got == _dist_oracle(lx, rx, method, 1.0)
+
+
+# ------------------------------------------------------------------ interval
+
+
+def _interval_oracle(L, R, mode, overlap_type, maxgap, minoverlap):
+    out = []
+    for i, (ls, le) in enumerate(L):
+        for j, (rs, re) in enumerate(R):
+            if mode == "integer":
+                gap = rs - le - 1 if le < rs else (ls - re - 1 if re < ls else 0)
+                ov = min(le, re) - max(ls, rs) + 1
+            else:
+                gap = rs - le if le < rs else (ls - re if re < ls else 0.0)
+                ov = max(min(le, re) - max(ls, rs), 0.0)
+            if gap > maxgap or ov < minoverlap:
+                continue
+            sem = {
+                "any": True,
+                "within": ls >= rs - maxgap and le <= re + maxgap,
+                "start": abs(ls - rs) <= maxgap,
+                "end": abs(le - re) <= maxgap,
+            }[overlap_type]
+            if sem:
+                out.append((i, j))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("overlap_type", ["any", "within", "start", "end"])
+def test_interval_real_vs_oracle(overlap_type):
+    L = [(1.0, 3.0), (5.0, 7.0), (10.0, 10.5)]
+    R = [(2.0, 4.0), (6.0, 8.0), (3.0, 5.0), (10.4, 12.0)]
+    l = ds(start=[a for a, _ in L], end=[b for _, b in L], i=list(range(len(L))))
+    r = ds(start=[a for a, _ in R], end=[b for _, b in R], j=list(range(len(R))))
+    out = fuzzy_interval_join(
+        l, r, by=[("start", "start"), ("end", "end")], overlap_type=overlap_type, maxgap=1.0, minoverlap=0.5
+    )
+    got = sorted((d["i"], d["j"]) for d in out.take_all())
+    assert got == _interval_oracle(L, R, "real", overlap_type, 1.0, 0.5)
+
+
+def test_interval_integer_adjacency():
+    # IRanges: [1,2] and [3,4] touch at maxgap=0 in integer mode only
+    l = ds(s=pa.array([1], pa.int32()), e=pa.array([2], pa.int32()))
+    r = ds(s=pa.array([3], pa.int32()), e=pa.array([4], pa.int32()))
+    out = fuzzy_interval_join(l, r, by=[("s", "s"), ("e", "e")], maxgap=0, minoverlap=0)
+    assert len(out.take_all()) == 1  # auto -> integer mode
+    out2 = fuzzy_interval_join(
+        l, r, by=[("s", "s"), ("e", "e")], maxgap=0, minoverlap=0, interval_mode="real"
+    )
+    assert len(out2.take_all()) == 0  # real mode: gap = 1 > 0
+
+
+def test_interval_touching_real():
+    l = ds(s=[1.0], e=[2.0])
+    r = ds(s=[2.0], e=[3.0])
+    out = fuzzy_interval_join(l, r, by=[("s", "s"), ("e", "e")], maxgap=0, minoverlap=0)
+    assert len(out.take_all()) == 1  # touching at a point: gap 0, overlap 0
+
+
+def test_interval_invalid_raises():
+    l = ds(s=[5.0], e=[1.0])
+    r = ds(s=[0.0], e=[1.0])
+    with pytest.raises(Exception):
+        fuzzy_interval_join(l, r, by=[("s", "s"), ("e", "e")]).take_all()
+
+
+# -------------------------------------------------------------------- regex
+
+
+def test_regex_inner():
+    l = ds(name=["Alpha", "beta", "Gamma", None])
+    r = ds(pattern=["^A", "a$", None], tag=["starts-A", "ends-a", "null"])
+    out = fuzzy_regex_join(l, r, by={"name": "pattern"})
+    got = sorted((d["name"], d["pattern"]) for d in out.take_all())
+    assert got == [("Alpha", "^A"), ("Alpha", "a$"), ("Gamma", "a$"), ("beta", "a$")]
+
+
+def test_regex_ignore_case():
+    l = ds(name=["alpha"])
+    r = ds(pattern=["^A"])
+    assert len(fuzzy_regex_join(l, r, by={"name": "pattern"}).take_all()) == 0
+    assert (
+        len(fuzzy_regex_join(l, r, by={"name": "pattern"}, ignore_case=True).take_all()) == 1
+    )
+
+
+def test_regex_invalid_pattern_errors():
+    l = ds(name=["x"])
+    r = ds(pattern=["("])
+    with pytest.raises(Exception):
+        fuzzy_regex_join(l, r, by={"name": "pattern"}).take_all()
+
+
+# ------------------------------------------------------------------ temporal
+
+
+def test_temporal_seconds():
+    t0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+    l = ds(time=pa.array([t0, t0 + dt.timedelta(hours=1)], pa.timestamp("s")), i=[0, 1])
+    r = ds(time=pa.array([t0 + dt.timedelta(seconds=5)], pa.timestamp("s")), j=[0])
+    out = fuzzy_temporal_join(l, r, by="time", max_distance=10, unit="seconds", distance_col="d")
+    rows = out.take_all()
+    assert len(rows) == 1 and rows[0]["i"] == 0 and abs(rows[0]["d"] - 5.0) < 1e-9
+
+
+def test_temporal_date_unit_enforced():
+    d0 = dt.date(2020, 1, 1)
+    l = ds(day=pa.array([d0], pa.date32()))
+    r = ds(day=pa.array([d0 + dt.timedelta(days=1)], pa.date32()))
+    out = fuzzy_temporal_join(l, r, by="day", max_distance=1, unit="days")
+    assert len(out.take_all()) == 1
+    with pytest.raises(ValueError):
+        fuzzy_temporal_join(l, r, by="day", max_distance=1, unit="hours")
+
+
+def test_temporal_type_mismatch_errors():
+    d0 = dt.date(2020, 1, 1)
+    t0 = dt.datetime(2020, 1, 1)
+    l = ds(t=pa.array([d0], pa.date32()))
+    r = ds(t=pa.array([t0], pa.timestamp("s")))
+    with pytest.raises(TypeError):
+        fuzzy_temporal_join(l, r, by="t", max_distance=1)
+
+
+def test_temporal_nontemporal_errors():
+    l = ds(t=[1.0])
+    r = ds(t=[2.0])
+    with pytest.raises(TypeError):
+        fuzzy_temporal_join(l, r, by="t", max_distance=1)
+
+
+def test_temporal_interval_join():
+    t0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+
+    def ts(*offsets):
+        return pa.array([t0 + dt.timedelta(seconds=o) for o in offsets], pa.timestamp("s"))
+
+    l = ds(s=ts(0, 100), e=ts(10, 110), i=[0, 1])
+    r = ds(s=ts(5), e=ts(15), j=[0])
+    out = fuzzy_temporal_interval_join(l, r, by=[("s", "s"), ("e", "e")], overlap_type="any")
+    rows = out.take_all()
+    assert sorted(d["i"] for d in rows) == [0]
