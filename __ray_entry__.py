@@ -1,16 +1,9 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() per operator, and
+oracle_sql() DuckDB equivalents (run side-by-side by the driver at
+sf=0.01; column names match between each Ray result and its SQL).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +11,625 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _distinct(ds, col):
+    return ds.groupby(col).count().map_batches(lambda t: t.select([col]), batch_format="pyarrow")
+
+
+def _doc_words(sf_dir: str):
+    """Distinct non-empty first words of documents.text, column ``wl``."""
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = pc.list_element(pc.split_pattern(t["text"], " "), 0)
+        out = pa.table({"wl": w})
+        return out.filter(pc.and_(pc.is_valid(out["wl"]), pc.not_equal(out["wl"], "")))
+
+    return _distinct(docs.map_batches(fn, batch_format="pyarrow"), "wl")
+
+
+_WORDS_SQL = (
+    "SELECT DISTINCT split_part(text, ' ', 1) AS wl FROM documents "
+    "WHERE text IS NOT NULL AND split_part(text, ' ', 1) != ''"
+)
+
+
+def _part_toks(sf_dir: str):
+    part = _t(sf_dir, "part", ["p_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = pc.list_element(pc.split_pattern(t["p_name"], " "), 0)
+        out = pa.table({"wr": w})
+        return out.filter(pc.and_(pc.is_valid(out["wr"]), pc.not_equal(out["wr"], "")))
+
+    return _distinct(part.map_batches(fn, batch_format="pyarrow"), "wr")
+
+
+_TOKS_SQL = (
+    "SELECT DISTINCT split_part(p_name, ' ', 1) AS wr FROM part "
+    "WHERE p_name IS NOT NULL AND split_part(p_name, ' ', 1) != ''"
+)
+
+
+def _round_col(ds, col, digits=6):
+    def fn(t: pa.Table) -> pa.Table:
+        i = t.column_names.index(col)
+        return t.set_column(i, col, pc.round(t[col], ndigits=digits))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- string joins
+
+
+def _string_join_query(method: str, how: str, maxd: float, distance: bool):
+    def q(sf_dir: str):
+        from fozziejoin_ray import fuzzy_string_join
+
+        out = fuzzy_string_join(
+            _doc_words(sf_dir),
+            _part_toks(sf_dir),
+            by={"wl": "wr"},
+            method=method,
+            how=how,
+            max_distance=maxd,
+            distance_col="dist" if distance else None,
+        )
+        if distance:
+            out = _round_col(out, "dist")
+        return out
+
+    return q
+
+
+def _multikey_query(sf_dir: str):
+    from fozziejoin_ray import fuzzy_string_join
+
+    part = _t(sf_dir, "part", ["p_name", "p_brand"])
+
+    def mk(prefix):
+        def fn(t: pa.Table) -> pa.Table:
+            tok = pc.list_element(pc.split_pattern(t["p_name"], " "), 0)
+            return pa.table({f"{prefix}tok": tok, f"{prefix}brand": t["p_brand"]})
+
+        ds = part.map_batches(fn, batch_format="pyarrow")
+        return ds.groupby([f"{prefix}tok", f"{prefix}brand"]).count().map_batches(
+            lambda t: t.select([f"{prefix}tok", f"{prefix}brand"]), batch_format="pyarrow"
+        )
+
+    out = fuzzy_string_join(
+        mk("a"),
+        mk("b"),
+        by=[("atok", "btok"), ("abrand", "bbrand")],
+        method="lv",
+        how="inner",
+        max_distance=1,
+        distance_col="d",
+    )
+    out = _round_col(out, "d_atok_btok")
+    return _round_col(out, "d_abrand_bbrand")
+
+
+# -------------------------------------------------------------- numeric joins
+
+
+def _difference_query(sf_dir: str):
+    from fozziejoin_ray import fuzzy_difference_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = fuzzy_difference_join(
+        li, orders, by={"l_extendedprice": "o_totalprice"}, max_distance=5.0, distance_col="pd"
+    )
+    return _round_col(out, "pd")
+
+
+def _temporal_query(sf_dir: str):
+    from fozziejoin_ray import fuzzy_temporal_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    out = fuzzy_temporal_join(
+        li, orders, by={"l_shipdate": "o_orderdate"}, max_distance=1, unit="days", distance_col="sd"
+    )
+    return _round_col(out, "sd")
+
+
+def _interval_real_query(sf_dir: str):
+    from fozziejoin_ray import fuzzy_interval_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "os": t["o_totalprice"], "oe": pc.add(t["o_totalprice"], 100.0)}
+        ),
+        batch_format="pyarrow",
+    )
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "ls": t["l_extendedprice"],
+                "le": pc.add(t["l_extendedprice"], 50.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return fuzzy_interval_join(
+        orders, li, by=[("os", "ls"), ("oe", "le")], overlap_type="any", maxgap=0.0, minoverlap=0.0
+    )
+
+
+def _interval_int_query(sf_dir: str):
+    from fozziejoin_ray import fuzzy_interval_join
+
+    def mk(prefix):
+        return _t(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+            lambda t: pa.table(
+                {
+                    f"{prefix}_pk": t["p_partkey"],
+                    f"{prefix}s": t["p_size"],
+                    f"{prefix}e": pc.add(t["p_size"], 2 if prefix == "a" else 3),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return fuzzy_interval_join(
+        mk("a"), mk("b"), by=[("as", "bs"), ("ae", "be")], overlap_type="any", maxgap=0, minoverlap=0
+    )
+
+
+def _regex_query(sf_dir: str):
+    from fozziejoin_ray import fuzzy_regex_join
+
+    events = _t(sf_dir, "events", ["event_id", "event_type"])
+    patterns = _rd().from_items([{"pat": "^cl"}, {"pat": "error"}, {"pat": "w$"}])
+    return fuzzy_regex_join(events, patterns, by={"event_type": "pat"})
+
+
+def _distance_query(method):
+    def q(sf_dir: str):
+        from fozziejoin_ray import fuzzy_distance_join
+
+        def mk(prefix):
+            return _t(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]).map_batches(
+                lambda t: pa.table(
+                    {
+                        f"{prefix}_pk": t["p_partkey"],
+                        f"{prefix}price": t["p_retailprice"],
+                        f"{prefix}size": pc.cast(t["p_size"], pa.float64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+        out = fuzzy_distance_join(
+            mk("a"),
+            mk("b"),
+            by=[("aprice", "bprice"), ("asize", "bsize")],
+            method=method,
+            max_distance=2.0,
+            distance_col="d",
+        )
+        return _round_col(out, "d")
+
+    return q
+
+
+# ------------------------------------------------------ clustering / dedup
+
+
+def _cluster_words_query(sf_dir: str):
+    from fozziejoin_ray.cluster.union_find import connected_components
+    from fozziejoin_ray.joins.blocked import build_edges_blocked
+    from fozziejoin_ray.joins.hashjoin import hash_join
+
+    words = _doc_words(sf_dir).map_batches(
+        lambda t: pa.table({"word": t["wl"]}), batch_format="pyarrow"
+    )
+    edges = build_edges_blocked(
+        words, None, [("word", "word")], "lv", 1.0, 2, 0, 0.0, "word", None, pair_budget=None
+    )
+    e = edges.map_batches(
+        lambda t: pa.table({"src": t["__fj_lid"], "dst": t["__fj_rid"]}), batch_format="pyarrow"
+    )
+    labels = connected_components(e, "src", "dst", num_partitions=8)
+    labels_r = labels.map_batches(
+        lambda t: pa.table({"__n": t["node"], "__l": t["cluster"]}), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        words,
+        labels_r,
+        "word",
+        "__n",
+        how="left_outer",
+        num_partitions=8,
+        left_schema=pa.schema([("word", pa.string())]),
+        right_schema=pa.schema([("__n", pa.string()), ("__l", pa.string())]),
+    )
+    return joined.map_batches(
+        lambda t: pa.table({"word": t["word"], "cluster_id": pc.coalesce(t["__l"], t["word"])}),
+        batch_format="pyarrow",
+    )
+
+
+def _dedup_exact_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.dedup import exact_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _dedup_minhash_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.dedup import minhash_lsh_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5, num_partitions=8)
+
+
+def _dedup_simhash_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.dedup import simhash_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(docs, "text", "doc_id", max_hamming=3, num_partitions=8)
+
+
+def _dedup_ngram_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_dedup(docs, "text", "doc_id", threshold=0.6, num_partitions=8)
+
+
+def _embedding_dup_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.ann import embedding_dup_pairs
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, threshold=0.4, id_col="vec_id", dtype=np.float64)
+    return _round_col(out, "cosine", 4)
+
+
+def _ann_topk_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.ann import ann_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = pa.concat_tables(
+        list(
+            emb.filter(lambda r: r["vec_id"] < 5).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+    ).sort_by("vec_id")
+    Q = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    out = ann_topk(
+        emb, Q, qt.column("vec_id").to_pylist(), k=10, id_col="vec_id", dtype=np.float64
+    )
+    return _round_col(out, "cosine", 4)
+
+
+def _ann_ivf_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.ann import ivf_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = pa.concat_tables(
+        list(
+            emb.filter(lambda r: r["vec_id"] < 3).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+    ).sort_by("vec_id")
+    Q = np.array(qt.column("embedding").to_pylist(), dtype=np.float32)
+    out = ivf_topk(emb, Q, qt.column("vec_id").to_pylist(), k=5, id_col="vec_id")
+    return _round_col(out, "cosine", 3)
+
+
+# ----------------------------------------------------------------- text ops
+
+
+def _token_count_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.text import token_count
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return token_count(docs, "text").select_columns(["doc_id", "n_tokens_ws", "n_tokens_bpe"])
+
+
+def _quality_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.text import quality_score
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = quality_score(docs, "text").select_columns(
+        ["doc_id", "n_chars", "n_words", "alpha_ratio", "quality"]
+    )
+    out = _round_col(out, "alpha_ratio")
+    return _round_col(out, "quality")
+
+
+def _lang_id_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.text import lang_id
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = lang_id(docs, "text").select_columns(["doc_id", "lang_pred", "lang_score"])
+    return _round_col(out, "lang_score")
+
+
+def _fingerprint_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.text import fingerprint_docs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_docs(docs, "text").select_columns(["doc_id", "fingerprint"])
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def _media_features_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.media import extract_image_features, synth_media_table
+
+    media = _rd().from_arrow(synth_media_table(200, seed=5))
+    out = extract_image_features(media, fake=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "media_ref": t["media_ref"],
+                "kind": t["kind"],
+                "dim": pa.array([len(x) for x in t["features"].to_pylist()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _frame_sample_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.media import sample_frames, synth_media_table
+
+    media = _rd().from_arrow(synth_media_table(100, seed=6, kind="video"))
+    return sample_frames(media, k=4, fake=True)
+
+
+# ----------------------------------------------------------------- flagship
+
+
+def _spansify(docs):
+    """Deterministically reshape the sf documents table into the
+    input_hint spans shape (interleaved text+media)."""
+    import zlib
+
+    from fozziejoin_ray.sources.docgen import SPAN_TYPE
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_ids, out_spans = [], []
+        for d, txt in zip(ids, texts):
+            words = (txt or "").split()
+            head = " ".join(words[:3])
+            rest = " ".join(words[3:])
+            spans = [{"kind": "text", "text": head, "media_ref": "", "offset": 0}]
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": "m://%08x" % zlib.crc32(str(d).encode()),
+                    "offset": 1,
+                }
+            )
+            if rest:
+                spans.append({"kind": "text", "text": rest, "media_ref": "", "offset": 2})
+            out_ids.append(f"d{d:012d}" if isinstance(d, int) else str(d))
+            out_spans.append(spans)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.string()),
+                "spans": pa.array(out_spans, pa.list_(SPAN_TYPE)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _linkage_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.linkage import cluster_documents
+
+    docs = _spansify(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return cluster_documents(
+        docs, method="jaro_winkler", max_distance=0.12, pair_budget=2_000_000, num_partitions=8
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: spans-shaped documents -> blocking ->
+    pairwise scoring -> transitive clusters."""
+    return _linkage_query("/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------------- surface
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs: dict[str, Callable[[str], Any]] = {
+        # string-distance join family (reference parity)
+        "string_lv_inner": _string_join_query("lv", "inner", 2, True),
+        "string_lv_left": _string_join_query("lv", "left", 2, False),
+        "string_lv_right": _string_join_query("lv", "right", 2, False),
+        "string_lv_full": _string_join_query("lv", "full", 2, False),
+        "string_lv_semi": _string_join_query("lv", "semi", 2, False),
+        "string_lv_anti": _string_join_query("lv", "anti", 2, False),
+        "string_dl_inner": _string_join_query("dl", "inner", 2, True),
+        "string_jaro_inner": _string_join_query("jw", "inner", 0.25, True),
+        "string_hamming_inner": _string_join_query("hamming", "inner", 2, True),
+        "string_osa_inner": _string_join_query("osa", "inner", 2, True),
+        "string_lcs_inner": _string_join_query("lcs", "inner", 3, True),
+        "string_qgram_inner": _string_join_query("qgram", "inner", 3, True),
+        "string_cosine_inner": _string_join_query("cosine", "inner", 0.6, True),
+        "string_jaccard_inner": _string_join_query("jaccard", "inner", 0.6, True),
+        "string_soundex_inner": _string_join_query("soundex", "inner", 0, False),
+        "string_multikey_inner": _multikey_query,
+        # numeric / temporal / interval / regex
+        "difference_inner": _difference_query,
+        "temporal_inner": _temporal_query,
+        "interval_real_any": _interval_real_query,
+        "interval_int_any": _interval_int_query,
+        "regex_inner": _regex_query,
+        "distance_euclidean": _distance_query("euclidean"),
+        "distance_manhattan": _distance_query("manhattan"),
+        # clustering + dedup + embeddings
+        "cluster_words": _cluster_words_query,
+        "dedup_exact": _dedup_exact_query,
+        "dedup_minhash": _dedup_minhash_query,
+        "dedup_simhash": _dedup_simhash_query,
+        "dedup_ngram_jaccard": _dedup_ngram_query,
+        "embedding_dup": _embedding_dup_query,
+        "ann_topk": _ann_topk_query,
+        "ann_ivf": _ann_ivf_query,
+        # text analysis
+        "token_count": _token_count_query,
+        "quality_score": _quality_query,
+        "lang_id": _lang_id_query,
+        "doc_fingerprint": _fingerprint_query,
+        # multimodal plumbing (stubbed codecs, real Ray path)
+        "media_features": _media_features_query,
+        "frame_sample": _frame_sample_query,
+        # flagship
+        "linkage_clusters": _linkage_query,
+    }
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w = _WORDS_SQL
+    tk = _TOKS_SQL
+    string_base = f"WITH w AS ({w}), tk AS ({tk})"
+    mk = (
+        "SELECT DISTINCT split_part(p_name,' ',1) AS {p}tok, p_brand AS {p}brand "
+        "FROM part WHERE p_name IS NOT NULL AND split_part(p_name,' ',1) != ''"
+    )
+    return {
+        "string_lv_inner": f"""{string_base}
+            SELECT w.wl AS wl, tk.wr AS wr, ROUND(CAST(levenshtein(w.wl, tk.wr) AS DOUBLE), 6) AS dist
+            FROM w, tk WHERE levenshtein(w.wl, tk.wr) <= 2""",
+        "string_lv_left": f"""{string_base}
+            SELECT w.wl AS wl, tk.wr AS wr FROM w LEFT JOIN tk ON levenshtein(w.wl, tk.wr) <= 2""",
+        "string_lv_right": f"""{string_base}
+            SELECT w.wl AS wl, tk.wr AS wr FROM w RIGHT JOIN tk ON levenshtein(w.wl, tk.wr) <= 2""",
+        "string_lv_full": f"""{string_base}
+            SELECT w.wl AS wl, tk.wr AS wr FROM w FULL OUTER JOIN tk ON levenshtein(w.wl, tk.wr) <= 2""",
+        "string_lv_semi": f"""{string_base}
+            SELECT wl FROM w WHERE EXISTS (SELECT 1 FROM tk WHERE levenshtein(w.wl, tk.wr) <= 2)""",
+        "string_lv_anti": f"""{string_base}
+            SELECT wl FROM w WHERE NOT EXISTS (SELECT 1 FROM tk WHERE levenshtein(w.wl, tk.wr) <= 2)""",
+        "string_dl_inner": f"""{string_base}
+            SELECT w.wl AS wl, tk.wr AS wr, ROUND(CAST(damerau_levenshtein(w.wl, tk.wr) AS DOUBLE), 6) AS dist
+            FROM w, tk WHERE damerau_levenshtein(w.wl, tk.wr) <= 2""",
+        "string_jaro_inner": f"""{string_base}
+            SELECT w.wl AS wl, tk.wr AS wr, ROUND(1.0 - jaro_similarity(w.wl, tk.wr), 6) AS dist
+            FROM w, tk WHERE 1.0 - jaro_similarity(w.wl, tk.wr) <= 0.25""",
+        "string_hamming_inner": f"""{string_base}
+            SELECT w.wl AS wl, tk.wr AS wr, ROUND(CAST(hamming(w.wl, tk.wr) AS DOUBLE), 6) AS dist
+            FROM w, tk WHERE length(w.wl) = length(tk.wr) AND hamming(w.wl, tk.wr) <= 2""",
+        "string_multikey_inner": f"""WITH a AS ({mk.format(p='a')}), b AS ({mk.format(p='b')})
+            SELECT a.atok, a.abrand, b.btok, b.bbrand,
+                   ROUND(CAST(levenshtein(a.atok, b.btok) AS DOUBLE), 6) AS d_atok_btok,
+                   ROUND(CAST(levenshtein(a.abrand, b.bbrand) AS DOUBLE), 6) AS d_abrand_bbrand
+            FROM a, b WHERE levenshtein(a.atok, b.btok) <= 1 AND levenshtein(a.abrand, b.bbrand) <= 1""",
+        "difference_inner": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+                   o.o_orderkey, o.o_totalprice,
+                   ROUND(ABS(l.l_extendedprice - o.o_totalprice), 6) AS pd
+            FROM lineitem l, orders o
+            WHERE ABS(l.l_extendedprice - o.o_totalprice) <= 5.0""",
+        "temporal_inner": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+                   o.o_orderkey, o.o_orderdate,
+                   ROUND(ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0, 6) AS sd
+            FROM lineitem l, orders o
+            WHERE ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0 <= 86400.0""",
+        "interval_real_any": """
+            WITH o AS (SELECT o_orderkey, o_totalprice AS os, o_totalprice + 100.0 AS oe FROM orders),
+                 l AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS ls, l_extendedprice + 50.0 AS le FROM lineitem)
+            SELECT o.o_orderkey, o.os, o.oe, l.l_orderkey, l.l_linenumber, l.ls, l.le
+            FROM o, l WHERE o.oe >= l.ls AND l.le >= o.os""",
+        "interval_int_any": """
+            WITH a AS (SELECT p_partkey AS a_pk, p_size AS "as", p_size + 2 AS ae FROM part),
+                 b AS (SELECT p_partkey AS b_pk, p_size AS bs, p_size + 3 AS be FROM part)
+            SELECT a.a_pk, a."as", a.ae, b.b_pk, b.bs, b.be
+            FROM a, b WHERE b.bs <= a.ae + 1 AND a."as" <= b.be + 1""",
+        "regex_inner": """
+            SELECT e.event_id, e.event_type, p.pat
+            FROM events e, (VALUES ('^cl'), ('error'), ('w$')) p(pat)
+            WHERE regexp_matches(e.event_type, p.pat)""",
+        "distance_euclidean": """
+            WITH a AS (SELECT p_partkey AS a_pk, p_retailprice AS aprice, CAST(p_size AS DOUBLE) AS asize FROM part),
+                 b AS (SELECT p_partkey AS b_pk, p_retailprice AS bprice, CAST(p_size AS DOUBLE) AS bsize FROM part)
+            SELECT a.a_pk, a.aprice, a.asize, b.b_pk, b.bprice, b.bsize,
+                   ROUND(sqrt((a.aprice-b.bprice)*(a.aprice-b.bprice) + (a.asize-b.bsize)*(a.asize-b.bsize)), 6) AS d
+            FROM a, b
+            WHERE sqrt((a.aprice-b.bprice)*(a.aprice-b.bprice) + (a.asize-b.bsize)*(a.asize-b.bsize)) <= 2.0""",
+        "distance_manhattan": """
+            WITH a AS (SELECT p_partkey AS a_pk, p_retailprice AS aprice, CAST(p_size AS DOUBLE) AS asize FROM part),
+                 b AS (SELECT p_partkey AS b_pk, p_retailprice AS bprice, CAST(p_size AS DOUBLE) AS bsize FROM part)
+            SELECT a.a_pk, a.aprice, a.asize, b.b_pk, b.bprice, b.bsize,
+                   ROUND(ABS(a.aprice-b.bprice) + ABS(a.asize-b.bsize), 6) AS d
+            FROM a, b WHERE ABS(a.aprice-b.bprice) + ABS(a.asize-b.bsize) <= 2.0""",
+        "cluster_words": f"""
+            WITH RECURSIVE w AS ({w.replace('AS wl', 'AS word')}),
+            e AS (SELECT a.word AS src, b.word AS dst FROM w a, w b
+                  WHERE a.word != b.word AND levenshtein(a.word, b.word) <= 1),
+            reach(node, comp) AS (
+                SELECT word, word FROM w
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.node
+            )
+            SELECT node AS word, MIN(comp) AS cluster_id FROM reach GROUP BY node""",
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text""",
+        "embedding_dup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+                       FROM q, embeddings e),
+                 r AS (SELECT query_id, vec_id, cos,
+                              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank FROM r WHERE rank <= 10""",
+        "token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(text, '\s+')) END AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_tokens_bpe
+            FROM documents""",
+        "quality_score": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) AS n_words,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+                     CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+                     CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct
+              FROM documents)
+            SELECT doc_id, n_chars, n_words,
+                   ROUND(n_alpha / GREATEST(n_chars, 1.0), 6) AS alpha_ratio,
+                   ROUND((n_alpha / GREATEST(n_chars, 1.0)) *
+                         (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) + n_punct / GREATEST(n_chars, 1.0), 1.0)), 6) AS quality
+            FROM f""",
+    }

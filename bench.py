@@ -1,0 +1,190 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "derived": {...}}
+
+``--scaling`` runs the headline linkage pipeline twice in fresh
+processes (num_cpus=8 and num_cpus=32) on the same input and reports
+both throughputs plus scaling efficiency — the sandbox stand-in for the
+N-node vs 4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# documents for the flagship pipeline scale with the sf tables
+_SF_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 120_000}
+N_DOCS = int(
+    os.environ.get("GRAFT_N_DOCS", _SF_DOCS.get(os.path.basename(SF_DIR.rstrip("/")), 20_000))
+)
+GEN_DIR = f"/tmp/fozzie_bench_docs_n{N_DOCS}_seed42"
+
+
+def _gen_docs_parquet():
+    """Pre-generate (untimed) the input_hint-shaped document table."""
+    import ray.data  # noqa: F401
+
+    from fozziejoin_ray.sources.docgen import make_documents_dataset
+
+    if os.path.isdir(GEN_DIR) and os.listdir(GEN_DIR):
+        return
+    ds = make_documents_dataset(N_DOCS, seed=42, docs_per_entity=4)
+    ds.write_parquet(GEN_DIR + ".tmp")
+    os.rename(GEN_DIR + ".tmp", GEN_DIR)
+
+
+def q_linkage():
+    """Headline: blocking + pairwise scoring + transitive clustering over
+    the interleaved-documents table."""
+    import ray.data as rd
+
+    from fozziejoin_ray.pipelines.linkage import cluster_documents
+
+    docs = rd.read_parquet(GEN_DIR)
+    clusters = cluster_documents(
+        docs, method="jaro_winkler", max_distance=0.12, pair_budget=2_000_000, num_partitions=32
+    )
+    n = clusters.count()
+    return {"rows": n}
+
+
+def q_difference():
+    import ray.data as rd
+
+    from fozziejoin_ray import fuzzy_difference_join
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = fuzzy_difference_join(
+        li, orders, by={"l_extendedprice": "o_totalprice"}, max_distance=2.0
+    )
+    return {"rows": out.count()}
+
+
+def q_interval():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fozziejoin_ray import fuzzy_interval_join
+
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "os": t["o_totalprice"], "oe": pc.add(t["o_totalprice"], 10.0)}
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "ls": t["l_extendedprice"], "le": pc.add(t["l_extendedprice"], 5.0)}
+        ),
+        batch_format="pyarrow",
+    )
+    out = fuzzy_interval_join(orders, li, by=[("os", "ls"), ("oe", "le")], overlap_type="any")
+    return {"rows": out.count()}
+
+
+def q_dedup_minhash():
+    import ray.data as rd
+
+    from fozziejoin_ray.pipelines.dedup import minhash_lsh_dedup
+    from fozziejoin_ray.pipelines.linkage import extract_keys
+
+    docs = rd.read_parquet(GEN_DIR)
+    keys = extract_keys(docs).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    out = minhash_lsh_dedup(keys, "text", "doc_id", shingle_k=3, threshold=0.7, num_partitions=32)
+    return {"rows": out.count()}
+
+
+QUERIES = {
+    "linkage": q_linkage,
+    "difference": q_difference,
+    "interval": q_interval,
+    "dedup_minhash": q_dedup_minhash,
+}
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR"
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    _gen_docs_parquet()
+
+    times = {}
+    extras = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        extras[name] = fn()
+        times[name] = round(time.time() - t0, 3)
+    ray.shutdown()
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "headline pipeline wall time (linkage + difference + interval + minhash dedup)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": N_DOCS,
+        "derived": extras,
+    }
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(NUM_CPUS)  # warm page cache + generated docs, untimed
+    lo = run(8)
+    hi = run(32)
+    t_lo = lo["queries"]["linkage"]
+    t_hi = hi["queries"]["linkage"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "linkage scaling efficiency (8 vs 32 cpus, same input)",
+                "sec_8cpu": t_lo,
+                "sec_32cpu": t_hi,
+                "speedup": round(t_lo / t_hi, 3),
+                "scaling_efficiency": round(eff, 3),
+                "total_sec_8cpu": lo["value"],
+                "total_sec_32cpu": hi["value"],
+                "sf": SF_DIR,
+                "n_docs": N_DOCS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -38,9 +38,13 @@ from __future__ import annotations
 
 import zlib
 
+from functools import lru_cache
+
 from ..kernels.soundex import soundex_na_dual
 from ..kernels.strdist import get_qgrams
 from ..semantics import canon_method
+
+_cached_qgrams = lru_cache(maxsize=262144)(get_qgrams)
 
 SMALL_BLOCK = "__small__"
 
@@ -84,7 +88,7 @@ class GramBlocks:
         self.small_limit = max_distance if with_small else -1.0
 
     def _grams(self, value: str):
-        return get_qgrams(value, self.q)
+        return _cached_qgrams(value, self.q)
 
     def emit(self, value: str, side: str) -> list[str]:
         prof = self._grams(value)
@@ -145,7 +149,12 @@ class AllPairs:
         return [f"X{min(s, t)}_{max(s, t)}" for t in range(self.sl)]
 
     def pair_ok(self, va: str, vb: str, bk: str, selfjoin: bool) -> bool:
-        return True  # each pair meets in exactly one block by construction
+        if selfjoin and va == vb:
+            # identical values share all their triangle blocks; score the
+            # same-value id pairs only in the diagonal block
+            s = _stable_hash(va) % self.sl
+            return bk == f"X{s}_{s}"
+        return True  # distinct pairs meet in exactly one block by construction
 
 
 def strategy_for(

@@ -1,0 +1,188 @@
+"""Distributed transitive clustering: connected components over the
+match-edge table.
+
+Two paths:
+
+- **driver union-find** for edge sets up to ``driver_threshold`` rows —
+  the candidate set after blocking + thresholding is usually tiny
+  relative to the corpus, and one exact pass beats several shuffles
+  ("union-find on the driver only if the candidate set is provably
+  small").
+- **alternating large-star / small-star rounds** (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond"; cf. BTS, ICDE 2024,
+  PAPERS.md) for big graphs. Each half-round is ONE stateless
+  ``map_batches`` (emit directed pairs) plus ONE ``groupby(center)``
+  ``map_groups`` that rewires neighbors to the group minimum — no joins
+  anywhere, so every round is a single all-to-all exchange. Edges only
+  ever point to smaller labels, rounds are idempotent under retry, and
+  the edge multiset reaches a fixpoint (detected by an order-insensitive
+  checksum, no comparison join) in O(log^2 n) rounds; the fixpoint is a
+  forest of stars child -> component-minimum.
+
+The reference has no clustering operator — this is the extension
+mandated by BASELINE.json's north_star (transitive entity clusters over
+fozziejoin-semantics match edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+NODE = "node"
+CLUSTER = "cluster"
+
+
+def _driver_union_find(edge_rows, src: str, dst: str, node_type=None) -> "rd.Dataset":
+    """Exact union-find on the driver for small edge sets."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row[src], row[dst]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = list(parent)
+    labels = [find(n) for n in nodes]
+    return rd.from_arrow(
+        pa.table(
+            {
+                NODE: pa.array(nodes, type=node_type),
+                CLUSTER: pa.array(labels, type=node_type),
+            }
+        )
+    )
+
+
+def _star_round(edges: rd.Dataset, kind: str) -> rd.Dataset:
+    """One large- or small-star half-round. ``edges`` columns (a, b).
+
+    large: group neighbors around each center u (both directions);
+           attach every neighbor v > u to m = min(N(u) ∪ {u}).
+    small: group smaller neighbors around each center (key = max of the
+           edge); attach every member of N ∪ {u} except m to m.
+    """
+
+    def emit(t: pa.Table) -> pa.Table:
+        a = t["a"]
+        b = t["b"]
+        if kind == "large":
+            u = pa.concat_arrays([a.combine_chunks(), b.combine_chunks()])
+            v = pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])
+        else:
+            an = a.to_numpy(zero_copy_only=False)
+            bn = b.to_numpy(zero_copy_only=False)
+            mx = np.where(an > bn, an, bn)
+            mn = np.where(an > bn, bn, an)
+            u = pa.array(mx, type=a.type)
+            v = pa.array(mn, type=a.type)
+        return pa.table({"u": u, "v": v})
+
+    def star(t: pa.Table) -> pa.Table:
+        u = t.column("u")[0].as_py()
+        nbrs = sorted(set(t.column("v").to_pylist()))
+        out_a, out_b = [], []
+        if kind == "large":
+            m = min(nbrs[0], u) if nbrs else u
+            for v in nbrs:
+                if v > u:
+                    out_a.append(v)
+                    out_b.append(m)
+        else:
+            members = sorted(set(nbrs) | {u})
+            m = members[0]
+            for v in members[1:]:
+                out_a.append(v)
+                out_b.append(m)
+        idt = t.column("u").type
+        return pa.table({"a": pa.array(out_a, idt), "b": pa.array(out_b, idt)})
+
+    return (
+        edges.map_batches(emit, batch_format="pyarrow")
+        .groupby("u")
+        .map_groups(star, batch_format="pyarrow")
+    )
+
+
+def _edges_checksum(edges: rd.Dataset) -> int:
+    import pandas as pd
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c": pa.array([0], pa.int64())})
+        h = pd.util.hash_array(
+            t.column("a").to_numpy(zero_copy_only=False), categorize=False
+        ) * np.uint64(1099511628211) ^ pd.util.hash_array(
+            t.column("b").to_numpy(zero_copy_only=False), categorize=False
+        )
+        s = int(h.astype("uint64").sum()) & ((1 << 40) - 1)
+        return pa.table({"c": pa.array([s], pa.int64())})
+
+    return edges.map_batches(fn, batch_format="pyarrow").sum("c")
+
+
+def connected_components(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iters: int = 25,
+    num_partitions: int = 32,
+    driver_threshold: int = 2_000_000,
+) -> rd.Dataset:
+    """(node, cluster) with cluster = min node id of the component.
+
+    Every node appearing in any edge gets one output row; isolated
+    nodes are the caller's concern (left-join + coalesce to self).
+    """
+    edges = edges.materialize()
+    esch = edges.schema()
+    node_type = dict(zip(esch.names, esch.types))[src] if esch is not None else None
+    if driver_threshold is not None and edges.count() <= driver_threshold:
+        return _driver_union_find(
+            edges.select_columns([src, dst]).iter_rows(), src, dst, node_type
+        )
+
+    e = edges.map_batches(
+        lambda t, s=src, d=dst: pa.table({"a": t[s], "b": t[d]}), batch_format="pyarrow"
+    ).materialize()
+    prev = _edges_checksum(e)
+    for _ in range(max_iters):
+        e = _star_round(e, "large").materialize()
+        e = _star_round(e, "small").materialize()
+        chk = _edges_checksum(e)
+        if chk == prev:
+            break
+        prev = chk
+
+    # fixpoint is a star forest (child -> min); emit labels without a join
+    def labels_emit(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        return pa.table(
+            {
+                NODE: pa.concat_arrays([a, b]),
+                CLUSTER: pa.concat_arrays([b, b]),
+            }
+        )
+
+    lab = e.map_batches(labels_emit, batch_format="pyarrow").groupby(NODE).min(CLUSTER)
+    return lab.map_batches(
+        lambda t: pa.table({NODE: t[NODE], CLUSTER: t[f"min({CLUSTER})"]}),
+        batch_format="pyarrow",
+    )

@@ -55,7 +55,7 @@ def hash_join(
     right_on: str,
     *,
     how: str = "inner",
-    num_partitions: int = 64,
+    num_partitions: int = 16,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
@@ -118,6 +118,12 @@ def hash_join(
         "left_anti": "left anti",
     }[how]
 
+    def _is_nested(typ: pa.DataType) -> bool:
+        return pa.types.is_nested(typ)
+
+    nested_l = [n for n, typ in lfields if _is_nested(typ) and n != left_on]
+    nested_r = [n for n, typ in rfields if _is_nested(typ) and n not in (right_on,)]
+
     def join_part(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).select(lcols)
@@ -128,13 +134,36 @@ def hash_join(
         rt = rt.filter(pa.compute.is_valid(rt["__hj_rkey"]))
         if how == "inner":
             lt = lt.filter(pa.compute.is_valid(lt[left_on]))
-        out = lt.join(
-            rt,
+        # Acero rejects nested (list/struct) non-key columns: carry row
+        # indices through the join and re-attach nested columns by take
+        lt_j = lt
+        rt_j = rt
+        if nested_l:
+            lt_j = lt_j.drop_columns(nested_l).append_column(
+                "__hj_lrow", pa.array(np.arange(lt.num_rows))
+            )
+        if nested_r:
+            rt_j = rt_j.drop_columns(nested_r).append_column(
+                "__hj_rrow", pa.array(np.arange(rt.num_rows))
+            )
+        out = lt_j.join(
+            rt_j,
             keys=[left_on],
             right_keys=["__hj_rkey"],
             join_type=arrow_how,
             coalesce_keys=True,
         )
+        if nested_l:
+            idx = out["__hj_lrow"]
+            for c in nested_l:
+                out = out.append_column(c, lt[c].take(idx))
+            out = out.drop_columns(["__hj_lrow"])
+        if nested_r and how in ("inner", "left_outer"):
+            idx = out["__hj_rrow"]
+            for c in nested_r:
+                out = out.append_column(c, rt[c].take(idx))
+        if "__hj_rrow" in out.column_names:
+            out = out.drop_columns(["__hj_rrow"])
         return out.select(lcols + rcols) if how in ("inner", "left_outer") else out.select(lcols)
 
     grouped = unioned.groupby(_PART)

@@ -1,0 +1,235 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``ann_topk``: brute-force cosine top-k — the query matrix is
+  normalized once, ``ray.put`` once, and every batch does one
+  numpy matmul against it (zero-copy Arrow -> numpy); per-batch local
+  top-k candidates are merged with one small groupby. Exact.
+- ``ivf_topk``: the scale path — vectors are bucketed by nearest
+  centroid (deterministic seeded centroid sample), queries probe the
+  ``nprobe`` nearest centroid buckets only, so the matmul touches a
+  fraction of the data. Approximate; recall grows with nprobe.
+- ``embedding_dup``: near-duplicate pairs by cosine >= threshold,
+  brute-force against a broadcast matrix (both sides are the same
+  table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _embed_matrix(t: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
+    arr = t.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKScorer:
+    def __init__(self, qref, cfg):
+        self.Q = ray.get(qref)  # (nq, d) normalized
+        self.qids = cfg["qids"]
+        self.cfg = cfg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        X = _normalize(_embed_matrix(t, cfg["embed_col"], cfg.get("dtype", np.float32)))
+        sims = X @ self.Q.T  # (n, nq)
+        k = min(cfg["k"], len(X))
+        ids = t.column(cfg["id_col"]).to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for i in top:
+                out_q.append(self.qids[qi])
+                out_v.append(ids[i])
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "vec_id": pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ann_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 8),
+    dtype=np.float32,
+) -> rd.Dataset:
+    """Exact brute-force cosine top-k per query. Per-batch local top-k
+    (map_batches) then a global per-query merge (groupby + in-group
+    sort) — the classic two-level top-k. ``dtype=np.float64`` makes the
+    math bit-match a double-precision oracle."""
+    Q = _normalize(np.asarray(queries, dtype=dtype))
+    qref = ray.put(Q)
+    cfg = {"k": k, "embed_col": embed_col, "id_col": id_col, "qids": list(query_ids), "dtype": dtype}
+    cand = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_args=(qref, cfg),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    return cand.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
+def _merge_topk(k: int):
+    """Global per-query top-k with deterministic ties (cosine desc, vec_id asc)."""
+
+    def merge(t: pa.Table) -> pa.Table:
+        cos = t.column("cosine").to_numpy(zero_copy_only=False)
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos))[:k]
+        out = t.take(order)
+        return out.append_column("rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64)))
+
+    return merge
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 17,
+) -> rd.Dataset:
+    """IVF-style approximate top-k: centroids from a deterministic seeded
+    sample; each vector shuffles once to its centroid bucket; each query
+    probes only its ``nprobe`` nearest buckets."""
+    sample = ds.limit(max(n_centroids * 8, 256))
+    st = pa.concat_tables(
+        list(sample.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    S = _normalize(_embed_matrix(st, embed_col))
+    rng = np.random.RandomState(seed)
+    centroids = _normalize(S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)])
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _normalize(_embed_matrix(t, embed_col))
+        bucket = (X @ C.T).argmax(axis=1).astype(np.int64)
+        return t.append_column("__ivf_bucket", pa.array(bucket))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    bucket_to_queries: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for b in row:
+            bucket_to_queries.setdefault(int(b), []).append(qi)
+    qref = ray.put((Q, list(query_ids), bucket_to_queries))
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        Qm, qids, b2q = ray.get(qref)
+        b = int(t.column("__ivf_bucket")[0].as_py())
+        qis = b2q.get(b, [])
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64() if isinstance(qids[0], int) else pa.string()),
+                "vec_id": pa.array([], t.column(id_col).type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if not qis:
+            return empty
+        X = _normalize(_embed_matrix(t, embed_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sims = X @ Qm[qis].T
+        kk = min(k, len(X))
+        out_q, out_v, out_s = [], [], []
+        for col_i, qi in enumerate(qis):
+            col = sims[:, col_i]
+            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            for i in top:
+                out_q.append(qids[qi])
+                out_v.append(ids[i])
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "vec_id": pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = bucketed.groupby("__ivf_bucket").map_groups(score_bucket, batch_format="pyarrow")
+
+    return cand.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
+class _DupScorer:
+    def __init__(self, mref, cfg):
+        self.M, self.ids = ray.get(mref)
+        self.cfg = cfg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        X = _normalize(_embed_matrix(t, cfg["embed_col"], cfg.get("dtype", np.float32)))
+        xids = t.column(cfg["id_col"]).to_numpy(zero_copy_only=False)
+        sims = X @ self.M.T
+        li, ri = np.nonzero(sims >= cfg["threshold"])
+        a = xids[li]
+        b = self.ids[ri]
+        m = a < b  # canonical order, self-pairs dropped
+        return pa.table(
+            {
+                "a": pa.array(a[m]),
+                "b": pa.array(b[m]),
+                "cosine": pa.array(sims[li, ri][m].astype(np.float64)),
+            }
+        )
+
+
+def embedding_dup_pairs(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 8),
+    dtype=np.float32,
+) -> rd.Dataset:
+    """All pairs with cosine >= threshold (a < b), brute-force against the
+    broadcast matrix of the same table."""
+    full = pa.concat_tables(
+        list(ds.select_columns([id_col, embed_col]).iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    M = _normalize(_embed_matrix(full, embed_col, dtype))
+    ids = full.column(id_col).to_numpy(zero_copy_only=False)
+    mref = ray.put((M, ids))
+    cfg = {"threshold": threshold, "embed_col": embed_col, "id_col": id_col, "dtype": dtype}
+    return ds.map_batches(
+        _DupScorer,
+        fn_constructor_args=(mref, cfg),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

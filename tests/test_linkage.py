@@ -1,0 +1,133 @@
+"""Flagship linkage pipeline: blocked self-join edges == brute-force
+oracle edges, transitive clusters match oracle clusters with pairwise
+F1 >= 0.99, span sequences survive untouched, checkpoint resume skips
+completed stages."""
+
+import itertools
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fozziejoin_ray.cluster.union_find import connected_components
+from fozziejoin_ray.joins.blocked import build_edges_blocked
+from fozziejoin_ray.kernels.strdist import score_pairs
+from fozziejoin_ray.pipelines.linkage import (
+    cluster_documents,
+    cluster_pairs,
+    clustered_documents,
+    extract_keys,
+    match_edges,
+    pairwise_f1,
+)
+from fozziejoin_ray.sources.docgen import make_documents_table, spans_fingerprint
+
+N_DOCS = 160
+METHOD = "jaro_winkler"
+MAXD = 0.12
+
+
+@pytest.fixture(scope="module")
+def docs_and_labels():
+    return make_documents_table(N_DOCS, seed=7, docs_per_entity=4)
+
+
+def oracle_clusters(keys: list[tuple[str, str]]):
+    """Brute-force reference-semantics clusters: all-pairs scoring at the
+    same method+threshold, then python union-find."""
+    ids = [d for d, _ in keys]
+    vals = {d: k for d, k in keys}
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = [(a, b) for a, b in itertools.combinations(ids, 2) if vals[a] is not None and vals[b] is not None]
+    dists = score_pairs(METHOD, [vals[a] for a, _ in pairs], [vals[b] for _, b in pairs])
+    for (a, b), d in zip(pairs, dists):
+        if d <= MAXD:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return [(d, find(d)) for d in ids]
+
+
+def test_edges_match_bruteforce(docs_and_labels):
+    docs_t, _ = docs_and_labels
+    docs = rd.from_arrow(docs_t)
+    keys_ds = extract_keys(docs)
+    keys = [(r["doc_id"], r["key"]) for r in keys_ds.take_all()]
+    vals = dict(keys)
+
+    edges = match_edges(keys_ds, method=METHOD, max_distance=MAXD, pair_budget=5000)
+    got = {(r["src"], r["dst"]) for r in edges.take_all()}
+    assert all(a < b for a, b in got)
+    assert len(got) == len([1 for _ in got])
+
+    expected = set()
+    ids = [d for d, _ in keys]
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if vals[a] is not None and vals[b] is not None
+    ]
+    dists = score_pairs(METHOD, [vals[a] for a, _ in pairs], [vals[b] for _, b in pairs])
+    for (a, b), d in zip(pairs, dists):
+        if d <= MAXD:
+            expected.add((min(a, b), max(a, b)))
+    assert got == expected
+
+
+def test_clusters_pairwise_f1_resume_and_spans(docs_and_labels, tmp_path):
+    docs_t, labels_t = docs_and_labels
+    docs = rd.from_arrow(docs_t)
+    clusters = cluster_documents(
+        docs, method=METHOD, max_distance=MAXD, pair_budget=None,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = [(r["doc_id"], r["cluster_id"]) for r in clusters.take_all()]
+    assert len(got) == N_DOCS
+    assert len({d for d, _ in got}) == N_DOCS
+
+    keys = [(r["doc_id"], r["key"]) for r in extract_keys(rd.from_arrow(docs_t)).take_all()]
+    oracle = oracle_clusters(keys)
+    m = pairwise_f1(cluster_pairs(got), cluster_pairs(oracle))
+    assert m["f1"] >= 0.99, m
+
+    # resume: second run must reuse checkpointed stages (manifest intact)
+    import json, os
+
+    man = json.load(open(tmp_path / "ckpt" / "manifest.json"))
+    assert set(man) == {"edges", "labels"}
+    before = {k: v["completed_at"] for k, v in man.items()}
+    clusters2 = cluster_documents(
+        docs, method=METHOD, max_distance=MAXD, pair_budget=None,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got2 = sorted((r["doc_id"], r["cluster_id"]) for r in clusters2.take_all())
+    assert got2 == sorted(got)
+    man2 = json.load(open(tmp_path / "ckpt" / "manifest.json"))
+    assert {k: v["completed_at"] for k, v in man2.items()} == before  # nothing recomputed
+
+    # span-sequence invariant: spans re-attached by id, byte-identical
+    out = clustered_documents(docs, clusters2)
+    tables = [t for t in out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    merged = pa.concat_tables(tables)
+    assert merged.num_rows == N_DOCS
+    assert spans_fingerprint(merged.select(["doc_id", "spans"])) == spans_fingerprint(docs_t)
+
+
+def test_cc_chain_converges():
+    # path graph 0-1-2-...-9 collapses to a single cluster labeled "n0";
+    # exercise BOTH the driver fast path and the distributed rounds
+    edges = rd.from_arrow(
+        pa.table({"src": [f"n{i}" for i in range(5)], "dst": [f"n{i+1}" for i in range(5)]})
+    )
+    for thresh in (2_000_000, None):  # driver path / distributed path
+        cc = connected_components(edges, driver_threshold=thresh, num_partitions=4)
+        rows = cc.take_all()
+        assert {r["cluster"] for r in rows} == {"n0"}, thresh
+        assert len(rows) == 6

@@ -1,0 +1,171 @@
+"""Dedup / text / ANN / media pipeline tests (brute-force oracles in
+plain python where the operator is approximate-by-construction)."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from fozziejoin_ray.pipelines.ann import ann_topk, embedding_dup_pairs, ivf_topk
+from fozziejoin_ray.pipelines.dedup import (
+    char_shingles,
+    exact_dedup,
+    jaccard_sets,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from fozziejoin_ray.pipelines.media import (
+    extract_image_features,
+    sample_frames,
+    synth_media_table,
+)
+from fozziejoin_ray.pipelines.text import fingerprint_docs, lang_id, quality_score, token_count
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog!",  # near-dup of 0
+    "the quick brown fox jumped over a lazy dog",  # near-dup of 0
+    "completely different content about query engines",
+    "el rapido zorro marron salta sobre el perro perezoso y la casa",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    "short",
+    "data processing pipelines shuffle blocks with backpressure",
+]
+
+
+def docs_ds():
+    return rd.from_arrow(
+        pa.table({"doc_id": [f"d{i}" for i in range(len(TEXTS))], "text": TEXTS})
+    )
+
+
+def test_exact_dedup():
+    out = exact_dedup(docs_ds(), "text", "doc_id").take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == ["d0", "d1", "d2", "d3", "d4", "d6", "d7"]  # d5 == d0 dropped
+
+
+def test_minhash_lsh_dedup_finds_near_dups():
+    out = {r["doc_id"]: r["dup_group"] for r in minhash_lsh_dedup(
+        docs_ds(), "text", "doc_id", threshold=0.5, num_partitions=4
+    ).take_all()}
+    assert len(out) == len(TEXTS)
+    assert out["d5"] == out["d0"] == "d0"  # exact dup in same group
+    assert out["d1"] == "d0"  # near-dup found
+    assert out["d3"] != out["d0"]
+
+
+def test_ngram_jaccard_dedup_matches_bruteforce():
+    thresh = 0.5
+    out = {r["doc_id"]: r["dup_group"] for r in ngram_jaccard_dedup(
+        docs_ds(), "text", "doc_id", threshold=thresh, num_partitions=4
+    ).take_all()}
+    # brute-force: pairs with exact shingle jaccard >= thresh, then union-find
+    sh = {f"d{i}": char_shingles(t, 5) for i, t in enumerate(TEXTS)}
+    parent = {d: d for d in sh}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(sh), 2):
+        if jaccard_sets(sh[a], sh[b]) >= thresh:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in sh}
+    assert out == expected
+
+
+def test_simhash_dedup_exact_dup_together():
+    out = {r["doc_id"]: r["dup_group"] for r in simhash_dedup(
+        docs_ds(), "text", "doc_id", max_hamming=3, num_partitions=4
+    ).take_all()}
+    assert out["d5"] == out["d0"]
+    assert out["d3"] != out["d0"]
+
+
+def _rand_embeddings(n=64, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    M = rng.randn(n, d).astype(np.float32)
+    M[1] = M[0] * 2.0 + rng.randn(d).astype(np.float32) * 0.01  # near-dup pair
+    return M
+
+
+def emb_ds(M):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": list(range(len(M))),
+                "embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_ann_topk_exact_vs_numpy():
+    M = _rand_embeddings()
+    Q = M[:3].astype(np.float64)
+    out = ann_topk(emb_ds(M), Q, [0, 1, 2], k=5, dtype=np.float64).take_all()
+    Mn = M.astype(np.float64) / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Mn @ Qn.T
+    for qi in range(3):
+        expected = list(np.lexsort((np.arange(len(M)), -sims[:, qi]))[:5])
+        got = [r["vec_id"] for r in sorted(
+            (r for r in out if r["query_id"] == qi), key=lambda r: r["rank"]
+        )]
+        assert got == expected, (qi, got, expected)
+
+
+def test_ivf_topk_self_hit():
+    M = _rand_embeddings(128, 16)
+    out = ivf_topk(emb_ds(M), M[:4], [0, 1, 2, 3], k=3, n_centroids=8, nprobe=4).take_all()
+    # each query's top hit is itself (cosine 1.0)
+    for qi in range(4):
+        rows = sorted((r for r in out if r["query_id"] == qi), key=lambda r: r["rank"])
+        assert rows and rows[0]["vec_id"] == qi
+
+
+def test_embedding_dup_pairs():
+    M = _rand_embeddings()
+    pairs = embedding_dup_pairs(emb_ds(M), threshold=0.95, dtype=np.float64).take_all()
+    assert any((r["a"], r["b"]) == (0, 1) for r in pairs)
+    assert all(r["a"] < r["b"] for r in pairs)
+
+
+def test_token_count():
+    rows = {r["doc_id"]: r for r in token_count(docs_ds()).take_all()}
+    assert rows["d0"]["n_tokens_ws"] == 9
+    assert rows["d6"]["n_tokens_ws"] == 1
+    assert rows["d1"]["n_tokens_bpe"] == 10  # 9 words + '!'
+
+
+def test_quality_and_fingerprint_deterministic():
+    q1 = {r["doc_id"]: r["quality"] for r in quality_score(docs_ds()).take_all()}
+    q2 = {r["doc_id"]: r["quality"] for r in quality_score(docs_ds()).take_all()}
+    assert q1 == q2
+    assert 0.0 <= min(q1.values()) and max(q1.values()) <= 1.0
+    f1 = {r["doc_id"]: r["fingerprint"] for r in fingerprint_docs(docs_ds()).take_all()}
+    assert f1["d0"] == f1["d5"]  # same normalized text
+    assert f1["d0"] != f1["d3"]
+
+
+def test_lang_id():
+    rows = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs_ds()).take_all()}
+    assert rows["d0"] == "en"
+    assert rows["d4"] == "es"
+
+
+def test_media_plumbing():
+    media = rd.from_arrow(synth_media_table(20, seed=5))
+    feats = extract_image_features(media, fake=True).take_all()
+    assert len(feats) == 20
+    assert all(len(r["features"]) == 32 for r in feats)
+    vids = rd.from_arrow(synth_media_table(5, seed=6, kind="video"))
+    frames = sample_frames(vids, k=4, fake=True).take_all()
+    assert len(frames) == 20
+    assert {r["frame"] for r in frames} == {0, 1, 2, 3}
