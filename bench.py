@@ -51,7 +51,7 @@ def q_linkage():
 
     docs = rd.read_parquet(GEN_DIR)
     clusters = cluster_documents(
-        docs, method="jaro_winkler", max_distance=0.12, pair_budget=2_000_000, num_partitions=32
+        docs, method="jaro_winkler", max_distance=0.12, blocking="minhash", num_partitions=32
     )
     n = clusters.count()
     return {"rows": n}
@@ -94,16 +94,32 @@ def q_interval():
 
 
 def q_dedup_minhash():
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from fozziejoin_ray.pipelines.dedup import minhash_lsh_dedup
-    from fozziejoin_ray.pipelines.linkage import extract_keys
 
     docs = rd.read_parquet(GEN_DIR)
-    keys = extract_keys(docs).map_batches(
-        lambda t: t.rename_columns(["doc_id", "text"]), batch_format="pyarrow"
+
+    def full_text(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        text = pc.struct_field(flat, "text").to_pandas()
+        joined = text.groupby(parents).agg(" ".join)
+        out = pd.Series([""] * t.num_rows)
+        out.iloc[joined.index] = joined.values
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(out.tolist(), pa.string())})
+
+    texts = docs.map_batches(full_text, batch_format="pyarrow")
+    out = minhash_lsh_dedup(
+        texts, "text", "doc_id", shingle_k=5, threshold=0.7, num_partitions=32,
+        id_type=__import__("pyarrow").string(),
     )
-    out = minhash_lsh_dedup(keys, "text", "doc_id", shingle_k=3, threshold=0.7, num_partitions=32)
     return {"rows": out.count()}
 
 
@@ -126,9 +142,12 @@ def run_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
     _gen_docs_parquet()
 
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
     times = {}
     extras = {}
     for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         extras[name] = fn()
         times[name] = round(time.time() - t0, 3)

@@ -69,14 +69,19 @@ def _driver_union_find(edge_rows, src: str, dst: str, node_type=None) -> "rd.Dat
     )
 
 
-def _star_round(edges: rd.Dataset, kind: str) -> rd.Dataset:
+def _star_round(edges: rd.Dataset, kind: str, num_partitions: int = 32) -> rd.Dataset:
     """One large- or small-star half-round. ``edges`` columns (a, b).
 
     large: group neighbors around each center u (both directions);
            attach every neighbor v > u to m = min(N(u) ∪ {u}).
     small: group smaller neighbors around each center (key = max of the
            edge); attach every member of N ∪ {u} except m to m.
+
+    Centers are per-node (millions of tiny groups), so the rewiring runs
+    per hash-partition with vectorized pandas groupby-transforms rather
+    than per-group UDF dispatch.
     """
+    import pandas as pd
 
     def emit(t: pa.Table) -> pa.Table:
         a = t["a"]
@@ -91,31 +96,39 @@ def _star_round(edges: rd.Dataset, kind: str) -> rd.Dataset:
             mn = np.where(an > bn, bn, an)
             u = pa.array(mx, type=a.type)
             v = pa.array(mn, type=a.type)
-        return pa.table({"u": u, "v": v})
+        un = u.to_numpy(zero_copy_only=False) if not isinstance(u, np.ndarray) else u
+        h = pd.util.hash_array(np.asarray(un), categorize=False)
+        return pa.table(
+            {"u": u, "v": v, "__sp": pa.array((h % num_partitions).astype(np.int64))}
+        )
 
-    def star(t: pa.Table) -> pa.Table:
-        u = t.column("u")[0].as_py()
-        nbrs = sorted(set(t.column("v").to_pylist()))
-        out_a, out_b = [], []
+    def star_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}
+            )
+        mv = df.groupby("u", sort=False)["v"].transform("min")
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        m = np.where(mv.to_numpy() < u, mv.to_numpy(), u)
         if kind == "large":
-            m = min(nbrs[0], u) if nbrs else u
-            for v in nbrs:
-                if v > u:
-                    out_a.append(v)
-                    out_b.append(m)
-        else:
-            members = sorted(set(nbrs) | {u})
-            m = members[0]
-            for v in members[1:]:
-                out_a.append(v)
-                out_b.append(m)
-        idt = t.column("u").type
-        return pa.table({"a": pa.array(out_a, idt), "b": pa.array(out_b, idt)})
+            mask = v > u
+            return pd.DataFrame({"a": v[mask], "b": m[mask]})
+        # small star: every neighbor v (< u by construction) rewires to m,
+        # except m itself; the center u also rewires to m (when u != m)
+        mask = v != m
+        out_a = [v[mask]]
+        out_b = [m[mask]]
+        firsts = ~pd.Series(u).duplicated().to_numpy()
+        cmask = firsts & (u != m)
+        out_a.append(u[cmask])
+        out_b.append(m[cmask])
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
     return (
         edges.map_batches(emit, batch_format="pyarrow")
-        .groupby("u")
-        .map_groups(star, batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(star_part, batch_format="pandas")
     )
 
 

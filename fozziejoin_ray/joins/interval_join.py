@@ -75,11 +75,57 @@ def interval_matches(
     return keep
 
 
+def interval_matches_flat(
+    ls: np.ndarray,
+    le: np.ndarray,
+    rs: np.ndarray,
+    re: np.ndarray,
+    *,
+    mode: str,
+    overlap_type: str,
+    maxgap: float,
+    minoverlap: float,
+) -> np.ndarray:
+    """Boolean mask over aligned candidate pairs (1-D arrays); same
+    predicates as :func:`interval_matches`."""
+    if mode == "integer":
+        gap = np.where(le < rs, rs - le - 1, np.where(re < ls, ls - re - 1, 0))
+        ov = np.minimum(le, re) - np.maximum(ls, rs) + 1
+    else:
+        gap = np.where(le < rs, rs - le, np.where(re < ls, ls - re, 0.0))
+        ov = np.maximum(np.minimum(le, re) - np.maximum(ls, rs), 0.0)
+    keep = (gap <= maxgap) & (ov >= minoverlap)
+    if overlap_type == "within":
+        keep &= (ls >= rs - maxgap) & (le <= re + maxgap)
+    elif overlap_type == "start":
+        keep &= np.abs(ls - rs) <= maxgap
+    elif overlap_type == "end":
+        keep &= np.abs(le - re) <= maxgap
+    return keep
+
+
 class RightIntervalIndex:
+    """Right intervals sorted by start, with the max interval length, so a
+    left query [ls-g, le+g] prunes to the start window
+    [ls - g - max_len, le + g] via two searchsorted probes — the
+    vectorized stand-in for the reference's interval tree
+    (/root/reference/src/rust/src/interval/real.rs:68-88)."""
+
     def __init__(self, rs: np.ndarray, re: np.ndarray, rids: np.ndarray):
-        self.rs = rs
-        self.re = re
-        self.rids = rids
+        order = np.argsort(rs, kind="stable")
+        self.rs = rs[order]
+        self.re = re[order]
+        self.rids = rids[order]
+        self.max_len = float((re - rs).max()) if len(rs) else 0.0
+
+
+def _concat_ranges(lo: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.repeat(lo, counts)
+    offsets = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    return starts + offsets
 
 
 class BroadcastIntervalScorer:
@@ -97,30 +143,33 @@ class BroadcastIntervalScorer:
             raise ValueError("Invalid interval in left table: start > end")
         lids = batch.column(cfg["lid"]).to_numpy(zero_copy_only=False)
 
-        m = len(idx.rs)
-        lrows: list[np.ndarray] = []
-        rrows: list[np.ndarray] = []
-        chunk = max(1, int(8_000_000 / max(1, m)))
-        for s in range(0, len(ls), chunk):
-            keep = interval_matches(
-                ls[s : s + chunk],
-                le[s : s + chunk],
-                idx.rs,
-                idx.re,
-                mode=cfg["mode"],
-                overlap_type=cfg["overlap_type"],
-                maxgap=cfg["maxgap"],
-                minoverlap=cfg["minoverlap"],
-            )
-            li, ri = np.nonzero(keep)
-            lrows.append(li + s)
-            rrows.append(ri)
-        lrow = np.concatenate(lrows) if lrows else np.empty(0, np.int64)
-        rrow = np.concatenate(rrows) if rrows else np.empty(0, np.int64)
+        g = cfg["maxgap"] + (0.0 if cfg["mode"] == "integer" else 1e-6)
+        slack = 1.0 if cfg["mode"] == "integer" else 0.0
+        # candidates: right starts within [ls - g - max_len - slack, le + g + slack]
+        lo = np.searchsorted(idx.rs, ls - g - idx.max_len - slack, side="left")
+        hi = np.searchsorted(idx.rs, le + g + slack, side="right")
+        nan_mask = np.isnan(ls) | np.isnan(le)
+        lo[nan_mask] = 0
+        hi[nan_mask] = 0
+        counts = np.maximum(hi - lo, 0)
+        lrow = np.repeat(np.arange(len(ls)), counts)
+        rpos = _concat_ranges(lo, counts)
+        keep = interval_matches_flat(
+            ls[lrow],
+            le[lrow],
+            idx.rs[rpos],
+            idx.re[rpos],
+            mode=cfg["mode"],
+            overlap_type=cfg["overlap_type"],
+            maxgap=cfg["maxgap"],
+            minoverlap=cfg["minoverlap"],
+        )
+        lrow = lrow[keep]
+        rpos = rpos[keep]
         return pa.table(
             {
-                LID: pa.array(lids[lrow.astype(np.int64)]),
-                RID: pa.array(idx.rids[rrow.astype(np.int64)]),
+                LID: pa.array(lids[lrow]),
+                RID: pa.array(idx.rids[rpos]),
             }
         )
 

@@ -60,14 +60,32 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 # ----------------------------------------------------------------- shingles
 
 
+_FNV = np.uint64(1099511628211)
+
+
+def _shingle_weights(k: int) -> np.ndarray:
+    w = np.empty(k, dtype=np.uint64)
+    acc = 1
+    for i in range(k):
+        w[i] = acc
+        acc = (acc * 1099511628211) % (1 << 64)  # mod 2^64, deterministic
+    return w
+
+
 def char_shingles(text: str, k: int) -> np.ndarray:
-    """Sorted distinct crc32 hashes of the k-char shingles of ``text``."""
-    if len(text) < k:
-        if not text:
+    """Sorted distinct 64-bit polynomial hashes of the k-byte shingles of
+    ``text`` — fully vectorized (sliding windows x weight dot, wrapping
+    uint64 arithmetic), so long documents shingle in microseconds."""
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(b) < k:
+        if not len(b):
             return np.empty(0, dtype=np.uint64)
-        return np.asarray([zlib.crc32(text.encode())], dtype=np.uint64)
-    hs = {zlib.crc32(text[i : i + k].encode()) for i in range(len(text) - k + 1)}
-    return np.asarray(sorted(hs), dtype=np.uint64)
+        w = _shingle_weights(len(b))
+        return np.asarray([int((b.astype(np.uint64) * w).sum())], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (win * _shingle_weights(k)[None, :]).sum(axis=1)
+    return np.unique(h)
 
 
 def jaccard_sets(a: np.ndarray, b: np.ndarray) -> float:
@@ -94,25 +112,72 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 
 def _pairs_from_buckets(
-    bucketed: rd.Dataset, id_col: str
+    bucketed: rd.Dataset, id_col: str, max_bucket: int = 4096, num_partitions: int = 64
 ) -> rd.Dataset:
     """(a, b) candidate pairs per bucket, a < b; deduped across buckets by
-    a later groupby."""
+    a later groupby.
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids = sorted(set(t.column(id_col).to_pylist()))
+    Implementation note: bucket keys are high-cardinality (mostly
+    singleton), and Ray's per-group ``map_groups`` UDF dispatch costs
+    more than the work — so buckets are hash-partitioned and each
+    partition is processed in ONE pandas call that skips singleton
+    buckets via value_counts and emits pairs with vectorized
+    triu indices. Buckets larger than ``max_bucket`` are skipped — the
+    standard LSH stop-word cap (near-zero signal per pair, quadratic
+    cost; documented recall caveat)."""
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["__bucket"].value_counts()
+        keep = vc[(vc >= 2) & (vc <= max_bucket)].index
+        if not len(keep):
+            return pd.DataFrame({"a": pd.Series([], dtype=df[id_col].dtype), "b": pd.Series([], dtype=df[id_col].dtype)})
+        sub = df[df["__bucket"].isin(keep)]
         out_a, out_b = [], []
-        for x, y in combinations(ids, 2):
-            out_a.append(x)
-            out_b.append(y)
-        idt = t.column(id_col).type
-        return pa.table({"a": pa.array(out_a, idt), "b": pa.array(out_b, idt)})
+        for _, g in sub.groupby("__bucket", sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=df[id_col].dtype), "b": pd.Series([], dtype=df[id_col].dtype)})
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
-    cand = bucketed.groupby("__bucket").map_groups(pairs, batch_format="pyarrow")
+    cand = (
+        bucketed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
     # a pair sharing multiple buckets appears multiple times -> distinct
     return cand.groupby(["a", "b"]).count().map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow"
     )
+
+
+def _attach_pair_texts(
+    cand: rd.Dataset, ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int
+) -> rd.Dataset:
+    """Join both sides' text onto (a, b) candidate pairs -> columns
+    (a, b, __a_text, __t_text)."""
+    texts = ds.map_batches(
+        lambda t: pa.table({"__t_id": t[id_col], "__t_text": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(cand, texts, "a", "__t_id", how="inner", num_partitions=num_partitions)
+    j = j.map_batches(
+        lambda t: t.rename_columns(
+            [{"__t_text": "__a_text"}.get(c, c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(j, texts, "b", "__t_id", how="inner", num_partitions=num_partitions)
 
 
 def _verify_pairs_jaccard(
@@ -125,18 +190,7 @@ def _verify_pairs_jaccard(
     num_partitions: int,
 ) -> rd.Dataset:
     """Join text back onto candidate pairs and keep exact set-jaccard >= t."""
-    texts = ds.map_batches(
-        lambda t: pa.table({"__t_id": t[id_col], "__t_text": t[text_col]}),
-        batch_format="pyarrow",
-    )
-    j = hash_join(cand, texts, "a", "__t_id", how="inner", num_partitions=num_partitions)
-    j = j.map_batches(
-        lambda t: t.rename_columns(
-            [{"__t_text": "__a_text"}.get(c, c) for c in t.column_names]
-        ),
-        batch_format="pyarrow",
-    )
-    j = hash_join(j, texts, "b", "__t_id", how="inner", num_partitions=num_partitions)
+    j = _attach_pair_texts(cand, ds, text_col, id_col, num_partitions)
 
     def verify(t: pa.Table) -> pa.Table:
         keep = []
@@ -163,22 +217,19 @@ def _verify_pairs_jaccard(
     return j.map_batches(verify, batch_format="pyarrow")
 
 
-def minhash_lsh_dedup(
+def minhash_candidate_pairs(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
     num_perm: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
-    threshold: float = 0.8,
+    shingle_k: int = 3,
     seed: int = 13,
-    num_partitions: int = 32,
 ) -> rd.Dataset:
-    """Near-duplicate classes via MinHash+LSH: shingle -> minhash ->
-    banded buckets -> candidate pairs -> exact-jaccard verify ->
-    connected components. Returns (doc_id, dup_group) for every doc;
-    dup_group = min doc_id of its duplicate class."""
+    """Distinct (a, b) candidate pairs from banded MinHash buckets —
+    the scalable candidate generator reused by near-dup dedup AND the
+    linkage pipeline's minhash blocking."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed)
@@ -188,7 +239,9 @@ def minhash_lsh_dedup(
         texts = t.column(text_col).to_pylist()
         out_bucket, out_id = [], []
         for d, txt in zip(ids, texts):
-            sig = minhash_signature(char_shingles(txt or "", shingle_k), a, b)
+            if txt is None:
+                continue
+            sig = minhash_signature(char_shingles(txt, shingle_k), a, b)
             for bi in range(bands):
                 band = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 bh = zlib.crc32(band.tobytes())
@@ -202,21 +255,45 @@ def minhash_lsh_dedup(
         )
 
     bucketed = ds.map_batches(buckets, batch_format="pyarrow")
-    cand = _pairs_from_buckets(bucketed, id_col)
+    return _pairs_from_buckets(bucketed, id_col)
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 13,
+    num_partitions: int = 32,
+    id_type=None,
+) -> rd.Dataset:
+    """Near-duplicate classes via MinHash+LSH: shingle -> minhash ->
+    banded buckets -> candidate pairs -> exact-jaccard verify ->
+    connected components. Returns (doc_id, dup_group) for every doc;
+    dup_group = min doc_id of its duplicate class."""
+    cand = minhash_candidate_pairs(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed
+    )
     verified = _verify_pairs_jaccard(
         cand, ds, text_col, id_col, shingle_k, threshold, num_partitions
     )
-    return _dup_groups(ds, verified, id_col, num_partitions)
+    return _dup_groups(ds, verified, id_col, num_partitions, id_type)
 
 
-def _dup_groups(ds, edges, id_col, num_partitions) -> rd.Dataset:
+def _dup_groups(ds, edges, id_col, num_partitions, id_type=None) -> rd.Dataset:
     labels = connected_components(edges, "a", "b", num_partitions=num_partitions)
     labels_r = labels.map_batches(
         lambda t: pa.table({"__cc_node": t["node"], "__cc_lbl": t["cluster"]}),
         batch_format="pyarrow",
     )
-    sch = ds.schema()
-    idt = dict(zip(sch.names, sch.types))[id_col]
+    if id_type is None:
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+    idt = id_type
     ids = ds.map_batches(lambda t: t.select([id_col]), batch_format="pyarrow")
     joined = hash_join(
         ids,
@@ -266,6 +343,7 @@ def simhash_dedup(
     *,
     max_hamming: int = 3,
     num_partitions: int = 32,
+    id_type=None,
 ) -> rd.Dataset:
     """Near-dup classes under SimHash hamming distance <= k: the 64-bit
     signature is split into k+1 blocks (pigeonhole: any pair within k
@@ -313,7 +391,7 @@ def simhash_dedup(
     edges = cand.groupby(["a", "b"]).count().map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow"
     )
-    return _dup_groups(ds, edges, id_col, num_partitions)
+    return _dup_groups(ds, edges, id_col, num_partitions, id_type)
 
 
 # ------------------------------------------------------- n-gram jaccard dup
@@ -328,6 +406,7 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     max_block_emit: int = 24,
     num_partitions: int = 32,
+    id_type=None,
 ) -> rd.Dataset:
     """Exact n-gram-Jaccard duplicate classes WITHOUT minhash
     approximation, for thresholds > 0.5: block on the ``m`` smallest
@@ -360,4 +439,4 @@ def ngram_jaccard_dedup(
     verified = _verify_pairs_jaccard(
         cand, ds, text_col, id_col, shingle_k, threshold, num_partitions
     )
-    return _dup_groups(ds, verified, id_col, num_partitions)
+    return _dup_groups(ds, verified, id_col, num_partitions, id_type)

@@ -21,6 +21,7 @@ stages.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -37,14 +38,23 @@ def extract_keys(docs: rd.Dataset) -> rd.Dataset:
     as singleton clusters)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        keys = []
-        for sp in t.column("spans").to_pylist():
-            key = None
-            for s in sp:
-                if s["kind"] == "text" and s["text"]:
-                    key = s["text"]
-                    break
-            keys.append(key)
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = pc.struct_field(flat, "kind")
+        text = pc.struct_field(flat, "text")
+        mask = pc.and_(
+            pc.equal(kind, "text"),
+            pc.and_(pc.is_valid(text), pc.not_equal(text, "")),
+        ).to_numpy(zero_copy_only=False)
+        sel = np.nonzero(mask)[0]
+        # flattened spans are in row order; first masked hit per parent wins
+        first_parent, first_pos = np.unique(parents[sel], return_index=True)
+        key_vals = text.take(pa.array(sel[first_pos])).to_numpy(zero_copy_only=False)
+        keys = np.full(t.num_rows, None, dtype=object)
+        keys[first_parent] = key_vals
         return pa.table({"doc_id": t["doc_id"], "key": pa.array(keys, pa.string())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
@@ -58,27 +68,219 @@ def match_edges(
     q: int = 2,
     pair_budget: int | None = 4_000_000,
     allpairs_salts: tuple[int, int] = (8, 8),
+    blocking: str = "exact",
+    num_partitions: int = 32,
+    minhash_bands: int = 32,
+    minhash_perm: int = 64,
+    shingle_k: int = 2,
 ) -> rd.Dataset:
     """Self-join the key table under fozziejoin string semantics; edges
-    (src, dst, dist) with src < dst, exactly once per pair."""
-    edges = build_edges_blocked(
-        keys,
-        None,
-        [("key", "key")],
-        method,
-        max_distance,
-        q,
-        0,
-        0.0,
-        "doc_id",
-        None,
-        pair_budget=pair_budget,
-        allpairs_salts=allpairs_salts,
+    (src, dst, dist) with src < dst, exactly once per pair.
+
+    ``blocking``:
+    - "exact": the method's recall-complete strategy (for jw this is a
+      salted cross product — O(n^2) candidates, exactly the reference's
+      all-pairs semantics; fine up to ~10^4-10^5 keys);
+    - "minhash": banded MinHash buckets over key shingles generate
+      candidates, the string kernel verifies ``dist <= max_distance``.
+      Near-linear in corpus size; recall is approximate (a matching
+      pair is missed only if no band agrees — vanishing for the high
+      shingle overlap that small string distances imply). This is the
+      10^12-document path from the north_star.
+    """
+    if blocking == "exact":
+        edges = build_edges_blocked(
+            keys,
+            None,
+            [("key", "key")],
+            method,
+            max_distance,
+            q,
+            0,
+            0.0,
+            "doc_id",
+            None,
+            pair_budget=pair_budget,
+            allpairs_salts=allpairs_salts,
+        )
+        return edges.map_batches(
+            lambda t: pa.table(
+                {"src": t["__fj_lid"], "dst": t["__fj_rid"], "dist": t["__fj_d0"]}
+            ),
+            batch_format="pyarrow",
+        )
+    if blocking != "minhash":
+        raise ValueError(f"unknown blocking {blocking!r}")
+
+    from ..kernels.strdist import score_pairs
+    from .dedup import _attach_pair_texts, minhash_candidate_pairs
+
+    # Value-level dedup BEFORE candidate generation (the reference's
+    # score-distinct-values-once design, utils.rs:7-20, taken distributed):
+    # identical keys would otherwise share every LSH bucket and blow the
+    # per-bucket pair loop quadratic in the duplicate count. Each distinct
+    # key gets a representative (min doc id); duplicates connect to their
+    # representative with zero-distance edges, and scoring runs once per
+    # distinct value pair.
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keyarr = t["key"].combine_chunks() if isinstance(t["key"], pa.ChunkedArray) else t["key"]
+        h = pd.util.hash_array(
+            np.asarray(keyarr.to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return t.append_column("__kp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def rep_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["key"].notna()]
+        if not len(df):
+            return pd.DataFrame({"doc_id": [], "rep": [], "key": []})
+        reps = df.groupby("key", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": df["doc_id"], "rep": reps, "key": df["key"]})
+
+    doc_rep = (
+        keys.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__kp")
+        .map_groups(rep_rows, batch_format="pandas")
+        .materialize()
     )
-    return edges.map_batches(
-        lambda t: pa.table({"src": t["__fj_lid"], "dst": t["__fj_rid"], "dist": t["__fj_d0"]}),
+    identity_edges = doc_rep.map_batches(
+        lambda t: (
+            lambda m: pa.table(
+                {
+                    "src": pa.compute.if_else(
+                        pa.compute.less(t["doc_id"], t["rep"]), t["doc_id"], t["rep"]
+                    ).filter(m),
+                    "dst": pa.compute.if_else(
+                        pa.compute.less(t["doc_id"], t["rep"]), t["rep"], t["doc_id"]
+                    ).filter(m),
+                    "dist": pa.array(
+                        np.zeros(m.to_numpy(zero_copy_only=False).sum()), pa.float64()
+                    ),
+                }
+            )
+        )(pa.compute.not_equal(t["doc_id"], t["rep"])),
         batch_format="pyarrow",
     )
+    distinct_vals = doc_rep.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["doc_id"], t["rep"])).select(["rep", "key"]),
+        batch_format="pyarrow",
+    )
+
+    # Fused candidate generation + verification: bucket rows carry the key
+    # value, so each bucket-hash partition scores its candidate pairs in
+    # ONE vectorized kernel call and emits only passing edges — no
+    # 10^8-row candidate dedup shuffle, no join-back of texts. A pair
+    # co-bucketed in several bands is scored in each (cheap, vectorized)
+    # and deduped by a final groupby-min over the (much smaller) edge set.
+    from .dedup import _minhash_params, char_shingles, minhash_signature
+    import zlib
+
+    rows_per_band = minhash_perm // minhash_bands
+    ma, mb = _minhash_params(minhash_perm, 13)
+
+    def buckets(t: pa.Table) -> pa.Table:
+        reps = t.column("rep").to_pylist()
+        kvs = t.column("key").to_pylist()
+        out_bucket, out_band, out_rep, out_key, out_bh = [], [], [], [], []
+        for r, kv in zip(reps, kvs):
+            sig = minhash_signature(char_shingles(kv, shingle_k), ma, mb)
+            bhs = [
+                zlib.crc32(sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes())
+                for bi in range(minhash_bands)
+            ]
+            for bi, bh in enumerate(bhs):
+                out_bucket.append(f"{bi}:{bh}")
+                out_band.append(bi)
+                out_rep.append(r)
+                out_key.append(kv)
+                out_bh.append(bhs)
+        return pa.table(
+            {
+                "__bucket": pa.array(out_bucket, pa.string()),
+                "__band": pa.array(out_band, pa.int32()),
+                "rep": pa.array(out_rep, t.column("rep").type),
+                "key": pa.array(out_key, pa.string()),
+                "__bh": pa.array(
+                    np.asarray(out_bh, dtype=np.int64).reshape(-1, minhash_bands).tolist()
+                    if out_bh
+                    else [],
+                    pa.list_(pa.int64(), minhash_bands),
+                ),
+            }
+        )
+
+    def add_bp(t: pa.Table) -> pa.Table:
+        col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
+
+    max_bucket = 4096
+
+    def score_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df["__bucket"].value_counts()
+        hot = vc[(vc >= 2) & (vc <= max_bucket)].index
+        empty = pd.DataFrame(
+            {"src": pd.Series([], dtype=object), "dst": pd.Series([], dtype=object), "dist": pd.Series([], dtype=np.float64)}
+        )
+        if not len(hot):
+            return empty
+        sub = df[df["__bucket"].isin(hot)].reset_index(drop=True)
+        reps = sub["rep"].to_numpy()
+        kvs = sub["key"].to_numpy()
+        BH = np.asarray(sub["__bh"].tolist(), dtype=np.int64)
+        bands_arr = sub["__band"].to_numpy()
+        groups = sub.groupby("__bucket", sort=False).indices
+        pa_idx, pb_idx = [], []
+        for pos in groups.values():
+            band = int(bands_arr[pos[0]])
+            # dedup identical reps within the bucket
+            _, first = np.unique(reps[pos], return_index=True)
+            pos = pos[np.sort(first)]
+            if len(pos) < 2:
+                continue
+            ii, jj = np.triu_indices(len(pos), k=1)
+            ai = pos[ii]
+            bi = pos[jj]
+            # exactly-once across bands: score a pair here only if NO
+            # earlier band put it in a shared bucket (this band matched
+            # by construction, so "first matching band == band" reduces
+            # to checking only the earlier-band columns)
+            if band > 0:
+                seen = (BH[ai, :band] == BH[bi, :band]).any(axis=1)
+                ai = ai[~seen]
+                bi = bi[~seen]
+            pa_idx.append(ai)
+            pb_idx.append(bi)
+        if not pa_idx:
+            return empty
+        ai = np.concatenate(pa_idx)
+        bi = np.concatenate(pb_idx)
+        d = score_pairs(method, list(kvs[ai]), list(kvs[bi]), q=q)
+        keep = d <= max_distance
+        ra = reps[ai[keep]]
+        rb = reps[bi[keep]]
+        src = np.where(ra < rb, ra, rb)
+        dst = np.where(ra < rb, rb, ra)
+        return pd.DataFrame({"src": src, "dst": dst, "dist": d[keep]})
+
+    edges = (
+        distinct_vals.map_batches(buckets, batch_format="pyarrow")
+        .map_batches(add_bp, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(score_part, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"].cast(pa.string()),
+                    "dst": t["dst"].cast(pa.string()),
+                    "dist": t["dist"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return edges.union(identity_edges)
 
 
 def cluster_documents(
@@ -91,9 +293,14 @@ def cluster_documents(
     allpairs_salts: tuple[int, int] = (8, 8),
     checkpoint_dir: str | None = None,
     num_partitions: int = 32,
+    id_type: pa.DataType = pa.string(),
+    blocking: str = "exact",
 ) -> rd.Dataset:
     """(doc_id, cluster_id) for every document; cluster_id = min doc_id of
-    the connected component; singletons cluster to themselves."""
+    the connected component; singletons cluster to themselves.
+
+    ``id_type`` is the Arrow type of ``doc_id`` — passed explicitly so no
+    ``schema()`` sampling executes on the (possibly derived) input."""
     keys = extract_keys(docs)
 
     params = {
@@ -102,6 +309,7 @@ def cluster_documents(
         "q": q,
         "pair_budget": pair_budget,
         "salts": list(allpairs_salts),
+        "blocking": blocking,
     }
 
     def build_edges():
@@ -112,6 +320,8 @@ def cluster_documents(
             q=q,
             pair_budget=pair_budget,
             allpairs_salts=allpairs_salts,
+            blocking=blocking,
+            num_partitions=num_partitions,
         )
 
     if checkpoint_dir is not None:
@@ -133,9 +343,7 @@ def cluster_documents(
         lambda t: pa.table({"__cc_node": t["node"], "__cc_lbl": t["cluster"]}),
         batch_format="pyarrow",
     )
-    import pyarrow as _pa
-
-    idt = dict(zip(docs.schema().names, docs.schema().types))["doc_id"]
+    idt = id_type
     ids = keys.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
     joined = hash_join(
         ids,
@@ -144,8 +352,8 @@ def cluster_documents(
         "__cc_node",
         how="left_outer",
         num_partitions=num_partitions,
-        left_schema=_pa.schema([("doc_id", idt)]),
-        right_schema=_pa.schema([("__cc_node", idt), ("__cc_lbl", idt)]),
+        left_schema=pa.schema([("doc_id", idt)]),
+        right_schema=pa.schema([("__cc_node", idt), ("__cc_lbl", idt)]),
     )
     return joined.map_batches(
         lambda t: pa.table(

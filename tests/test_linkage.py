@@ -131,3 +131,49 @@ def test_cc_chain_converges():
         rows = cc.take_all()
         assert {r["cluster"] for r in rows} == {"n0"}, thresh
         assert len(rows) == 6
+
+
+def test_minhash_blocking_recall(docs_and_labels):
+    """The scale path (minhash candidate generation + kernel verify) must
+    recover nearly all of the exact blocking's edges on mutated names."""
+    docs_t, _ = docs_and_labels
+    keys_ds = extract_keys(rd.from_arrow(docs_t))
+    exact = {
+        (r["src"], r["dst"])
+        for r in match_edges(keys_ds, method=METHOD, max_distance=MAXD, pair_budget=None).take_all()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in match_edges(
+            keys_ds, method=METHOD, max_distance=MAXD, blocking="minhash", num_partitions=4
+        ).take_all()
+    }
+    assert approx <= exact  # rep + identity edges are true matches: precision == 1
+
+    # the minhash path emits representative-level edges; compare the
+    # resulting transitive clusters (what the pipeline is for), pairwise
+    def components(edge_set):
+        parent = {}
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+        for a, b in edge_set:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = set()
+        import itertools as it
+        from collections import defaultdict
+        by = defaultdict(list)
+        for n in parent:
+            by[find(n)].append(n)
+        for mem in by.values():
+            for p in it.combinations(sorted(mem), 2):
+                out.add(p)
+        return out
+
+    m = pairwise_f1(components(approx), components(exact))
+    assert m["f1"] >= 0.95, m
