@@ -34,7 +34,18 @@ NODE = "node"
 CLUSTER = "cluster"
 
 
-def _driver_union_find(edge_rows, src: str, dst: str, node_type=None) -> "rd.Dataset":
+def _driver_union_find_batches(batches, src: str, dst: str, node_type=None) -> "rd.Dataset":
+    """Exact union-find on the driver for small edge sets, consuming Arrow
+    batches (iter_rows would cost ~10x in per-row python overhead)."""
+    rows = (
+        (a, b)
+        for t in batches
+        for a, b in zip(t[src].to_pylist(), t[dst].to_pylist())
+    )
+    return _driver_union_find(rows, node_type)
+
+
+def _driver_union_find(edge_pairs, node_type=None) -> "rd.Dataset":
     """Exact union-find on the driver for small edge sets."""
     parent: dict = {}
 
@@ -46,8 +57,7 @@ def _driver_union_find(edge_rows, src: str, dst: str, node_type=None) -> "rd.Dat
             parent[x], x = r, parent[x]
         return r
 
-    for row in edge_rows:
-        a, b = row[src], row[dst]
+    for a, b in edge_pairs:
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -166,9 +176,14 @@ def connected_components(
     edges = edges.materialize()
     esch = edges.schema()
     node_type = dict(zip(esch.names, esch.types))[src] if esch is not None else None
+    if not isinstance(node_type, pa.DataType):
+        node_type = None  # pandas-backed blocks report numpy/python types
     if driver_threshold is not None and edges.count() <= driver_threshold:
-        return _driver_union_find(
-            edges.select_columns([src, dst]).iter_rows(), src, dst, node_type
+        return _driver_union_find_batches(
+            edges.select_columns([src, dst]).iter_batches(batch_size=None, batch_format="pyarrow"),
+            src,
+            dst,
+            node_type,
         )
 
     e = edges.map_batches(

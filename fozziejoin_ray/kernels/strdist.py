@@ -89,6 +89,10 @@ def _duck():
         import duckdb
 
         _DUCK = duckdb.connect()
+        # one OS thread per connection: kernels run inside Ray tasks that
+        # reserve exactly 1 CPU — letting DuckDB fan out to every machine
+        # core would oversubscribe the node and falsify scaling numbers
+        _DUCK.execute("SET threads TO 1")
     return _DUCK
 
 

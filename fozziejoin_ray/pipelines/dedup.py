@@ -275,13 +275,18 @@ def minhash_lsh_dedup(
     banded buckets -> candidate pairs -> exact-jaccard verify ->
     connected components. Returns (doc_id, dup_group) for every doc;
     dup_group = min doc_id of its duplicate class."""
-    cand = minhash_candidate_pairs(
-        ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed
+    edges = lsh_fused_edges(
+        ds,
+        text_col,
+        id_col,
+        jaccard_score_fn(shingle_k, threshold),
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        num_partitions=num_partitions,
     )
-    verified = _verify_pairs_jaccard(
-        cand, ds, text_col, id_col, shingle_k, threshold, num_partitions
-    )
-    return _dup_groups(ds, verified, id_col, num_partitions, id_type)
+    return _dup_groups(ds, edges, id_col, num_partitions, id_type)
 
 
 def _dup_groups(ds, edges, id_col, num_partitions, id_type=None) -> rd.Dataset:
@@ -440,3 +445,148 @@ def ngram_jaccard_dedup(
         cand, ds, text_col, id_col, shingle_k, threshold, num_partitions
     )
     return _dup_groups(ds, verified, id_col, num_partitions, id_type)
+
+
+def lsh_fused_edges(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    score_fn,
+    *,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 2,
+    seed: int = 13,
+    num_partitions: int = 64,
+    max_bucket: int = 4096,
+) -> rd.Dataset:
+    """Fused LSH candidate generation + verification -> (a, b, score).
+
+    Buckets carry the text value and the row's full band-hash vector, so
+    each bucket-hash partition (i) builds candidate pairs with vectorized
+    triu indices, (ii) enforces the exactly-once-across-bands rule (a
+    pair is verified only in the first band whose signatures agree — no
+    downstream dedup shuffle), and (iii) verifies candidates in ONE
+    ``score_fn(list_a, list_b) -> (keep_mask, scores)`` call. Rows with
+    null text are skipped; oversized buckets are dropped (LSH stop-word
+    cap). Emits each surviving pair exactly once with a < b.
+    """
+    import pandas as pd
+
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm
+    ma, mb = _minhash_params(num_perm, seed)
+
+    def buckets(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        kvs = t.column(text_col).to_pylist()
+        out_bucket, out_band, out_id, out_key, out_bh = [], [], [], [], []
+        for r, kv in zip(ids, kvs):
+            if kv is None:
+                continue
+            sig = minhash_signature(char_shingles(kv, shingle_k), ma, mb)
+            bhs = [
+                zlib.crc32(sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes())
+                for bi in range(bands)
+            ]
+            for bi, bh in enumerate(bhs):
+                out_bucket.append(f"{bi}:{bh}")
+                out_band.append(bi)
+                out_id.append(r)
+                out_key.append(kv)
+                out_bh.append(bhs)
+        return pa.table(
+            {
+                "__bucket": pa.array(out_bucket, pa.string()),
+                "__band": pa.array(out_band, pa.int32()),
+                id_col: pa.array(out_id, type=t.column(id_col).type),
+                text_col: pa.array(out_key, pa.string()),
+                "__bh": pa.array(
+                    np.asarray(out_bh, dtype=np.int64).reshape(-1, bands).tolist()
+                    if out_bh
+                    else [],
+                    pa.list_(pa.int64(), bands),
+                ),
+            }
+        )
+
+    def add_bp(t: pa.Table) -> pa.Table:
+        col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def score_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+        vc = df["__bucket"].value_counts()
+        hot = vc[(vc >= 2) & (vc <= max_bucket)].index
+        if not len(hot):
+            return empty
+        sub = df[df["__bucket"].isin(hot)].reset_index(drop=True)
+        ids = sub[id_col].to_numpy()
+        kvs = sub[text_col].to_numpy()
+        BH = np.asarray(sub["__bh"].tolist(), dtype=np.int64)
+        bands_arr = sub["__band"].to_numpy()
+        groups = sub.groupby("__bucket", sort=False).indices
+        pa_idx, pb_idx = [], []
+        for pos in groups.values():
+            band = int(bands_arr[pos[0]])
+            _, first = np.unique(ids[pos], return_index=True)
+            pos = pos[np.sort(first)]
+            if len(pos) < 2:
+                continue
+            ii, jj = np.triu_indices(len(pos), k=1)
+            ai = pos[ii]
+            bi = pos[jj]
+            if band > 0:
+                seen = (BH[ai, :band] == BH[bi, :band]).any(axis=1)
+                ai = ai[~seen]
+                bi = bi[~seen]
+            pa_idx.append(ai)
+            pb_idx.append(bi)
+        if not pa_idx:
+            return empty
+        ai = np.concatenate(pa_idx)
+        bi = np.concatenate(pb_idx)
+        keep, scores = score_fn(list(kvs[ai]), list(kvs[bi]))
+        ra = ids[ai[keep]]
+        rb = ids[bi[keep]]
+        src = np.where(ra < rb, ra, rb)
+        dst = np.where(ra < rb, rb, ra)
+        return pd.DataFrame({"a": src, "b": dst, "score": scores})
+
+    return (
+        ds.map_batches(buckets, batch_format="pyarrow")
+        .map_batches(add_bp, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(score_part, batch_format="pandas")
+    )
+
+
+def jaccard_score_fn(shingle_k: int, threshold: float):
+    """score_fn for lsh_fused_edges: exact set-jaccard >= threshold."""
+
+    def fn(a_list, b_list):
+        cache: dict[str, np.ndarray] = {}
+
+        def sh(s):
+            r = cache.get(s)
+            if r is None:
+                r = char_shingles(s, shingle_k)
+                cache[s] = r
+            return r
+
+        sims = np.fromiter(
+            (jaccard_sets(sh(x), sh(y)) for x, y in zip(a_list, b_list)),
+            np.float64,
+            count=len(a_list),
+        )
+        keep = sims >= threshold
+        return keep, sims[keep]
+
+    return fn

@@ -113,7 +113,6 @@ def match_edges(
         raise ValueError(f"unknown blocking {blocking!r}")
 
     from ..kernels.strdist import score_pairs
-    from .dedup import _attach_pair_texts, minhash_candidate_pairs
 
     # Value-level dedup BEFORE candidate generation (the reference's
     # score-distinct-values-once design, utils.rs:7-20, taken distributed):
@@ -167,118 +166,35 @@ def match_edges(
         batch_format="pyarrow",
     )
 
-    # Fused candidate generation + verification: bucket rows carry the key
-    # value, so each bucket-hash partition scores its candidate pairs in
-    # ONE vectorized kernel call and emits only passing edges — no
-    # 10^8-row candidate dedup shuffle, no join-back of texts. A pair
-    # co-bucketed in several bands is scored in each (cheap, vectorized)
-    # and deduped by a final groupby-min over the (much smaller) edge set.
-    from .dedup import _minhash_params, char_shingles, minhash_signature
-    import zlib
+    # Fused LSH candidate generation + verification (shared machinery,
+    # dedup.lsh_fused_edges): exactly-once across bands, no candidate
+    # dedup shuffle, no text join-back.
+    from .dedup import lsh_fused_edges
 
-    rows_per_band = minhash_perm // minhash_bands
-    ma, mb = _minhash_params(minhash_perm, 13)
-
-    def buckets(t: pa.Table) -> pa.Table:
-        reps = t.column("rep").to_pylist()
-        kvs = t.column("key").to_pylist()
-        out_bucket, out_band, out_rep, out_key, out_bh = [], [], [], [], []
-        for r, kv in zip(reps, kvs):
-            sig = minhash_signature(char_shingles(kv, shingle_k), ma, mb)
-            bhs = [
-                zlib.crc32(sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes())
-                for bi in range(minhash_bands)
-            ]
-            for bi, bh in enumerate(bhs):
-                out_bucket.append(f"{bi}:{bh}")
-                out_band.append(bi)
-                out_rep.append(r)
-                out_key.append(kv)
-                out_bh.append(bhs)
-        return pa.table(
-            {
-                "__bucket": pa.array(out_bucket, pa.string()),
-                "__band": pa.array(out_band, pa.int32()),
-                "rep": pa.array(out_rep, t.column("rep").type),
-                "key": pa.array(out_key, pa.string()),
-                "__bh": pa.array(
-                    np.asarray(out_bh, dtype=np.int64).reshape(-1, minhash_bands).tolist()
-                    if out_bh
-                    else [],
-                    pa.list_(pa.int64(), minhash_bands),
-                ),
-            }
-        )
-
-    def add_bp(t: pa.Table) -> pa.Table:
-        col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
-        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
-        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
-
-    max_bucket = 4096
-
-    def score_part(df: "pd.DataFrame") -> "pd.DataFrame":
-        vc = df["__bucket"].value_counts()
-        hot = vc[(vc >= 2) & (vc <= max_bucket)].index
-        empty = pd.DataFrame(
-            {"src": pd.Series([], dtype=object), "dst": pd.Series([], dtype=object), "dist": pd.Series([], dtype=np.float64)}
-        )
-        if not len(hot):
-            return empty
-        sub = df[df["__bucket"].isin(hot)].reset_index(drop=True)
-        reps = sub["rep"].to_numpy()
-        kvs = sub["key"].to_numpy()
-        BH = np.asarray(sub["__bh"].tolist(), dtype=np.int64)
-        bands_arr = sub["__band"].to_numpy()
-        groups = sub.groupby("__bucket", sort=False).indices
-        pa_idx, pb_idx = [], []
-        for pos in groups.values():
-            band = int(bands_arr[pos[0]])
-            # dedup identical reps within the bucket
-            _, first = np.unique(reps[pos], return_index=True)
-            pos = pos[np.sort(first)]
-            if len(pos) < 2:
-                continue
-            ii, jj = np.triu_indices(len(pos), k=1)
-            ai = pos[ii]
-            bi = pos[jj]
-            # exactly-once across bands: score a pair here only if NO
-            # earlier band put it in a shared bucket (this band matched
-            # by construction, so "first matching band == band" reduces
-            # to checking only the earlier-band columns)
-            if band > 0:
-                seen = (BH[ai, :band] == BH[bi, :band]).any(axis=1)
-                ai = ai[~seen]
-                bi = bi[~seen]
-            pa_idx.append(ai)
-            pb_idx.append(bi)
-        if not pa_idx:
-            return empty
-        ai = np.concatenate(pa_idx)
-        bi = np.concatenate(pb_idx)
-        d = score_pairs(method, list(kvs[ai]), list(kvs[bi]), q=q)
+    def string_score_fn(a_list, b_list):
+        d = score_pairs(method, a_list, b_list, q=q)
         keep = d <= max_distance
-        ra = reps[ai[keep]]
-        rb = reps[bi[keep]]
-        src = np.where(ra < rb, ra, rb)
-        dst = np.where(ra < rb, rb, ra)
-        return pd.DataFrame({"src": src, "dst": dst, "dist": d[keep]})
+        return keep, d[keep]
 
-    edges = (
-        distinct_vals.map_batches(buckets, batch_format="pyarrow")
-        .map_batches(add_bp, batch_format="pyarrow")
-        .groupby("__bp")
-        .map_groups(score_part, batch_format="pandas")
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t["src"].cast(pa.string()),
-                    "dst": t["dst"].cast(pa.string()),
-                    "dist": t["dist"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    scored = lsh_fused_edges(
+        distinct_vals,
+        "key",
+        "rep",
+        string_score_fn,
+        num_perm=minhash_perm,
+        bands=minhash_bands,
+        shingle_k=shingle_k,
+        num_partitions=num_partitions,
+    )
+    edges = scored.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["a"].cast(pa.string()),
+                "dst": t["b"].cast(pa.string()),
+                "dist": t["score"],
+            }
+        ),
+        batch_format="pyarrow",
     )
     return edges.union(identity_edges)
 
