@@ -66,9 +66,13 @@ _TOKS_SQL = (
 
 
 def _round_col(ds, col, digits=6):
+    # half_towards_infinity == DuckDB ROUND (ties away from zero); Arrow's
+    # default half_to_even diverges from the oracle on exact ties.
     def fn(t: pa.Table) -> pa.Table:
         i = t.column_names.index(col)
-        return t.set_column(i, col, pc.round(t[col], ndigits=digits))
+        return t.set_column(
+            i, col, pc.round(t[col], ndigits=digits, round_mode="half_towards_infinity")
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -147,6 +151,39 @@ def _temporal_query(sf_dir: str):
         li, orders, by={"l_shipdate": "o_orderdate"}, max_distance=1, unit="days", distance_col="sd"
     )
     return _round_col(out, "sd")
+
+
+def _temporal_interval_query(sf_dir: str):
+    """orders [o_orderdate, +2d] x lineitem(l_linenumber=1) [l_shipdate, +1d],
+    real-mode any-overlap at maxgap=0 — reference semantics per
+    R/fozzie_temporal_interval_join.R:94-119 (always interval_mode='real')."""
+    from fozziejoin_ray import fuzzy_temporal_interval_join
+
+    one_d = pa.scalar(86_400_000_000, pa.duration("us"))
+    two_d = pa.scalar(172_800_000_000, pa.duration("us"))
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "os": t["o_orderdate"], "oe": pc.add(t["o_orderdate"], two_d)}
+        ),
+        batch_format="pyarrow",
+    )
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"]).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "l_orderkey": f["l_orderkey"],
+                    "l_linenumber": f["l_linenumber"],
+                    "ls": f["l_shipdate"],
+                    "le": pc.add(f["l_shipdate"], one_d),
+                }
+            )
+        )(t.filter(pc.equal(t["l_linenumber"], 1))),
+        batch_format="pyarrow",
+    )
+    return fuzzy_temporal_interval_join(
+        orders, li, by=[("os", "ls"), ("oe", "le")], overlap_type="any", maxgap=0.0,
+        minoverlap=0.0, unit="days",
+    )
 
 
 def _interval_real_query(sf_dir: str):
@@ -310,9 +347,9 @@ def _ann_topk_query(sf_dir: str):
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     qt = pa.concat_tables(
         list(
-            emb.filter(lambda r: r["vec_id"] < 5).iter_batches(
-                batch_size=None, batch_format="pyarrow"
-            )
+            emb.map_batches(
+                lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
         )
     ).sort_by("vec_id")
     Q = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
@@ -328,9 +365,9 @@ def _ann_ivf_query(sf_dir: str):
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     qt = pa.concat_tables(
         list(
-            emb.filter(lambda r: r["vec_id"] < 3).iter_batches(
-                batch_size=None, batch_format="pyarrow"
-            )
+            emb.map_batches(
+                lambda t: t.filter(pc.less(t["vec_id"], 3)), batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
         )
     ).sort_by("vec_id")
     Q = np.array(qt.column("embedding").to_pylist(), dtype=np.float32)
@@ -482,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numeric / temporal / interval / regex
         "difference_inner": _difference_query,
         "temporal_inner": _temporal_query,
+        "temporal_interval_any": _temporal_interval_query,
         "interval_real_any": _interval_real_query,
         "interval_int_any": _interval_int_query,
         "regex_inner": _regex_query,
@@ -508,6 +546,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _linkage_query,
     }
     return qs
+
+
+# shared counted-bigram profile CTEs for the q-gram metric oracles:
+# wg/tg = (value, gram, count); ww/tt = per-value profile sizes
+# (nw = sum counts, qw = sum counts^2); io = per-pair shared-gram
+# intersection (i = sum min counts) and dot product
+_GRAMS_SQL = """
+  wg AS (SELECT wl, g, COUNT(*) AS c FROM (
+           SELECT wl, substr(wl, CAST(i AS INT), 2) AS g FROM (
+             SELECT wl, unnest(generate_series(1, length(wl) - 1)) AS i FROM w))
+         GROUP BY wl, g),
+  tg AS (SELECT wr, g, COUNT(*) AS c FROM (
+           SELECT wr, substr(wr, CAST(i AS INT), 2) AS g FROM (
+             SELECT wr, unnest(generate_series(1, length(wr) - 1)) AS i FROM tk))
+         GROUP BY wr, g),
+  ww AS (SELECT wl, SUM(c) AS nw, SUM(c * c) AS qw FROM wg GROUP BY wl),
+  tt AS (SELECT wr, SUM(c) AS nt, SUM(c * c) AS qt FROM tg GROUP BY wr),
+  io AS (SELECT wg.wl, tg.wr, SUM(LEAST(wg.c, tg.c)) AS i, SUM(wg.c * tg.c) AS dot
+         FROM wg JOIN tg ON wg.g = tg.g GROUP BY wg.wl, tg.wr)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -541,6 +599,40 @@ def oracle_sql() -> dict[str, str]:
         "string_hamming_inner": f"""{string_base}
             SELECT w.wl AS wl, tk.wr AS wr, ROUND(CAST(hamming(w.wl, tk.wr) AS DOUBLE), 6) AS dist
             FROM w, tk WHERE length(w.wl) = length(tk.wr) AND hamming(w.wl, tk.wr) <= 2""",
+        # q-gram-family metrics over counted bigram profiles (q=2), matching
+        # kernels/strdist.py: multiset jaccard 1-I/U, L1 qgram nw+nt-2I,
+        # count-vector cosine with empty-profile -> 1.0
+        "string_jaccard_inner": f"""{string_base}, {_GRAMS_SQL}
+            SELECT wl, wr, ROUND(dist, 6) AS dist FROM (
+              SELECT w.wl AS wl, tk.wr AS wr,
+                     CASE WHEN COALESCE(ww.nw, 0) + COALESCE(tt.nt, 0) - COALESCE(io.i, 0) = 0
+                          THEN 1.0
+                          ELSE 1.0 - COALESCE(io.i, 0) /
+                               (COALESCE(ww.nw, 0) + COALESCE(tt.nt, 0) - COALESCE(io.i, 0)) END AS dist
+              FROM w CROSS JOIN tk
+              LEFT JOIN ww ON ww.wl = w.wl
+              LEFT JOIN tt ON tt.wr = tk.wr
+              LEFT JOIN io ON io.wl = w.wl AND io.wr = tk.wr)
+            WHERE dist <= 0.6""",
+        "string_qgram_inner": f"""{string_base}, {_GRAMS_SQL}
+            SELECT wl, wr, ROUND(dist, 6) AS dist FROM (
+              SELECT w.wl AS wl, tk.wr AS wr,
+                     CAST(COALESCE(ww.nw, 0) + COALESCE(tt.nt, 0) - 2 * COALESCE(io.i, 0) AS DOUBLE) AS dist
+              FROM w CROSS JOIN tk
+              LEFT JOIN ww ON ww.wl = w.wl
+              LEFT JOIN tt ON tt.wr = tk.wr
+              LEFT JOIN io ON io.wl = w.wl AND io.wr = tk.wr)
+            WHERE dist <= 3""",
+        "string_cosine_inner": f"""{string_base}, {_GRAMS_SQL}
+            SELECT wl, wr, ROUND(dist, 6) AS dist FROM (
+              SELECT w.wl AS wl, tk.wr AS wr,
+                     CASE WHEN ww.qw IS NULL OR tt.qt IS NULL THEN 1.0
+                          ELSE 1.0 - COALESCE(io.dot, 0) / sqrt(ww.qw) / sqrt(tt.qt) END AS dist
+              FROM w CROSS JOIN tk
+              LEFT JOIN ww ON ww.wl = w.wl
+              LEFT JOIN tt ON tt.wr = tk.wr
+              LEFT JOIN io ON io.wl = w.wl AND io.wr = tk.wr)
+            WHERE dist <= 0.6""",
         "string_multikey_inner": f"""WITH a AS ({mk.format(p='a')}), b AS ({mk.format(p='b')})
             SELECT a.atok, a.abrand, b.btok, b.bbrand,
                    ROUND(CAST(levenshtein(a.atok, b.btok) AS DOUBLE), 6) AS d_atok_btok,
@@ -558,6 +650,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0, 6) AS sd
             FROM lineitem l, orders o
             WHERE ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0 <= 86400.0""",
+        "temporal_interval_any": """
+            WITH o AS (SELECT o_orderkey, o_orderdate AS os,
+                              o_orderdate + INTERVAL 2 DAY AS oe FROM orders),
+                 l AS (SELECT l_orderkey, l_linenumber, l_shipdate AS ls,
+                              l_shipdate + INTERVAL 1 DAY AS le
+                       FROM lineitem WHERE l_linenumber = 1)
+            SELECT o.o_orderkey, o.os, o.oe, l.l_orderkey, l.l_linenumber, l.ls, l.le
+            FROM o, l
+            WHERE epoch_us(o.oe) >= epoch_us(l.ls) AND epoch_us(l.le) >= epoch_us(o.os)""",
         "interval_real_any": """
             WITH o AS (SELECT o_orderkey, o_totalprice AS os, o_totalprice + 100.0 AS oe FROM orders),
                  l AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS ls, l_extendedprice + 50.0 AS le FROM lineitem)

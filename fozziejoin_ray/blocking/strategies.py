@@ -149,12 +149,15 @@ class AllPairs:
         return [f"X{min(s, t)}_{max(s, t)}" for t in range(self.sl)]
 
     def pair_ok(self, va: str, vb: str, bk: str, selfjoin: bool) -> bool:
-        if selfjoin and va == vb:
-            # identical values share all their triangle blocks; score the
-            # same-value id pairs only in the diagonal block
-            s = _stable_hash(va) % self.sl
-            return bk == f"X{s}_{s}"
-        return True  # distinct pairs meet in exactly one block by construction
+        if not selfjoin:
+            return True  # cross grid: a pair meets only in (left salt, right salt)
+        # Self-join triangle: two values with the SAME salt s co-occur in
+        # every block X{min(s,t)}_{max(s,t)} — restrict every pair (not just
+        # identical values) to the single block named by both salts, i.e.
+        # same-salt pairs score only on the diagonal.
+        sa = _stable_hash(va) % self.sl
+        sb = _stable_hash(vb) % self.sl
+        return bk == f"X{min(sa, sb)}_{max(sa, sb)}"
 
 
 def strategy_for(

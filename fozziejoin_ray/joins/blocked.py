@@ -81,10 +81,11 @@ def _emit_batches(strategy, side: str, id_col: str, key_cols: list[str], salts: 
                         for li in range(sl):
                             out_bk.append(f"{bk}#{li}_{rj}")
                             out_row.append(i)
-                    else:  # self: triangle
+                    else:  # self: triangle (sl encoded so the scorer can
+                        # restrict same-salt id pairs to the diagonal block)
                         s = h % sl
                         for tt in range(sl):
-                            out_bk.append(f"{bk}#{min(s, tt)}_{max(s, tt)}")
+                            out_bk.append(f"{bk}#T{sl}:{min(s, tt)}_{max(s, tt)}")
                             out_row.append(i)
         rows = np.asarray(out_row, dtype=np.int64)
         cols = {
@@ -159,9 +160,23 @@ def _make_group_scorer(cfg: dict):
         return pa.table(cols)
 
     def score_group(t: pa.Table) -> pa.Table:
-        bk = _base_bk(t.column(BK)[0].as_py())
+        full_bk = t.column(BK)[0].as_py()
+        bk = _base_bk(full_bk)
         side = t.column(SIDE).to_numpy(zero_copy_only=False)
         ids = t.column(ID).to_numpy(zero_copy_only=False)
+        # Salted self-join triangle sub-block: two ids with the SAME salt
+        # co-occur in all sl sub-blocks of this base block — keep only the
+        # id pairs whose salt pair names THIS sub-block (same-salt pairs on
+        # the diagonal), mirroring AllPairs.pair_ok at the id level.
+        salt_spec = None
+        if selfjoin and "#T" in full_bk:
+            spec = full_bk.split("#T", 1)[1]
+            slt, rest = spec.split(":", 1)
+            bi, bj = (int(x) for x in rest.split("_"))
+            id_salt = np.fromiter(
+                (_id_hash(x) % int(slt) for x in ids), np.int64, count=len(ids)
+            )
+            salt_spec = (id_salt, bi, bj)
         # emitted key columns are unified under the left names for both
         # sides (see build_edges_blocked); row positions select the side
         lkv = [t.column("k_" + c).to_numpy(zero_copy_only=False) for c in lkeys]
@@ -241,6 +256,12 @@ def _make_group_scorer(cfg: dict):
                     aa2 = np.where(swap, bb, aa)
                     bb2 = np.where(swap, aa, bb)
                     aa, bb = aa2, bb2
+                if salt_spec is not None:
+                    id_salt, bi, bj = salt_spec
+                    sa_ = id_salt[aa]
+                    sb_ = id_salt[bb]
+                    m2 = (np.minimum(sa_, sb_) == bi) & (np.maximum(sa_, sb_) == bj)
+                    aa, bb = aa[m2], bb[m2]
             la_parts.append(aa)
             rb_parts.append(bb)
             d_parts.append(np.full(len(aa), d0[k]))

@@ -81,6 +81,24 @@ def test_edges_match_bruteforce(docs_and_labels):
     assert got == expected
 
 
+def test_edges_exactly_once_under_salting(docs_and_labels):
+    """Self-join triangle blocking must emit each unordered pair EXACTLY
+    once — both for value-level AllPairs salts and for hot-block id-level
+    triangle sub-salts (regression: same-salt pairs used to co-occur in
+    every triangle block and score sl times)."""
+    docs_t, _ = docs_and_labels
+    keys_ds = extract_keys(rd.from_arrow(docs_t))
+    # small pair_budget forces hot-block salting; salts (4,4) exercises the
+    # value-level triangle
+    edges = match_edges(
+        keys_ds, method=METHOD, max_distance=MAXD, pair_budget=500, allpairs_salts=(4, 4)
+    )
+    rows = [(r["src"], r["dst"]) for r in edges.take_all()]
+    assert len(rows) == len(set(rows)), (
+        f"{len(rows) - len(set(rows))} duplicate edges under salted triangle blocking"
+    )
+
+
 def test_clusters_pairwise_f1_resume_and_spans(docs_and_labels, tmp_path):
     docs_t, labels_t = docs_and_labels
     docs = rd.from_arrow(docs_t)
