@@ -79,6 +79,60 @@ def _driver_union_find(edge_pairs, node_type=None) -> "rd.Dataset":
     )
 
 
+def _contract_round(edges: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Parallel graph contraction (the sparsify step of two-phase CC):
+    hash-partition edges on ``a``, run an exact union-find inside each
+    partition, and emit the partition-local star edges (node -> local
+    root). The union of the per-partition stars is connectivity-equivalent
+    to the input, with ~|distinct nodes per partition| rows — typically a
+    large reduction for dup/match graphs — and every node still appears,
+    so downstream labeling covers the full node set."""
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        h = pd.util.hash_array(np.asarray(a.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__cp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def contract_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}
+            )
+        # vectorized-friendly exact UF: factorize nodes to ints, dict-free
+        # path-halving over a numpy parent array
+        both = pd.concat([df["a"], df["b"]], ignore_index=True)
+        codes, uniques = pd.factorize(both, sort=False)
+        n = len(uniques)
+        ea = codes[: len(df)]
+        eb = codes[len(df):]
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(ea, eb):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        # flatten to roots, then pick the min VALUE per root as the star
+        # center so labels stay deterministic across partitionings
+        roots = np.fromiter((find(i) for i in range(n)), np.int64, count=n)
+        u = pd.DataFrame({"node": uniques, "root": roots})
+        rep = u.groupby("root", sort=False)["node"].transform("min")
+        keep = u["node"].to_numpy() != rep.to_numpy()
+        return pd.DataFrame({"a": u["node"].to_numpy()[keep], "b": rep.to_numpy()[keep]})
+
+    return (
+        edges.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__cp")
+        .map_groups(contract_part, batch_format="pandas")
+    )
+
+
 def _star_round(edges: rd.Dataset, kind: str, num_partitions: int = 32) -> rd.Dataset:
     """One large- or small-star half-round. ``edges`` columns (a, b).
 
@@ -166,19 +220,32 @@ def connected_components(
     *,
     max_iters: int = 25,
     num_partitions: int = 32,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 200_000,
+    contract_rounds: int = 3,
 ) -> rd.Dataset:
     """(node, cluster) with cluster = min node id of the component.
 
     Every node appearing in any edge gets one output row; isolated
     nodes are the caller's concern (left-join + coalesce to self).
+
+    Execution: edge sets up to ``driver_threshold`` rows run an exact
+    serial union-find on the driver. Larger graphs first go through up to
+    ``contract_rounds`` parallel contraction rounds (:func:`_contract_round`
+    — per-partition union-find that replaces each partition's edges with
+    its local star forest), which typically shrinks the edge set to
+    ~|nodes| rows; if the contracted graph fits the driver threshold the
+    residual is resolved there, otherwise the alternating large/small-star
+    rounds finish fully distributed. The serial step therefore only ever
+    touches an already-contracted graph, keeping the driver off the
+    scaling-critical path.
     """
     edges = edges.materialize()
     esch = edges.schema()
     node_type = dict(zip(esch.names, esch.types))[src] if esch is not None else None
     if not isinstance(node_type, pa.DataType):
         node_type = None  # pandas-backed blocks report numpy/python types
-    if driver_threshold is not None and edges.count() <= driver_threshold:
+    n = edges.count()
+    if driver_threshold is not None and n <= driver_threshold:
         return _driver_union_find_batches(
             edges.select_columns([src, dst]).iter_batches(batch_size=None, batch_format="pyarrow"),
             src,
@@ -189,6 +256,17 @@ def connected_components(
     e = edges.map_batches(
         lambda t, s=src, d=dst: pa.table({"a": t[s], "b": t[d]}), batch_format="pyarrow"
     ).materialize()
+
+    for _ in range(max(0, contract_rounds)):
+        e = _contract_round(e, num_partitions).materialize()
+        n2 = e.count()
+        if driver_threshold is not None and n2 <= driver_threshold:
+            return _driver_union_find_batches(
+                e.iter_batches(batch_size=None, batch_format="pyarrow"), "a", "b", node_type
+            )
+        if n2 >= 0.7 * n:  # contraction stalled; fall through to star rounds
+            break
+        n = n2
     prev = _edges_checksum(e)
     for _ in range(max_iters):
         e = _star_round(e, "large").materialize()

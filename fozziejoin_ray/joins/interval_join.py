@@ -174,6 +174,190 @@ class BroadcastIntervalScorer:
         )
 
 
+_TB = "__ti_tile"
+_TS = "__ti_side"
+_TI = "__ti_id"
+
+
+def _interval_emit(side: int, id_col: str, scol: str, ecol: str, tile: float, expand: float):
+    """map_batches fn emitting (tile, side, id, s, e) rows — rights cover
+    the tiles their interval touches, lefts the tiles of their
+    maxgap+slack-expanded query interval. Rows with NaN endpoints emit
+    nothing (NA never matches); start > end raises (reference
+    real.rs:47-63)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = np.asarray(t[scol].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+                       if isinstance(t[scol], pa.ChunkedArray)
+                       else t[scol].cast(pa.float64()).to_numpy(zero_copy_only=False))
+        e = np.asarray(t[ecol].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+                       if isinstance(t[ecol], pa.ChunkedArray)
+                       else t[ecol].cast(pa.float64()).to_numpy(zero_copy_only=False))
+        if np.any(s > e):
+            which = "df2" if side == 1 else "left table"
+            raise ValueError(f"Invalid interval in {which}: start > end")
+        ok = np.nonzero(~(np.isnan(s) | np.isnan(e)))[0]
+        lo = s[ok] - (expand if side == 0 else 0.0)
+        hi = e[ok] + (expand if side == 0 else 0.0)
+        t0 = np.floor(lo / tile).astype(np.int64)
+        t1 = np.floor(hi / tile).astype(np.int64)
+        counts = t1 - t0 + 1
+        rows = np.repeat(ok, counts)
+        total = int(counts.sum())
+        tiles = np.repeat(t0, counts) + (
+            np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table(
+            {
+                _TB: pa.array(tiles),
+                _TS: pa.array(np.full(total, side, dtype=np.int8)),
+                _TI: idc.take(pa.array(rows)),
+                "__ti_s": pa.array(s[rows] if total else np.empty(0)),
+                "__ti_e": pa.array(e[rows] if total else np.empty(0)),
+            }
+        )
+
+    return fn
+
+
+def _blocked_interval_edges(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by,
+    lid: str,
+    rid: str,
+    mode: str,
+    overlap_type: str,
+    maxgap: float,
+    minoverlap: float,
+    num_partitions: int,
+    tile_width: float | None = None,
+) -> rd.Dataset:
+    """Both-sides-large interval join: number-line tiling instead of a
+    driver-side broadcast (the scale analog of the reference's shared
+    interval tree, real.rs:68-88). One all-to-all on hash(tile); inside a
+    partition, each tile's rights are start-sorted and probed with the
+    same vectorized window + exact predicates as the broadcast path.
+    A pair that meets in several tiles is kept only in the canonical
+    tile containing max(left query start, right start) — exactly once.
+
+    Partitioning assumption: ``tile_width`` (auto: 2x the sampled p95
+    right-interval length, floored by the gap window) must be on the
+    order of typical interval lengths. Heavy-tailed length distributions
+    replicate long intervals across many tiles; route such data through
+    a two-level scheme (long rights broadcast, short rights tiled) or an
+    explicit ``tile_width``."""
+    import pandas as pd
+
+    g = float(maxgap) + (0.0 if mode == "integer" else 1e-6)
+    slack = 1.0 if mode == "integer" else 0.0
+    expand = g + slack
+
+    if tile_width is None:
+        samp = pa.concat_tables(
+            list(
+                right.limit(10_000)
+                .select_columns([by[0][1], by[1][1]])
+                .iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+        )
+        rs_ = np.asarray(samp[by[0][1]].cast(pa.float64()).to_numpy(zero_copy_only=False))
+        re_ = np.asarray(samp[by[1][1]].cast(pa.float64()).to_numpy(zero_copy_only=False))
+        lens = (re_ - rs_)[~(np.isnan(rs_) | np.isnan(re_))]
+        p95 = float(np.percentile(lens, 95)) if len(lens) else 1.0
+        tile_width = max(2.0 * p95, 4.0 * expand, 1e-6)
+    tw = float(tile_width)
+
+    el = left.select_columns([lid, by[0][0], by[1][0]]).map_batches(
+        _interval_emit(0, lid, by[0][0], by[1][0], tw, expand), batch_format="pyarrow"
+    )
+    er = right.select_columns([rid, by[0][1], by[1][1]]).map_batches(
+        _interval_emit(1, rid, by[0][1], by[1][1], tw, expand), batch_format="pyarrow"
+    )
+    emitted = el.union(er)
+
+    def add_bp(t: pa.Table) -> pa.Table:
+        col = t[_TB].combine_chunks() if isinstance(t[_TB], pa.ChunkedArray) else t[_TB]
+        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def score_part(t: pa.Table) -> pa.Table:
+        idt = t.schema.field(_TI).type
+        empty = pa.table({LID: pa.array([], idt), RID: pa.array([], idt)})
+        if t.num_rows == 0:
+            return empty
+        side = t[_TS].to_numpy(zero_copy_only=False)
+        tiles = t[_TB].to_numpy(zero_copy_only=False)
+        ids = (
+            t[_TI].combine_chunks() if isinstance(t[_TI], pa.ChunkedArray) else t[_TI]
+        ).to_numpy(zero_copy_only=False)
+        ss = t["__ti_s"].to_numpy(zero_copy_only=False)
+        ee = t["__ti_e"].to_numpy(zero_copy_only=False)
+        lpos = np.nonzero(side == 0)[0]
+        rpos = np.nonzero(side == 1)[0]
+        if not len(lpos) or not len(rpos):
+            return empty
+        r_tile = tiles[rpos]
+        r_rs = ss[rpos]
+        ro = np.lexsort((r_rs, r_tile))
+        r_tile_s = r_tile[ro]
+        r_rs_s = r_rs[ro]
+        r_re_s = ee[rpos][ro]
+        rpos_s = rpos[ro]
+        l_tile = tiles[lpos]
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        for tl in np.unique(l_tile):
+            seg_lo = int(np.searchsorted(r_tile_s, tl, side="left"))
+            seg_hi = int(np.searchsorted(r_tile_s, tl, side="right"))
+            if seg_lo == seg_hi:
+                continue
+            lsel = lpos[l_tile == tl]
+            ls = ss[lsel]
+            le = ee[lsel]
+            rs_seg = r_rs_s[seg_lo:seg_hi]
+            re_seg = r_re_s[seg_lo:seg_hi]
+            max_len = float((re_seg - rs_seg).max())
+            qlo = ls - expand
+            qhi = le + expand
+            wlo = np.searchsorted(rs_seg, qlo - max_len, side="left")
+            whi = np.searchsorted(rs_seg, qhi, side="right")
+            counts = np.maximum(whi - wlo, 0)
+            lrow = np.repeat(np.arange(len(lsel)), counts)
+            rrow = _concat_ranges(wlo, counts)
+            keep = interval_matches_flat(
+                ls[lrow],
+                le[lrow],
+                rs_seg[rrow],
+                re_seg[rrow],
+                mode=mode,
+                overlap_type=overlap_type,
+                maxgap=maxgap,
+                minoverlap=minoverlap,
+            )
+            # exactly-once across tiles: canonical tile of the pair
+            keep &= (
+                np.floor(np.maximum(qlo[lrow], rs_seg[rrow]) / tw).astype(np.int64) == tl
+            )
+            lrow = lrow[keep]
+            rrow = rrow[keep]
+            if len(lrow):
+                out_l.append(lsel[lrow])
+                out_r.append(rpos_s[seg_lo + rrow])
+        if not out_l:
+            return empty
+        la = np.concatenate(out_l)
+        rb = np.concatenate(out_r)
+        return pa.table({LID: pa.array(ids[la], idt), RID: pa.array(ids[rb], idt)})
+
+    return (
+        emitted.map_batches(add_bp, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(score_part, batch_format="pyarrow")
+    )
+
+
 def fuzzy_interval_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -190,14 +374,24 @@ def fuzzy_interval_join(
     concurrency=(1, 8),
     batch_size: int = 16384,
     drop_cols: tuple = (),
+    strategy: str = "auto",
+    broadcast_threshold: int = 2_000_000,
+    tile_width: float | None = None,
 ) -> rd.Dataset:
     """Ray-Data analog of ``fozzie_interval_join``
-    (/root/reference/R/fozzie_interval_join.R:47-83)."""
+    (/root/reference/R/fozzie_interval_join.R:47-83).
+
+    ``strategy``: "broadcast" ships the (sorted) right intervals to every
+    scorer actor; "blocked" tiles the number line and shuffles BOTH sides
+    (the path for two huge inputs); "auto" picks blocked when the right
+    side exceeds ``broadcast_threshold`` rows."""
     check_mode(how)
     if overlap_type not in OVERLAP_TYPES:
         raise ValueError(f"Unknown overlap type: {overlap_type}")
     if interval_mode not in ("auto", "real", "integer"):
         raise ValueError(f"unknown interval_mode {interval_mode!r}")
+    if strategy not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     by = normalize_by(by, left, right)
     if len(by) != 2:
         raise ValueError("Expected exactly two columns for interval matching (start and end)")
@@ -213,6 +407,35 @@ def fuzzy_interval_join(
 
     left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
+
+    if strategy == "auto":
+        strategy = "blocked" if right.count() > broadcast_threshold else "broadcast"
+    if strategy == "blocked":
+        edges = _blocked_interval_edges(
+            left,
+            right,
+            by,
+            lid,
+            rid,
+            interval_mode,
+            overlap_type,
+            float(maxgap),
+            float(minoverlap),
+            num_partitions,
+            tile_width,
+        )
+        return assemble(
+            left,
+            right,
+            edges,
+            how=how,
+            lid=lid,
+            rid=rid,
+            distance_cols=[],
+            num_partitions=num_partitions,
+            drop_ids=["__fj_lid_src", "__fj_rid_src", *drop_cols],
+            n_dist=0,
+        )
 
     rcols = [rid, by[0][1], by[1][1]]
     tables = list(

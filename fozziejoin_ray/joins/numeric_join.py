@@ -107,6 +107,140 @@ class BroadcastDifferenceScorer:
         return pa.table(cols)
 
 
+_NB = "__nb_bucket"
+_NS = "__nb_side"
+_NI = "__nb_id"
+
+
+def _diff_emit(side: int, id_col: str, key_cols: list[str], width: float):
+    """map_batches fn: (bucket, side, id, v0..vk) rows. Rights go to their
+    home bucket floor(v/width); lefts to buckets {b-1, b, b+1} so every
+    within-threshold pair meets in the right value's home bucket exactly
+    once (reference grid design, difference/mod.rs:19-54). NaN/null keys
+    emit nothing (NA never matches)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = _numeric_np(t[key_cols[0]])
+        ok = np.nonzero(~np.isnan(v))[0]
+        b0 = np.floor(v[ok] / width).astype(np.int64)
+        if side == 1:
+            rows = ok
+            bks = b0
+        else:
+            rows = np.repeat(ok, 3)
+            bks = (b0[:, None] + np.array([-1, 0, 1])[None, :]).ravel()
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        take = pa.array(rows)
+        cols = {
+            _NB: pa.array(bks),
+            _NS: pa.array(np.full(len(rows), side, dtype=np.int8)),
+            _NI: idc.take(take),
+        }
+        for i, c in enumerate(key_cols):
+            cols[f"__nb_v{i}"] = pa.array(_numeric_np(t[c])[rows] if len(rows) else np.empty(0))
+        return pa.table(cols)
+
+    return fn
+
+
+def _blocked_difference_edges(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by,
+    lid: str,
+    rid: str,
+    max_distance: float,
+    num_partitions: int,
+) -> rd.Dataset:
+    """Both-sides-large difference join: grid-bucket shuffle instead of a
+    driver-side broadcast. One all-to-all on hash(bucket); inside each
+    partition rights are value-sorted once and every left probe is two
+    vectorized searchsorted calls clipped to the probe bucket's segment
+    (segments found by searchsorted over the int64 bucket ids, so the
+    emission-side floor() and the probe-side clip can never disagree)."""
+    import pandas as pd
+
+    thr = float(max_distance) + F64_EPS
+    width = float(max_distance) if max_distance > 0 else 1.0
+    lkeys = [l for l, _ in by]
+    rkeys = [r for _, r in by]
+    nkeys = len(by)
+
+    el = left.select_columns([lid] + sorted(set(lkeys))).map_batches(
+        _diff_emit(0, lid, lkeys, width), batch_format="pyarrow"
+    )
+    er = right.select_columns([rid] + sorted(set(rkeys))).map_batches(
+        _diff_emit(1, rid, rkeys, width), batch_format="pyarrow"
+    )
+    emitted = el.union(er)
+
+    def add_bp(t: pa.Table) -> pa.Table:
+        col = t[_NB].combine_chunks() if isinstance(t[_NB], pa.ChunkedArray) else t[_NB]
+        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def score_part(t: pa.Table) -> pa.Table:
+        idt = t.schema.field(_NI).type
+        empty_cols = {LID: pa.array([], idt), RID: pa.array([], idt)}
+        for n in dist_names(nkeys):
+            empty_cols[n] = pa.array([], pa.float64())
+        empty = pa.table(empty_cols)
+        if t.num_rows == 0:
+            return empty
+        side = t[_NS].to_numpy(zero_copy_only=False)
+        bkt = t[_NB].to_numpy(zero_copy_only=False)
+        ids = (
+            t[_NI].combine_chunks() if isinstance(t[_NI], pa.ChunkedArray) else t[_NI]
+        ).to_numpy(zero_copy_only=False)
+        vals = [t[f"__nb_v{i}"].to_numpy(zero_copy_only=False) for i in range(nkeys)]
+        lpos = np.nonzero(side == 0)[0]
+        rpos = np.nonzero(side == 1)[0]
+        if not len(lpos) or not len(rpos):
+            return empty
+        rv = vals[0][rpos]
+        order = np.argsort(rv, kind="stable")  # floor(v/w) is monotone in v
+        rv_s = rv[order]
+        rb_s = bkt[rpos][order]
+        rpos_s = rpos[order]
+        x = vals[0][lpos]
+        lb = bkt[lpos]
+        seg_lo = np.searchsorted(rb_s, lb, side="left")
+        seg_hi = np.searchsorted(rb_s, lb, side="right")
+        vlo = np.searchsorted(rv_s, x - thr, side="left")
+        vhi = np.searchsorted(rv_s, x + thr, side="right")
+        lo = np.maximum(seg_lo, vlo)
+        hi = np.minimum(seg_hi, vhi)
+        counts = np.maximum(hi - lo, 0)
+        lrow = np.repeat(np.arange(len(lpos)), counts)
+        spos = _concat_ranges(lo, counts)
+        d0 = np.abs(x[lrow] - rv_s[spos])
+        keep = d0 <= thr
+        lrow = lrow[keep]
+        rsel = rpos_s[spos[keep]]
+        dists = [d0[keep]]
+        for ki in range(1, nkeys):
+            lv = vals[ki][lpos[lrow]]
+            rvk = vals[ki][rsel]
+            dk = np.abs(lv - rvk)
+            keep2 = dk <= thr  # NaN fails -> NA never matches
+            lrow = lrow[keep2]
+            rsel = rsel[keep2]
+            dists = [d[keep2] for d in dists] + [dk[keep2]]
+        cols = {
+            LID: pa.array(ids[lpos[lrow]], idt),
+            RID: pa.array(ids[rsel], idt),
+        }
+        for n, d in zip(dist_names(nkeys), dists):
+            cols[n] = pa.array(d, pa.float64())
+        return pa.table(cols)
+
+    return (
+        emitted.map_batches(add_bp, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(score_part, batch_format="pyarrow")
+    )
+
+
 def _collect_right_numeric(right: rd.Dataset, rid: str, by) -> tuple:
     cols = [rid] + sorted({r for _, r in by})
     tables = [
@@ -135,13 +269,42 @@ def fuzzy_difference_join(
     concurrency=(1, 8),
     batch_size: int = 65536,
     drop_cols: tuple = (),
+    strategy: str = "auto",
+    broadcast_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """Ray-Data analog of ``fozzie_difference_join``
-    (/root/reference/R/fozzie_difference_join.R:37-52)."""
+    (/root/reference/R/fozzie_difference_join.R:37-52).
+
+    ``strategy``: "broadcast" ships the sorted right keys to every scorer
+    actor; "blocked" grid-buckets BOTH sides at width ``max_distance``
+    and shuffles (the path for two huge inputs, reference grid design
+    difference/mod.rs:19-54); "auto" picks blocked when the right side
+    exceeds ``broadcast_threshold`` rows."""
     check_mode(how)
+    if strategy not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     by = normalize_by(by, left, right)
     left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
+
+    if strategy == "auto":
+        strategy = "blocked" if right.count() > broadcast_threshold else "broadcast"
+    if strategy == "blocked":
+        edges = _blocked_difference_edges(
+            left, right, by, lid, rid, float(max_distance), num_partitions
+        )
+        return assemble(
+            left,
+            right,
+            edges,
+            how=how,
+            lid=lid,
+            rid=rid,
+            distance_cols=distance_col_names(distance_col, by),
+            num_partitions=num_partitions,
+            drop_ids=["__fj_lid_src", "__fj_rid_src", *drop_cols],
+            n_dist=len(by),
+        )
 
     key_vals, rids, extra = _collect_right_numeric(right, rid, by)
     index_ref = ray.put(RightDifferenceIndex(key_vals, rids, extra))

@@ -31,19 +31,32 @@ from .string_join import LID, RID
 
 class RightPatternIndex:
     def __init__(self, patterns: np.ndarray, rids: np.ndarray, ignore_case: bool):
+        import pyarrow.compute as pc
+
         flags = re.IGNORECASE if ignore_case else 0
-        self.compiled: list[tuple[re.Pattern, np.ndarray]] = []
+        self.ignore_case = ignore_case
+        # (pattern, compiled, rids, use_arrow): matching runs through Arrow's
+        # vectorized RE2 kernel (match_substring_regex == unanchored search)
+        # whenever RE2 accepts the pattern; Python-re-only syntax
+        # (backreferences, lookaround) falls back to the per-value loop
+        self.compiled: list[tuple[str, re.Pattern, np.ndarray, bool]] = []
         valid = [(p, rid) for p, rid in zip(patterns, rids) if p is not None]
         # one compiled regex per distinct pattern, with its row ids
         by_pattern: dict[str, list] = {}
         for p, rid in valid:
             by_pattern.setdefault(p, []).append(rid)
+        probe = pa.array([], pa.string())
         for p, rids_p in by_pattern.items():
             try:
                 cre = re.compile(p, flags)
             except re.error as e:
                 raise ValueError(f"invalid regex pattern {p!r}: {e}") from e
-            self.compiled.append((cre, np.asarray(rids_p)))
+            try:
+                pc.match_substring_regex(probe, p, ignore_case=ignore_case)
+                use_arrow = True
+            except pa.ArrowInvalid:
+                use_arrow = False
+            self.compiled.append((p, cre, np.asarray(rids_p), use_arrow))
 
 
 class BroadcastRegexScorer:
@@ -52,17 +65,30 @@ class BroadcastRegexScorer:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cfg = self.cfg
-        vals = batch.column(cfg["left_key"]).to_numpy(zero_copy_only=False)
+        col = batch.column(cfg["left_key"])
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         lids = batch.column(cfg["lid"]).to_numpy(zero_copy_only=False)
-        ok = np.fromiter((v is not None for v in vals), bool, count=len(vals))
-        pos = np.nonzero(ok)[0]
-        svals = [vals[i] for i in pos]
+        pos = np.nonzero(pc.is_valid(col).to_numpy(zero_copy_only=False))[0]
+        sarr = col.take(pa.array(pos, pa.int64()))
+        svals: list | None = None  # materialized lazily for re-only patterns
 
         lid_parts: list[np.ndarray] = []
         rid_parts: list[np.ndarray] = []
-        for cre, rids_p in self.idx.compiled:
-            hit = np.fromiter((cre.search(v) is not None for v in svals), bool, count=len(svals))
+        for p, cre, rids_p, use_arrow in self.idx.compiled:
+            if use_arrow:
+                hit = pc.match_substring_regex(
+                    sarr, p, ignore_case=self.idx.ignore_case
+                ).to_numpy(zero_copy_only=False)
+            else:
+                if svals is None:
+                    svals = sarr.to_pylist()
+                hit = np.fromiter(
+                    (cre.search(v) is not None for v in svals), bool, count=len(svals)
+                )
             hpos = pos[hit]
             if len(hpos):
                 lid_parts.append(np.repeat(lids[hpos], len(rids_p)))
@@ -72,7 +98,7 @@ class BroadcastRegexScorer:
             out_r = np.concatenate(rid_parts)
         else:
             out_l = lids[:0]
-            out_r = self.idx.compiled[0][1][:0] if self.idx.compiled else np.empty(0, np.int64)
+            out_r = self.idx.compiled[0][2][:0] if self.idx.compiled else np.empty(0, np.int64)
         return pa.table({LID: pa.array(out_l), RID: pa.array(out_r)})
 
 

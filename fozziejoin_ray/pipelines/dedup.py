@@ -11,8 +11,6 @@ duplicate class. Only (id, signature) columns travel through shuffles.
 from __future__ import annotations
 
 import zlib
-from collections import defaultdict
-from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
@@ -27,33 +25,36 @@ _MERSENNE = (1 << 61) - 1
 # ------------------------------------------------------------------- exact
 
 
-def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
     """Keep one row per distinct text (the min id) — hash-partition by a
-    content hash, resolve collisions on the real value inside the group."""
+    vectorized content hash (mod ``num_partitions``, NOT one group per
+    distinct value: per-group UDF dispatch costs more than the work) and
+    resolve each partition with a single pandas groupby-idxmin."""
+    import pandas as pd
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            (zlib.crc32((v or "").encode()) for v in t.column(text_col).to_pylist()),
-            np.int64,
-            count=t.num_rows,
-        )
-        return t.append_column("__dd_hash", pa.array(h))
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def first_per_text(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        best: dict[str, int] = {}
-        for i, (d, v) in enumerate(zip(ids, texts)):
-            cur = best.get(v)
-            if cur is None or d < ids[cur]:
-                best[v] = i
-        keep = sorted(best.values())
-        return t.take(keep).drop_columns(["__dd_hash"])
+        col = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        filled = pc.fill_null(col, "")  # nulls co-partition with ""; value groupby separates them
+        h = pd.util.hash_array(np.asarray(filled.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__dp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def first_per_text(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["__dp"])
+        idx = df.groupby(text_col, sort=False, dropna=False)[id_col].idxmin()
+        return df.loc[np.sort(idx.to_numpy())].drop(columns=["__dp"])
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__dd_hash")
-        .map_groups(first_per_text, batch_format="pyarrow")
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__dp")
+        .map_groups(first_per_text, batch_format="pandas")
     )
 
 
@@ -111,6 +112,108 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return prod.min(axis=1)
 
 
+def minhash_signatures_batch(
+    shingle_arrays: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_rows, num_perm) signatures for a whole batch in one shot:
+    concatenate every row's shingles, compute the (total_shingles x perm)
+    permutation values once, and segment-min back to rows with
+    ``np.minimum.reduceat`` — value-identical to per-row
+    :func:`minhash_signature` (same uint64 wrap + mod ordering)."""
+    n = len(shingle_arrays)
+    out = np.full((n, len(a)), _MERSENNE, dtype=np.uint64)
+    if not n:
+        return out
+    lens = np.fromiter((len(s) for s in shingle_arrays), np.int64, count=n)
+    nz = np.nonzero(lens > 0)[0]
+    if not len(nz):
+        return out
+    with np.errstate(over="ignore"):
+        cat = np.concatenate([shingle_arrays[i] for i in nz])
+        prod = (cat[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    starts = np.r_[np.int64(0), np.cumsum(lens[nz])[:-1]]
+    out[nz] = np.minimum.reduceat(prod, starts, axis=0)
+    return out
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint32 band-bucket hashes from an (n, num_perm)
+    signature matrix — an FNV-style column mix per band, fully
+    vectorized (replaces per-row-per-band crc32 calls). A (2^-32) hash
+    collision merely adds a junk candidate pair, which verification
+    removes."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint32)
+    mult = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+            for c in range(bi * r, (bi + 1) * r):
+                h = (h ^ sig[:, c]) * mult
+            out[:, bi] = ((h >> np.uint64(32)) ^ h).astype(np.uint32)
+    return out
+
+
+def _triu_pairs_by_bucket(
+    bucket: np.ndarray,
+    *,
+    min_bucket: int = 2,
+    max_bucket: int = 4096,
+    sketch: np.ndarray | None = None,
+    keep_fn=None,
+    chunk_pairs: int = 2_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All within-bucket position pairs (i, j), i-position before
+    j-position, for every bucket with ``min_bucket <= size <=
+    max_bucket`` — no per-bucket python loop: positions are sorted by
+    bucket, grouped into (k, s) matrices per bucket-size class, and
+    expanded with one ``triu_indices`` call per distinct size.
+
+    With ``sketch`` ((n, w) uint64) and ``keep_fn(SA, SB) -> mask``, the
+    pair filter is FUSED into the expansion: sketch rows are gathered
+    once per bucket member (not once per pair), pair expansion reads
+    them from the cache-resident per-class matrix, and only surviving
+    positions are emitted. This keeps the stage sequential-write-bound
+    instead of random-gather-bound — the difference between ~0.1us and
+    multiple-us per pair when 32 tasks contend for memory bandwidth.
+    ``chunk_pairs`` bounds temp arrays (pairs per expansion slab)."""
+    n = len(bucket)
+    if n == 0:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
+    order = np.argsort(bucket, kind="stable").astype(np.int32)
+    bs = bucket[order]
+    starts = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+    sizes = np.diff(np.r_[starts, n])
+    ai_parts: list[np.ndarray] = []
+    bi_parts: list[np.ndarray] = []
+    for s in np.unique(sizes):
+        if s < min_bucket or s > max_bucket:
+            continue
+        b_starts = starts[sizes == s]
+        mat = order[b_starts[:, None] + np.arange(s, dtype=np.int64)[None, :]]  # (k, s)
+        ii, jj = np.triu_indices(int(s), k=1)
+        per = len(ii)
+        kb = max(1, chunk_pairs // max(per, 1))
+        skm = sketch[mat] if sketch is not None else None  # (k, s, w): one gather per member
+        for c0 in range(0, mat.shape[0], kb):
+            sub = mat[c0 : c0 + kb]
+            A = sub[:, ii].ravel()
+            B = sub[:, jj].ravel()
+            if keep_fn is not None:
+                sks = skm[c0 : c0 + kb]
+                w = sks.shape[2]
+                m = keep_fn(sks[:, ii, :].reshape(-1, w), sks[:, jj, :].reshape(-1, w))
+                A = A[m]
+                B = B[m]
+            if len(A):
+                ai_parts.append(A)
+                bi_parts.append(B)
+    if not ai_parts:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
+    return np.concatenate(ai_parts), np.concatenate(bi_parts)
+
+
 def _pairs_from_buckets(
     bucketed: rd.Dataset, id_col: str, max_bucket: int = 4096, num_partitions: int = 64
 ) -> rd.Dataset:
@@ -133,22 +236,18 @@ def _pairs_from_buckets(
         return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
 
     def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["__bucket"].value_counts()
-        keep = vc[(vc >= 2) & (vc <= max_bucket)].index
-        if not len(keep):
-            return pd.DataFrame({"a": pd.Series([], dtype=df[id_col].dtype), "b": pd.Series([], dtype=df[id_col].dtype)})
-        sub = df[df["__bucket"].isin(keep)]
-        out_a, out_b = [], []
-        for _, g in sub.groupby("__bucket", sort=False):
-            ids = np.unique(g[id_col].to_numpy())
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pd.DataFrame({"a": pd.Series([], dtype=df[id_col].dtype), "b": pd.Series([], dtype=df[id_col].dtype)})
-        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        ids = df[id_col].to_numpy()
+        ai, bi = _triu_pairs_by_bucket(df["__bucket"].to_numpy(), max_bucket=max_bucket)
+        if not len(ai):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=df[id_col].dtype), "b": pd.Series([], dtype=df[id_col].dtype)}
+            )
+        ia = ids[ai]
+        ib = ids[bi]
+        ok = ia != ib  # an id never repeats within a bucket by construction; guard anyway
+        a = np.where(ia < ib, ia, ib)[ok]
+        b = np.where(ia < ib, ib, ia)[ok]
+        return pd.DataFrame({"a": a, "b": b})
 
     cand = (
         bucketed.map_batches(add_part, batch_format="pyarrow")
@@ -228,29 +327,33 @@ def minhash_candidate_pairs(
     seed: int = 13,
 ) -> rd.Dataset:
     """Distinct (a, b) candidate pairs from banded MinHash buckets —
-    the scalable candidate generator reused by near-dup dedup AND the
-    linkage pipeline's minhash blocking."""
+    the two-stage candidate generator (bucket -> pairs -> groupby dedup);
+    the fused path (:func:`lsh_fused_edges`) supersedes it when the
+    verifier can run in the same stage."""
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed)
 
     def buckets(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_bucket, out_id = [], []
-        for d, txt in zip(ids, texts):
-            if txt is None:
-                continue
-            sig = minhash_signature(char_shingles(txt, shingle_k), a, b)
-            for bi in range(bands):
-                band = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                bh = zlib.crc32(band.tobytes())
-                out_bucket.append(f"{bi}:{bh}")
-                out_id.append(d)
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        kv = (
+            t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        ).to_numpy(zero_copy_only=False)
+        vrows = np.nonzero(np.fromiter((v is not None for v in kv), bool, count=len(kv)))[0]
+        if not len(vrows):
+            return pa.table(
+                {"__bucket": pa.array([], pa.uint64()), id_col: pa.array([], idc.type)}
+            )
+        sh = [char_shingles(kv[i], shingle_k) for i in vrows]
+        SIG = minhash_signatures_batch(sh, a, b)
+        BH = _band_hashes(SIG, bands)
+        bucket = (
+            (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(32))
+            | BH.astype(np.uint64)
+        ).ravel()
         return pa.table(
             {
-                "__bucket": pa.array(out_bucket, pa.string()),
-                id_col: pa.array(out_id, type=t.column(id_col).type),
+                "__bucket": pa.array(bucket),
+                id_col: idc.take(pa.array(np.repeat(vrows, bands))),
             }
         )
 
@@ -341,6 +444,50 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts: list) -> np.ndarray:
+    """Batch SimHash, bit-identical to :func:`simhash64`: token hashes stay
+    a (cheap, C-speed) python loop, but the 64-lane bit accumulation runs
+    as one segment-sum over the whole batch's token stream."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not n:
+        return out
+    tok_hashes: list[int] = []
+    doc_idx: list[int] = []
+    for i, txt in enumerate(texts):
+        for tok in (txt or "").split():
+            tok_hashes.append(
+                zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
+            )
+            doc_idx.append(i)
+    if not tok_hashes:
+        return out
+    H = np.array(tok_hashes, dtype=np.uint64)
+    D = np.array(doc_idx, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    contrib = np.where(
+        ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(bool), 1, -1
+    ).astype(np.int32)
+    # doc_idx is nondecreasing -> segment boundaries + reduceat
+    starts = np.nonzero(np.r_[True, D[1:] != D[:-1]])[0]
+    seg = np.add.reduceat(contrib, starts, axis=0)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    acc[D[starts]] = seg
+    out = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(len(x), 64)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
 def simhash_dedup(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -353,49 +500,51 @@ def simhash_dedup(
     """Near-dup classes under SimHash hamming distance <= k: the 64-bit
     signature is split into k+1 blocks (pigeonhole: any pair within k
     bits shares at least one exact block); block buckets generate
-    candidates, popcount verifies."""
+    candidates via the shared hash-partitioned pair builder
+    (:func:`_pairs_from_buckets` — vectorized triu, singleton skip,
+    oversized-bucket cap, exactly-once dedup), signatures join back onto
+    the surviving pairs and a vectorized popcount verifies."""
     blocks = max_hamming + 1
     width = 64 // blocks
 
+    def sig_table(t: pa.Table) -> pa.Table:
+        sigs = simhash64_batch(t.column(text_col).to_pylist())
+        return pa.table({id_col: t[id_col], "__sig": pa.array(sigs)})
+
+    sigs = ds.map_batches(sig_table, batch_format="pyarrow")
+
     def emit(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_bucket, out_id, out_sig = [], [], []
-        for d, txt in zip(ids, texts):
-            sig = simhash64(txt)
-            for bi in range(blocks):
-                lo = bi * width
-                hi = 64 if bi == blocks - 1 else lo + width
-                part = (sig >> lo) & ((1 << (hi - lo)) - 1)
-                out_bucket.append(f"{bi}:{part}")
-                out_id.append(d)
-                out_sig.append(sig)
+        sig = t.column("__sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+        idc = t.column(id_col)
+        buckets = []
+        for bi in range(blocks):
+            lo = bi * width
+            hi = 64 if bi == blocks - 1 else lo + width
+            part = (sig >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+            # collision-free for blocks <= 8 except top-3-bit wrap on the
+            # full-width block; wrap collisions only add candidates, which
+            # the popcount verify removes
+            buckets.append((part << np.uint64(3)) | np.uint64(bi))
         return pa.table(
             {
-                "__bucket": pa.array(out_bucket, pa.string()),
-                id_col: pa.array(out_id, type=t.column(id_col).type),
-                "__sig": pa.array(np.array(out_sig, dtype=np.uint64)),
+                "__bucket": pa.array(np.concatenate(buckets)),
+                id_col: pa.concat_arrays(
+                    [idc.combine_chunks() if isinstance(idc, pa.ChunkedArray) else idc] * blocks
+                ),
             }
         )
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        sigs = t.column("__sig").to_pylist()
-        sig_of = dict(zip(ids, sigs))
-        uniq = sorted(sig_of)
-        out_a, out_b = [], []
-        for x, y in combinations(uniq, 2):
-            if bin(sig_of[x] ^ sig_of[y]).count("1") <= max_hamming:
-                out_a.append(x)
-                out_b.append(y)
-        idt = t.column(id_col).type
-        return pa.table({"a": pa.array(out_a, idt), "b": pa.array(out_b, idt)})
+    bucketed = sigs.map_batches(emit, batch_format="pyarrow")
+    cand = _pairs_from_buckets(bucketed, id_col, num_partitions=num_partitions)
+    j = _attach_pair_texts(cand, sigs, "__sig", id_col, num_partitions)
 
-    bucketed = ds.map_batches(emit, batch_format="pyarrow")
-    cand = bucketed.groupby("__bucket").map_groups(pairs, batch_format="pyarrow")
-    edges = cand.groupby(["a", "b"]).count().map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
-    )
+    def verify(t: pa.Table) -> pa.Table:
+        sa = t.column("__a_text").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = t.column("__t_text").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = _popcount64(np.bitwise_xor(sa, sb)) <= max_hamming
+        return t.filter(pa.array(keep)).select(["a", "b"])
+
+    edges = j.map_batches(verify, batch_format="pyarrow")
     return _dup_groups(ds, edges, id_col, num_partitions, id_type)
 
 
@@ -459,17 +608,38 @@ def lsh_fused_edges(
     seed: int = 13,
     num_partitions: int = 64,
     max_bucket: int = 4096,
+    prefilter=None,
 ) -> rd.Dataset:
-    """Fused LSH candidate generation + verification -> (a, b, score).
+    """Fused LSH candidate generation + verification -> (a, b, score),
+    each surviving pair exactly once with a < b.
 
-    Buckets carry the text value and the row's full band-hash vector, so
-    each bucket-hash partition (i) builds candidate pairs with vectorized
-    triu indices, (ii) enforces the exactly-once-across-bands rule (a
-    pair is verified only in the first band whose signatures agree — no
-    downstream dedup shuffle), and (iii) verifies candidates in ONE
-    ``score_fn(list_a, list_b) -> (keep_mask, scores)`` call. Rows with
-    null text are skipped; oversized buckets are dropped (LSH stop-word
-    cap). Emits each surviving pair exactly once with a < b.
+    Emission rows carry only (numeric bucket = band<<32 | band_hash, id,
+    text). Each bucket-hash partition builds candidate pairs with one
+    vectorized triu expansion per bucket-size class and verifies them in
+    ONE ``score_fn(list_a, list_b) -> (keep_mask, scores)`` call; a final
+    distributed ``groupby(a, b)`` dedups pairs that met in several bands.
+
+    Design note (measured on the 120k-doc bench corpus): junk candidate
+    pairs co-bucket in ~1 band, so a first-agreeing-band check would
+    eliminate only ~4% of verifications while costing a per-pair gather
+    over carried band-hash vectors and a 32x band-vector shuffle payload.
+    Scoring every co-bucketed pair and deduping the (orders of magnitude
+    smaller) SURVIVING edge set is both cheaper and slimmer: the shuffle
+    carries no band vectors at all, and the dedup exchange is
+    O(matching pairs), not O(candidates).
+
+    Signatures are batch-vectorized (segment-min over the batch's
+    concatenated shingles, :func:`minhash_signatures_batch`); rows with
+    null text are skipped (NA never matches); buckets larger than
+    ``max_bucket`` are dropped (the standard LSH stop-word cap — a
+    documented recall caveat).
+
+    ``prefilter`` (optional) is a metric-specific RECALL-LOSSLESS cheap
+    pair filter applied before ``score_fn``: an object with
+    ``width`` (ints per row), ``sketch(texts) -> (n, width) uint64`` and
+    ``keep(SA, SB) -> bool mask`` (SA/SB gathered sketch rows). It cuts
+    the expensive verification volume (measured ~10x for the jaro bound
+    on the bench corpus) at the cost of ``8*width`` bytes per emission.
     """
     import pandas as pd
 
@@ -477,94 +647,117 @@ def lsh_fused_edges(
     assert rows_per_band * bands == num_perm
     ma, mb = _minhash_params(num_perm, seed)
 
+    skw = int(prefilter.width) if prefilter is not None else 0
+
     def buckets(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        kvs = t.column(text_col).to_pylist()
-        out_bucket, out_band, out_id, out_key, out_bh = [], [], [], [], []
-        for r, kv in zip(ids, kvs):
-            if kv is None:
-                continue
-            sig = minhash_signature(char_shingles(kv, shingle_k), ma, mb)
-            bhs = [
-                zlib.crc32(sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes())
-                for bi in range(bands)
-            ]
-            for bi, bh in enumerate(bhs):
-                out_bucket.append(f"{bi}:{bh}")
-                out_band.append(bi)
-                out_id.append(r)
-                out_key.append(kv)
-                out_bh.append(bhs)
-        return pa.table(
-            {
-                "__bucket": pa.array(out_bucket, pa.string()),
-                "__band": pa.array(out_band, pa.int32()),
-                id_col: pa.array(out_id, type=t.column(id_col).type),
-                text_col: pa.array(out_key, pa.string()),
-                "__bh": pa.array(
-                    np.asarray(out_bh, dtype=np.int64).reshape(-1, bands).tolist()
-                    if out_bh
-                    else [],
-                    pa.list_(pa.int64(), bands),
-                ),
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        tc = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        kv = tc.to_numpy(zero_copy_only=False)
+        vrows = np.nonzero(
+            np.fromiter((v is not None for v in kv), bool, count=len(kv))
+        )[0]
+        if not len(vrows):
+            cols = {
+                "__bucket": pa.array([], pa.uint64()),
+                id_col: pa.array([], idc.type),
+                text_col: pa.array([], pa.string()),
             }
-        )
+            if prefilter is not None:
+                cols["__sk"] = pa.array([], pa.list_(pa.uint64(), skw))
+            return pa.table(cols)
+        sh = [char_shingles(kv[i], shingle_k) for i in vrows]
+        SIG = minhash_signatures_batch(sh, ma, mb)
+        BH = _band_hashes(SIG, bands)  # (m, bands) uint32
+        bucket = (
+            (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(32))
+            | BH.astype(np.uint64)
+        ).ravel()  # row-major: per source row, bands consecutive
+        take = pa.array(np.repeat(vrows, bands))
+        cols = {"__bucket": pa.array(bucket), id_col: idc.take(take), text_col: tc.take(take)}
+        if prefilter is not None:
+            SK = prefilter.sketch([kv[i] for i in vrows])  # (m, width) uint64
+            rep = np.repeat(SK, bands, axis=0)
+            cols["__sk"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.ravel(), pa.uint64()), skw
+            )
+        return pa.table(cols)
 
     def add_bp(t: pa.Table) -> pa.Table:
         col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
         h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
         return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
 
-    def score_part(df: "pd.DataFrame") -> "pd.DataFrame":
-        empty = pd.DataFrame(
+    def score_part(t: pa.Table) -> pa.Table:
+        idt = t.schema.field(id_col).type
+        empty = pa.table(
             {
-                "a": pd.Series([], dtype=object),
-                "b": pd.Series([], dtype=object),
-                "score": pd.Series([], dtype=np.float64),
+                "a": pa.array([], idt),
+                "b": pa.array([], idt),
+                "score": pa.array([], pa.float64()),
             }
         )
-        vc = df["__bucket"].value_counts()
-        hot = vc[(vc >= 2) & (vc <= max_bucket)].index
-        if not len(hot):
+        if t.num_rows == 0:
             return empty
-        sub = df[df["__bucket"].isin(hot)].reset_index(drop=True)
-        ids = sub[id_col].to_numpy()
-        kvs = sub[text_col].to_numpy()
-        BH = np.asarray(sub["__bh"].tolist(), dtype=np.int64)
-        bands_arr = sub["__band"].to_numpy()
-        groups = sub.groupby("__bucket", sort=False).indices
-        pa_idx, pb_idx = [], []
-        for pos in groups.values():
-            band = int(bands_arr[pos[0]])
-            _, first = np.unique(ids[pos], return_index=True)
-            pos = pos[np.sort(first)]
-            if len(pos) < 2:
-                continue
-            ii, jj = np.triu_indices(len(pos), k=1)
-            ai = pos[ii]
-            bi = pos[jj]
-            if band > 0:
-                seen = (BH[ai, :band] == BH[bi, :band]).any(axis=1)
-                ai = ai[~seen]
-                bi = bi[~seen]
-            pa_idx.append(ai)
-            pb_idx.append(bi)
-        if not pa_idx:
+        bucket = (
+            t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+        ).to_numpy(zero_copy_only=False)
+        if prefilter is not None:
+            skarr = t["__sk"].combine_chunks() if isinstance(t["__sk"], pa.ChunkedArray) else t["__sk"]
+            S = skarr.flatten().to_numpy(zero_copy_only=False).reshape(-1, skw)
+            ai, bi = _triu_pairs_by_bucket(
+                bucket, max_bucket=max_bucket, sketch=S, keep_fn=prefilter.keep
+            )
+        else:
+            ai, bi = _triu_pairs_by_bucket(bucket, max_bucket=max_bucket)
+        if not len(ai):
             return empty
-        ai = np.concatenate(pa_idx)
-        bi = np.concatenate(pb_idx)
-        keep, scores = score_fn(list(kvs[ai]), list(kvs[bi]))
+        kv = (
+            t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        ).to_numpy(zero_copy_only=False)
+        ids = (
+            t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        ).to_numpy(zero_copy_only=False)
+        keep, scores = score_fn(list(kv[ai]), list(kv[bi]))
         ra = ids[ai[keep]]
         rb = ids[bi[keep]]
         src = np.where(ra < rb, ra, rb)
         dst = np.where(ra < rb, rb, ra)
-        return pd.DataFrame({"a": src, "b": dst, "score": scores})
+        return pa.table(
+            {
+                "a": pa.array(src, idt),
+                "b": pa.array(dst, idt),
+                "score": pa.array(np.asarray(scores, np.float64)),
+            }
+        )
 
-    return (
+    scored = (
         ds.map_batches(buckets, batch_format="pyarrow")
         .map_batches(add_bp, batch_format="pyarrow")
         .groupby("__bp")
-        .map_groups(score_part, batch_format="pandas")
+        .map_groups(score_part, batch_format="pyarrow")
+    )
+
+    # a pair that agreed in k bands was scored k times (same value pair ->
+    # identical score) -> one row per pair. Hash-partition on the pair and
+    # drop_duplicates per partition (Ray's multi-column sort aggregate is
+    # far more expensive than this single int-keyed exchange).
+    def add_pp(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        h = pd.util.hash_array(
+            np.asarray(a.to_numpy(zero_copy_only=False)), categorize=False
+        ) * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(
+            np.asarray(b.to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return t.append_column("__pp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def dedup_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(["a", "b"]).drop(columns=["__pp"])
+
+    return (
+        scored.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(dedup_part, batch_format="pandas")
     )
 
 

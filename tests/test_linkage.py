@@ -195,3 +195,30 @@ def test_minhash_blocking_recall(docs_and_labels):
 
     m = pairwise_f1(components(approx), components(exact))
     assert m["f1"] >= 0.95, m
+
+
+def test_jaro_char_bound_filter_lossless():
+    """The LSH prefilter is an upper bound on jaro similarity: it must
+    never drop a pair within max_distance (fuzzed mutations + edge cases)."""
+    import random
+    import string
+
+    import numpy as np
+
+    from fozziejoin_ray.pipelines.linkage import JaroCharBoundFilter
+
+    random.seed(3)
+    base = [
+        "".join(random.choice(string.ascii_letters + " ") for _ in range(random.randint(1, 25)))
+        for _ in range(200)
+    ]
+    words = base + [w[: max(0, len(w) - 2)] + "zq" for w in base] + ["", "a", "aaaaaaaaaaaa", "Ünïcode Nâme"]
+    f = JaroCharBoundFilter(MAXD)
+    S = f.sketch(words)
+    pairs = [(i, j) for i in range(len(words)) for j in random.sample(range(len(words)), 15)]
+    ia = np.array([a for a, _ in pairs])
+    ib = np.array([b for _, b in pairs])
+    keep = f.keep(S[ia], S[ib])
+    d = score_pairs("jaro_winkler", [words[a] for a, _ in pairs], [words[b] for _, b in pairs])
+    lost = (d <= MAXD) & ~keep
+    assert int(lost.sum()) == 0

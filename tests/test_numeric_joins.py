@@ -255,3 +255,87 @@ def test_temporal_interval_join():
     out = fuzzy_temporal_interval_join(l, r, by=[("s", "s"), ("e", "e")], overlap_type="any")
     rows = out.take_all()
     assert sorted(d["i"] for d in rows) == [0]
+
+
+# ------------------------------------------------- blocked (both-sides-large)
+
+
+def _rand_tables(seed=3, n=4000, m=3000):
+    rng = np.random.RandomState(seed)
+    l = pa.table(
+        {
+            "lid": pa.array(np.arange(n)),
+            "x": pa.array(np.round(rng.uniform(0, 500, n), 3)),
+            "y": pa.array(np.round(rng.uniform(0, 50, n), 3)),
+        }
+    )
+    r = pa.table(
+        {
+            "rid": pa.array(np.arange(m)),
+            "x": pa.array(np.round(rng.uniform(0, 500, m), 3)),
+            "y": pa.array(np.round(rng.uniform(0, 50, m), 3)),
+        }
+    )
+    return l, r
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full", "semi", "anti"])
+def test_difference_blocked_equals_broadcast(how):
+    lt, rt = _rand_tables()
+    kw = dict(
+        by={"x": "x"}, how=how, max_distance=0.5,
+        left_id="lid", right_id="rid",
+        distance_col="d" if how in ("inner", "left", "right", "full") else None,
+    )
+    a = fuzzy_difference_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="broadcast", **kw)
+    b = fuzzy_difference_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="blocked", **kw)
+
+    def canon(out):
+        rows = out.take_all()
+        return sorted(tuple(sorted(r.items())) for r in rows)
+
+    assert canon(a) == canon(b), how
+
+
+def test_difference_blocked_multikey_and_na():
+    lt, rt = _rand_tables(seed=5, n=2000, m=2000)
+    lt = lt.set_column(1, "x", pa.array([None if i % 97 == 0 else v for i, v in enumerate(lt["x"].to_pylist())]))
+    kw = dict(by=[("x", "x"), ("y", "y")], max_distance=1.0, left_id="lid", right_id="rid", distance_col="d")
+    a = fuzzy_difference_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="broadcast", **kw)
+    b = fuzzy_difference_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="blocked", **kw)
+    ka = sorted((r["lid"], r["rid"], round(r["d_x_x"], 9), round(r["d_y_y"], 9)) for r in a.take_all())
+    kb = sorted((r["lid"], r["rid"], round(r["d_x_x"], 9), round(r["d_y_y"], 9)) for r in b.take_all())
+    assert ka == kb
+
+
+@pytest.mark.parametrize("mode,overlap,maxgap,minov", [
+    ("real", "any", 0.0, 0.0),
+    ("real", "any", 2.5, 0.0),
+    ("real", "within", 0.0, 0.0),
+    ("real", "any", 0.0, 1.0),
+    ("integer", "any", 0, 0),
+    ("integer", "any", 2, 0),
+    ("integer", "end", 1, 0),
+])
+def test_interval_blocked_equals_broadcast(mode, overlap, maxgap, minov):
+    rng = np.random.RandomState(11)
+    n, m = 3000, 2500
+    if mode == "integer":
+        ls = rng.randint(0, 500, n); le = ls + rng.randint(0, 10, n)
+        rs = rng.randint(0, 500, m); re = rs + rng.randint(0, 10, m)
+        lt = pa.table({"lid": pa.array(np.arange(n)), "s": pa.array(ls.astype(np.int32)), "e": pa.array(le.astype(np.int32))})
+        rt = pa.table({"rid": pa.array(np.arange(m)), "s": pa.array(rs.astype(np.int32)), "e": pa.array(re.astype(np.int32))})
+    else:
+        ls = np.round(rng.uniform(0, 500, n), 3); le = ls + np.round(rng.uniform(0, 8, n), 3)
+        rs = np.round(rng.uniform(0, 500, m), 3); re = rs + np.round(rng.uniform(0, 8, m), 3)
+        lt = pa.table({"lid": pa.array(np.arange(n)), "s": pa.array(ls), "e": pa.array(le)})
+        rt = pa.table({"rid": pa.array(np.arange(m)), "s": pa.array(rs), "e": pa.array(re)})
+    kw = dict(
+        by=[("s", "s"), ("e", "e")], overlap_type=overlap, maxgap=maxgap,
+        minoverlap=minov, interval_mode=mode, left_id="lid", right_id="rid",
+    )
+    a = fuzzy_interval_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="broadcast", **kw)
+    b = fuzzy_interval_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="blocked", **kw)
+    ka = sorted((r["lid"], r["rid"]) for r in a.take_all())
+    kb = sorted((r["lid"], r["rid"]) for r in b.take_all())
+    assert ka == kb, (mode, overlap, maxgap, minov, len(ka), len(kb))
