@@ -137,7 +137,8 @@ def _difference_query(sf_dir: str):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     out = fuzzy_difference_join(
-        li, orders, by={"l_extendedprice": "o_totalprice"}, max_distance=5.0, distance_col="pd"
+        li, orders, by={"l_extendedprice": "o_totalprice"}, max_distance=5.0, distance_col="pd",
+        right_id="o_orderkey",
     )
     return _round_col(out, "pd")
 
@@ -148,7 +149,8 @@ def _temporal_query(sf_dir: str):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     out = fuzzy_temporal_join(
-        li, orders, by={"l_shipdate": "o_orderdate"}, max_distance=1, unit="days", distance_col="sd"
+        li, orders, by={"l_shipdate": "o_orderdate"}, max_distance=1, unit="days", distance_col="sd",
+        right_id="o_orderkey",
     )
     return _round_col(out, "sd")
 
@@ -182,7 +184,7 @@ def _temporal_interval_query(sf_dir: str):
     )
     return fuzzy_temporal_interval_join(
         orders, li, by=[("os", "ls"), ("oe", "le")], overlap_type="any", maxgap=0.0,
-        minoverlap=0.0, unit="days",
+        minoverlap=0.0, unit="days", left_id="o_orderkey",
     )
 
 
@@ -207,7 +209,8 @@ def _interval_real_query(sf_dir: str):
         batch_format="pyarrow",
     )
     return fuzzy_interval_join(
-        orders, li, by=[("os", "ls"), ("oe", "le")], overlap_type="any", maxgap=0.0, minoverlap=0.0
+        orders, li, by=[("os", "ls"), ("oe", "le")], overlap_type="any", maxgap=0.0,
+        minoverlap=0.0, left_id="o_orderkey",
     )
 
 
@@ -227,7 +230,8 @@ def _interval_int_query(sf_dir: str):
         )
 
     return fuzzy_interval_join(
-        mk("a"), mk("b"), by=[("as", "bs"), ("ae", "be")], overlap_type="any", maxgap=0, minoverlap=0
+        mk("a"), mk("b"), by=[("as", "bs"), ("ae", "be")], overlap_type="any", maxgap=0,
+        minoverlap=0, left_id="a_pk", right_id="b_pk",
     )
 
 
@@ -262,6 +266,8 @@ def _distance_query(method):
             method=method,
             max_distance=2.0,
             distance_col="d",
+            left_id="a_pk",
+            right_id="b_pk",
         )
         return _round_col(out, "d")
 
@@ -338,6 +344,20 @@ def _embedding_dup_query(sf_dir: str):
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = embedding_dup_pairs(emb, threshold=0.4, id_col="vec_id", dtype=np.float64)
+    return _round_col(out, "cosine", 4)
+
+
+def _embedding_dup_bucketed_query(sf_dir: str):
+    """Scale path: IVF-bucketed near-dup pair generation (no driver-side
+    O(n^2) matmul); pytest asserts recall >= 0.95 vs the brute-force
+    oracle, the driver records rows-only."""
+    from fozziejoin_ray.pipelines.ann import embedding_dup_pairs_bucketed
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_dup_pairs_bucketed(
+        emb, threshold=0.4, id_col="vec_id", n_centroids=16, assign_probes=4,
+        num_partitions=8, dtype=np.float64,
+    )
     return _round_col(out, "cosine", 4)
 
 
@@ -532,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _dedup_simhash_query,
         "dedup_ngram_jaccard": _dedup_ngram_query,
         "embedding_dup": _embedding_dup_query,
+        "embedding_dup_bucketed": _embedding_dup_bucketed_query,
         "ann_topk": _ann_topk_query,
         "ann_ivf": _ann_ivf_query,
         # text analysis

@@ -111,7 +111,8 @@ class RightIntervalIndex:
     vectorized stand-in for the reference's interval tree
     (/root/reference/src/rust/src/interval/real.rs:68-88)."""
 
-    def __init__(self, rs: np.ndarray, re: np.ndarray, rids: np.ndarray):
+    def __init__(self, rs: np.ndarray, re: np.ndarray, rids: np.ndarray, rid_type=None):
+        self.rid_type = rid_type  # arrow type: empty batches must emit typed ids
         order = np.argsort(rs, kind="stable")
         self.rs = rs[order]
         self.re = re[order]
@@ -168,8 +169,8 @@ class BroadcastIntervalScorer:
         rpos = rpos[keep]
         return pa.table(
             {
-                LID: pa.array(lids[lrow]),
-                RID: pa.array(idx.rids[rpos]),
+                LID: pa.array(lids[lrow], type=batch.schema.field(cfg["lid"]).type),
+                RID: pa.array(idx.rids[rpos], type=idx.rid_type),
             }
         )
 
@@ -448,7 +449,9 @@ def fuzzy_interval_join(
         bad = int(np.nonzero(rs > re)[0][0]) + 1
         raise ValueError(f"Invalid interval in df2 at row {bad}: start > end")
     index_ref = ray.put(
-        RightIntervalIndex(rs, re, rt.column(rid).to_numpy(zero_copy_only=False))
+        RightIntervalIndex(
+            rs, re, rt.column(rid).to_numpy(zero_copy_only=False), rt.schema.field(rid).type
+        )
     )
     cfg = {
         "left_start": by[0][0],

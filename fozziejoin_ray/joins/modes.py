@@ -172,8 +172,13 @@ def assemble(
             left_schema=j_schema,
             right_schema=rschema_r,
         )
+        # hash_join coalesces each join key under the edge-side name
+        # (LID/RID); when the ids are real user columns (left_id/right_id
+        # passed) they must reappear under their own names in the output
         return _project(
-            j, keep_l + keep_r + list(distance_cols), dict(zip(edge_dist, distance_cols))
+            j,
+            keep_l + keep_r + list(distance_cols),
+            {**dict(zip(edge_dist, distance_cols)), LID: lid_r, RID: rid_r},
         )
 
     if how == "inner":

@@ -53,9 +53,12 @@ def _numeric_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 class RightDifferenceIndex:
-    def __init__(self, key_values: np.ndarray, rids: np.ndarray, extra: dict[str, np.ndarray]):
+    def __init__(
+        self, key_values: np.ndarray, rids: np.ndarray, extra: dict[str, np.ndarray], rid_type=None
+    ):
         valid = ~np.isnan(key_values)
         self.rids = rids
+        self.rid_type = rid_type  # arrow type: empty batches must emit typed ids
         self.extra = extra
         self.valid_pos = np.nonzero(valid)[0]
         vals = key_values[valid]
@@ -101,7 +104,10 @@ class BroadcastDifferenceScorer:
             rpos = rpos[keep2]
             dists = [d[keep2] for d in dists] + [dk[keep2]]
 
-        cols = {LID: pa.array(lids[lrow]), RID: pa.array(idx.rids[rpos])}
+        cols = {
+            LID: pa.array(lids[lrow], type=batch.schema.field(cfg["lid"]).type),
+            RID: pa.array(idx.rids[rpos], type=idx.rid_type),
+        }
         for name, d in zip(dist_names(len(by)), dists):
             cols[name] = pa.array(d, type=pa.float64())
         return pa.table(cols)
@@ -242,6 +248,7 @@ def _blocked_difference_edges(
 
 
 def _collect_right_numeric(right: rd.Dataset, rid: str, by) -> tuple:
+    # returns (key values, rid values, rid arrow type, extra key arrays)
     cols = [rid] + sorted({r for _, r in by})
     tables = [
         t
@@ -252,7 +259,12 @@ def _collect_right_numeric(right: rd.Dataset, rid: str, by) -> tuple:
         raise ValueError("right dataset is empty with no schema")
     key0 = by[0][1]
     extra = {r: _numeric_np(rt.column(r)) for _, r in by[1:]}
-    return _numeric_np(rt.column(key0)), rt.column(rid).to_numpy(zero_copy_only=False), extra
+    return (
+        _numeric_np(rt.column(key0)),
+        rt.column(rid).to_numpy(zero_copy_only=False),
+        rt.schema.field(rid).type,
+        extra,
+    )
 
 
 def fuzzy_difference_join(
@@ -306,8 +318,8 @@ def fuzzy_difference_join(
             n_dist=len(by),
         )
 
-    key_vals, rids, extra = _collect_right_numeric(right, rid, by)
-    index_ref = ray.put(RightDifferenceIndex(key_vals, rids, extra))
+    key_vals, rids, rid_type, extra = _collect_right_numeric(right, rid, by)
+    index_ref = ray.put(RightDifferenceIndex(key_vals, rids, extra, rid_type))
     cfg = {"by": by, "lid": lid, "max_distance": float(max_distance)}
     left_cols = [lid] + sorted({l for l, _ in by})
     edges = left.select_columns(left_cols).map_batches(
@@ -333,9 +345,10 @@ def fuzzy_difference_join(
 
 
 class RightDistanceIndex:
-    def __init__(self, matrix: np.ndarray, rids: np.ndarray):
+    def __init__(self, matrix: np.ndarray, rids: np.ndarray, rid_type=None):
         self.matrix = matrix  # (m, k) float64, NaN for nulls
         self.rids = rids
+        self.rid_type = rid_type  # arrow type: empty batches must emit typed ids
 
 
 class BroadcastDistanceScorer:
@@ -376,8 +389,10 @@ class BroadcastDistanceScorer:
         d = np.concatenate(dvals) if dvals else np.empty(0, np.float64)
         return pa.table(
             {
-                LID: pa.array(lids[lrow.astype(np.int64)]),
-                RID: pa.array(self.idx.rids[rrow.astype(np.int64)]),
+                LID: pa.array(
+                    lids[lrow.astype(np.int64)], type=batch.schema.field(cfg["lid"]).type
+                ),
+                RID: pa.array(self.idx.rids[rrow.astype(np.int64)], type=self.idx.rid_type),
                 "__fj_d0": pa.array(d, type=pa.float64()),
             }
         )
@@ -416,7 +431,11 @@ def fuzzy_distance_join(
     )
     rt = pa.concat_tables(tables)
     matrix = np.column_stack([_numeric_np(rt.column(r)) for _, r in by])
-    index_ref = ray.put(RightDistanceIndex(matrix, rt.column(rid).to_numpy(zero_copy_only=False)))
+    index_ref = ray.put(
+        RightDistanceIndex(
+            matrix, rt.column(rid).to_numpy(zero_copy_only=False), rt.schema.field(rid).type
+        )
+    )
     cfg = {"by": by, "lid": lid, "max_distance": float(max_distance), "method": method}
     left_cols = [lid] + sorted({l for l, _ in by})
     edges = left.select_columns(left_cols).map_batches(

@@ -30,7 +30,8 @@ from .string_join import LID, RID
 
 
 class RightPatternIndex:
-    def __init__(self, patterns: np.ndarray, rids: np.ndarray, ignore_case: bool):
+    def __init__(self, patterns: np.ndarray, rids: np.ndarray, ignore_case: bool, rid_type=None):
+        self.rid_type = rid_type  # arrow type: empty batches must emit typed ids
         import pyarrow.compute as pc
 
         flags = re.IGNORECASE if ignore_case else 0
@@ -99,7 +100,12 @@ class BroadcastRegexScorer:
         else:
             out_l = lids[:0]
             out_r = self.idx.compiled[0][2][:0] if self.idx.compiled else np.empty(0, np.int64)
-        return pa.table({LID: pa.array(out_l), RID: pa.array(out_r)})
+        return pa.table(
+            {
+                LID: pa.array(out_l, type=batch.schema.field(cfg["lid"]).type),
+                RID: pa.array(out_r, type=self.idx.rid_type),
+            }
+        )
 
 
 def fuzzy_regex_join(
@@ -131,6 +137,7 @@ def fuzzy_regex_join(
         rt.column(by[0][1]).to_numpy(zero_copy_only=False),
         rt.column(rid).to_numpy(zero_copy_only=False),
         ignore_case,
+        rid_type=rt.schema.field(rid).type,
     )
     index_ref = ray.put(index)
     cfg = {"left_key": by[0][0], "lid": lid}

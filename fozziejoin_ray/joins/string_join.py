@@ -70,11 +70,13 @@ class RightStringIndex:
         method: str,
         max_distance: float,
         q: int,
+        rid_type: "pa.DataType | None" = None,
     ):
         self.method = canon_method(method)
         self.max_distance = max_distance
         self.q = q
         self.rids = rids
+        self.rid_type = rid_type  # arrow type: empty batches must emit typed ids
         self.extra = extra
 
         uval_rows: dict[str, list[int]] = defaultdict(list)
@@ -239,7 +241,7 @@ class BroadcastStringScorer:
 
         cols: dict[str, pa.Array] = {
             LID: pa.array(lids[lrow]),
-            RID: pa.array(idx.rids[rrow]),
+            RID: pa.array(idx.rids[rrow], type=idx.rid_type),
         }
         for name, d in zip(dist_names(len(by)), dists):
             cols[name] = pa.array(d, type=pa.float64())
@@ -247,7 +249,7 @@ class BroadcastStringScorer:
 
     def _empty_result(self, batch: pa.Table, cfg: dict) -> pa.Table:
         lid_type = batch.schema.field(cfg["lid"]).type
-        rid_type = pa.array(self.idx.rids[:0]).type if len(self.idx.rids) else pa.int64()
+        rid_type = self.idx.rid_type or pa.int64()
         cols = {
             LID: pa.array([], type=lid_type),
             RID: pa.array([], type=rid_type),
@@ -295,6 +297,7 @@ def build_edges_broadcast(
         method,
         max_distance,
         q,
+        rid_type=rt.schema.field(rid).type,
     )
     index_ref = ray.put(index)
     cfg = {

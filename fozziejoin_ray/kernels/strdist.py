@@ -15,13 +15,13 @@ Distance semantics mirror the reference's kernels (rapidfuzz-backed Rust,
   cf. jaro_winkler.rs:66-68 (defaults 0/0 reduce to pure Jaro).
 
 Execution strategy: DuckDB's C++ ``levenshtein`` / ``damerau_levenshtein``
-/ ``jaro_similarity`` kernels are *byte*-based, so ASCII batches go
-straight through DuckDB; batches containing non-ASCII characters are
-transparently remapped (each distinct non-ASCII char -> one unused byte
-0x80..0xFF) so byte distance == char distance, with a pure-Python
-fallback if a batch somehow has >128 distinct non-ASCII chars. osa /
-lcs / hamming use numpy batch DP (min-plus / max scans vectorized over
-the pair axis).
+/ ``jaro_similarity`` kernels are *byte*-based, so a char == a byte only
+for ASCII: pairs where both strings are ASCII (the overwhelming common
+case) go through DuckDB's vectorized kernel, and any pair containing a
+non-ASCII character takes the per-pair pure-Python char-based fallback
+(``_duckdb_char_metric``) — correct but slower; heavily non-ASCII
+corpora would want a codepoint-remap fast path. osa / lcs / hamming use
+numpy batch DP (min-plus / max scans vectorized over the pair axis).
 
 All kernels take aligned lists of non-null strings and return float64
 distances. Callers apply the inclusive ``dist <= max_distance`` filter

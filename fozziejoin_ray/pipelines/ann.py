@@ -122,13 +122,7 @@ def ivf_topk(
     """IVF-style approximate top-k: centroids from a deterministic seeded
     sample; each vector shuffles once to its centroid bucket; each query
     probes only its ``nprobe`` nearest buckets."""
-    sample = ds.limit(max(n_centroids * 8, 256))
-    st = pa.concat_tables(
-        list(sample.iter_batches(batch_size=None, batch_format="pyarrow"))
-    )
-    S = _normalize(_embed_matrix(st, embed_col))
-    rng = np.random.RandomState(seed)
-    centroids = _normalize(S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)])
+    centroids = _sample_centroids(ds, embed_col, n_centroids, seed)
     cref = ray.put(centroids)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -183,6 +177,125 @@ def ivf_topk(
     cand = bucketed.groupby("__ivf_bucket").map_groups(score_bucket, batch_format="pyarrow")
 
     return cand.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
+def _sample_centroids(
+    ds: rd.Dataset, embed_col: str, n_centroids: int, seed: int
+) -> np.ndarray:
+    sample = ds.limit(max(n_centroids * 8, 256))
+    st = pa.concat_tables(
+        list(sample.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    S = _normalize(_embed_matrix(st, embed_col))
+    rng = np.random.RandomState(seed)
+    return _normalize(S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)])
+
+
+def embedding_dup_pairs_bucketed(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    assign_probes: int = 2,
+    seed: int = 17,
+    num_partitions: int = 32,
+    dtype=np.float32,
+) -> rd.Dataset:
+    """Near-duplicate pairs (cosine >= threshold, a < b) WITHOUT the
+    driver-side O(n^2) matmul: each vector is multi-assigned to its
+    ``assign_probes`` nearest centroid buckets (raising recall for pairs
+    straddling a centroid boundary), each bucket computes its local
+    chunked gram matrix, and cross-bucket duplicate pairs are dropped by
+    a hash-partitioned dedup. Precision is exact (in-bucket cosine is the
+    real cosine); recall is approximate — a dup pair is missed only if
+    the two vectors share none of their probe buckets, which high-cosine
+    pairs rarely do (tested >= 0.95 vs brute force on the fixture).
+    This is the 100 TB path; :func:`embedding_dup_pairs` stays as the
+    exact oracle for small inputs."""
+    import pandas as pd
+
+    centroids = _sample_centroids(ds, embed_col, n_centroids, seed)
+    cref = ray.put(centroids)
+    probes = min(assign_probes, len(centroids))
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _normalize(_embed_matrix(t, embed_col))
+        sims = X @ C.T
+        top = np.argpartition(-sims, probes - 1, axis=1)[:, :probes] if probes < sims.shape[1] else np.argsort(-sims, axis=1)
+        rows = np.repeat(np.arange(t.num_rows), probes)
+        emb = t[embed_col].combine_chunks() if isinstance(t[embed_col], pa.ChunkedArray) else t[embed_col]
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        take = pa.array(rows)
+        return pa.table(
+            {
+                "__eb": pa.array(top.ravel().astype(np.int64)),
+                id_col: idc.take(take),
+                embed_col: emb.take(take),
+            }
+        )
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        idt = t.schema.field(id_col).type
+        empty = pa.table(
+            {"a": pa.array([], idt), "b": pa.array([], idt), "cosine": pa.array([], pa.float64())}
+        )
+        if t.num_rows < 2:
+            return empty
+        X = _normalize(_embed_matrix(t, embed_col, dtype))
+        ids = (
+            t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        ).to_numpy(zero_copy_only=False)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, 8_000_000 // max(1, len(X)))
+        for s in range(0, len(X), chunk):
+            sims = X[s : s + chunk] @ X.T
+            li, ri = np.nonzero(sims >= threshold)
+            a = ids[li + s]
+            b = ids[ri]
+            m = a < b
+            if m.any():
+                out_a.append(a[m])
+                out_b.append(b[m])
+                out_s.append(sims[li, ri][m].astype(np.float64))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), idt),
+                "b": pa.array(np.concatenate(out_b), idt),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    pairs = (
+        ds.select_columns([id_col, embed_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("__eb")
+        .map_groups(score_bucket, batch_format="pyarrow")
+    )
+
+    # pairs sharing several probe buckets appear once per shared bucket
+    def add_pp(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        h = pd.util.hash_array(
+            np.asarray(a.to_numpy(zero_copy_only=False)), categorize=False
+        ) * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(
+            np.asarray(b.to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return t.append_column("__pp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def dedup_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(["a", "b"]).drop(columns=["__pp"])
+
+    return (
+        pairs.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
 
 
 class _DupScorer:

@@ -558,7 +558,7 @@ def ngram_jaccard_dedup(
     *,
     shingle_k: int = 5,
     threshold: float = 0.8,
-    max_block_emit: int = 24,
+    max_block_emit: int | None = None,
     num_partitions: int = 32,
     id_type=None,
 ) -> rd.Dataset:
@@ -566,7 +566,14 @@ def ngram_jaccard_dedup(
     approximation, for thresholds > 0.5: block on the ``m`` smallest
     shingle hashes (prefix filtering — two sets with jaccard >= t must
     share one of each other's smallest ceil((1-t)|S|)+1 hashes); verify
-    exact jaccard in-group."""
+    exact jaccard in-group.
+
+    Exactness caveats: setting ``max_block_emit`` truncates the prefix
+    for long documents (breaking the prefix-filter completeness
+    guarantee — that is why it defaults to None), and candidate buckets
+    larger than :func:`_pairs_from_buckets`'s ``max_bucket`` cap are
+    dropped (stop-word shingles); both are recall trade-offs to opt
+    into, not defaults."""
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -577,7 +584,9 @@ def ngram_jaccard_dedup(
             if not len(sh):
                 continue
             prefix = int(np.ceil((1 - threshold) * len(sh))) + 1
-            prefix = min(prefix, max_block_emit, len(sh))
+            prefix = min(prefix, len(sh))
+            if max_block_emit is not None:
+                prefix = min(prefix, max_block_emit)
             for h in sh[:prefix]:  # shingles sorted by hash
                 out_bucket.append(str(h))
                 out_id.append(d)

@@ -291,8 +291,13 @@ def test_difference_blocked_equals_broadcast(how):
     b = fuzzy_difference_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="blocked", **kw)
 
     def canon(out):
+        def v(x):  # NaN != NaN fails equality; None/float mix breaks sorted()
+            if isinstance(x, float) and math.isnan(x):
+                return "NaN"
+            return repr(x)
+
         rows = out.take_all()
-        return sorted(tuple(sorted(r.items())) for r in rows)
+        return sorted(tuple(sorted((k, v(x)) for k, x in r.items())) for r in rows)
 
     assert canon(a) == canon(b), how
 

@@ -169,3 +169,66 @@ def test_media_plumbing():
     frames = sample_frames(vids, k=4, fake=True).take_all()
     assert len(frames) == 20
     assert {r["frame"] for r in frames} == {0, 1, 2, 3}
+
+
+def _clustered_embeddings(n_clusters=24, per=8, d=16, seed=9):
+    """Clusters of near-identical vectors: every within-cluster pair has
+    cosine near 1 — dense ground truth for dup-pair recall."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, d).astype(np.float32)
+    M = np.concatenate(
+        [c + rng.randn(per, d).astype(np.float32) * 0.02 for c in centers]
+    )
+    return M
+
+
+def test_embedding_dup_bucketed_matches_bruteforce():
+    from fozziejoin_ray.pipelines.ann import embedding_dup_pairs_bucketed
+
+    M = _clustered_embeddings()
+    exact = {(r["a"], r["b"]) for r in embedding_dup_pairs(emb_ds(M), threshold=0.9).take_all()}
+    approx_rows = embedding_dup_pairs_bucketed(
+        emb_ds(M), threshold=0.9, n_centroids=16, assign_probes=2, num_partitions=4
+    ).take_all()
+    approx = {(r["a"], r["b"]) for r in approx_rows}
+    assert len(approx_rows) == len(approx)  # cross-bucket dedup: exactly once
+    assert approx <= exact  # in-bucket cosine is exact -> precision 1.0
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, (recall, len(exact))
+
+
+def test_ivf_topk_recall_vs_exact():
+    """Measured quality bar for the approximate path: recall@k >= 0.9
+    against the exact brute-force top-k on the same queries."""
+    M = _rand_embeddings(512, 16, seed=11)
+    Q = M[:8]
+    qids = list(range(8))
+    exact = ann_topk(emb_ds(M), Q, qids, k=10).take_all()
+    approx = ivf_topk(emb_ds(M), Q, qids, k=10, n_centroids=16, nprobe=8).take_all()
+
+    def by_q(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, a = by_q(exact), by_q(approx)
+    hits = sum(len(e[q] & a.get(q, set())) for q in e)
+    total = sum(len(e[q]) for q in e)
+    assert hits / total >= 0.9, hits / total
+
+
+def test_io_roundtrip_and_lance_gate(tmp_path):
+    from fozziejoin_ray.sources.io import read_table, write_table
+
+    ds = docs_ds()
+    write_table(ds, str(tmp_path / "t"))
+    back = read_table(str(tmp_path / "t"), columns=["doc_id"])
+    assert back.count() == len(TEXTS)
+    assert back.schema().names == ["doc_id"]
+    import pytest as _pytest
+
+    with _pytest.raises((ImportError, ValueError)):
+        read_table(str(tmp_path / "t"), format="lance")
+    with _pytest.raises(ValueError):
+        read_table(str(tmp_path / "t"), format="csvx")

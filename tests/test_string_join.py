@@ -225,3 +225,25 @@ def test_by_none_shared_columns(tables):
     l, r = tables
     out = fuzzy_string_join(l, r, by=None, method="lv", how="inner", max_distance=1)
     assert len(out.take_all()) == 4
+
+
+def test_dictionary_payload_preserved():
+    """Factor columns map to dictionary<int32,string> (SURVEY §1.2); like
+    the reference's attribute preservation (merge/mod.rs:32-80) a
+    dictionary payload column must survive join assembly with its values
+    intact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fozziejoin_ray import fuzzy_string_join
+
+    cat = pa.array(["red", "blue", "red"]).dictionary_encode()
+    left = rd.from_arrow(
+        pa.table({"name": ["alpha", "beta", "gama"], "color": cat})
+    )
+    right = rd.from_arrow(pa.table({"cand": ["alpho", "gamma", "delta"]}))
+    out = fuzzy_string_join(
+        left, right, by={"name": "cand"}, method="lv", max_distance=1, how="inner"
+    )
+    rows = sorted((r["name"], r["cand"], r["color"]) for r in out.take_all())
+    assert rows == [("alpha", "alpho", "red"), ("gama", "gamma", "red")]
