@@ -139,11 +139,56 @@ def q_linkage_edges():
     return {"rows": edges.count()}
 
 
+def q_difference_blocked():
+    """Both-sides-large path: same difference join, forced through the
+    grid-bucket shuffle (no driver-side broadcast of the right side)."""
+    import ray.data as rd
+
+    from fozziejoin_ray import fuzzy_difference_join
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = fuzzy_difference_join(
+        li, orders, by={"l_extendedprice": "o_totalprice"}, max_distance=2.0,
+        strategy="blocked", right_id="o_orderkey", num_partitions=64,
+    )
+    return {"rows": out.count()}
+
+
+def q_interval_blocked():
+    """Both-sides-large path: same interval join through number-line tiles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fozziejoin_ray import fuzzy_interval_join
+
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "os": t["o_totalprice"], "oe": pc.add(t["o_totalprice"], 10.0)}
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "ls": t["l_extendedprice"], "le": pc.add(t["l_extendedprice"], 5.0)}
+        ),
+        batch_format="pyarrow",
+    )
+    out = fuzzy_interval_join(
+        orders, li, by=[("os", "ls"), ("oe", "le")], overlap_type="any",
+        strategy="blocked", left_id="o_orderkey", num_partitions=64,
+    )
+    return {"rows": out.count()}
+
+
 QUERIES = {
     "linkage": q_linkage,
     "linkage_edges": q_linkage_edges,
     "difference": q_difference,
+    "difference_blocked": q_difference_blocked,
     "interval": q_interval,
+    "interval_blocked": q_interval_blocked,
     "dedup_minhash": q_dedup_minhash,
 }
 
@@ -185,9 +230,12 @@ def run_bench() -> dict:
 
 
 def run_scaling():
-    # a larger corpus for the scaling criterion: fixed per-stage latency
-    # (shuffle rounds, plan startup) amortizes, exposing the compute scaling
-    n_scaling = os.environ.get("GRAFT_N_DOCS_SCALING", "480000")
+    # The edges stage is compute-dominated at 120k docs already (the
+    # candidate set grows ~quadratically with corpus size on this dense
+    # match relation: 480k docs -> 23.1M edges, ~485s at 32 cpus), so the
+    # default scaling corpus keeps both legs to minutes; override with
+    # GRAFT_N_DOCS_SCALING for the big-corpus row in BASELINE.md.
+    n_scaling = os.environ.get("GRAFT_N_DOCS_SCALING", "120000")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_N_DOCS=n_scaling)

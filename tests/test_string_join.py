@@ -247,3 +247,99 @@ def test_dictionary_payload_preserved():
     )
     rows = sorted((r["name"], r["cand"], r["color"]) for r in out.take_all())
     assert rows == [("alpha", "alpho", "red"), ("gama", "gamma", "red")]
+
+
+# ------------------------------------------------ committed fixture hashes
+
+
+def _osa_ref(a, b):
+    """Independent textbook OSA DP (restricted Damerau-Levenshtein)."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = a[i - 1] != b[j - 1]
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def _lcs_ref(a, b):
+    """Independent textbook LCS length; distance = m+n-2*LCS."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            d[i][j] = d[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1] else max(d[i - 1][j], d[i][j - 1])
+    return la + lb - 2 * d[la][lb]
+
+
+def _mutation_corpus():
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    base = ["liam", "noah", "oliver", "theodore", "james", "olivia", "emma", "amelia",
+            "charlotte", "mia", "lucas", "mason", "ethan", "harper", "evelyn", "sofia"]
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def mutate(w):
+        i = rng.randint(len(w))
+        op = rng.randint(3)
+        if op == 0:
+            return w[:i] + alpha[rng.randint(26)] + w[i + 1:]
+        if op == 1:
+            return w[:i] + alpha[rng.randint(26)] + w[i:]
+        return w[:i] + w[i + 1:] if len(w) > 1 else w
+
+    L = sorted({mutate(w) for w in base for _ in range(8)})
+    R = sorted(set(base) | {mutate(w) for w in base for _ in range(4)})
+    return L, R
+
+
+# engine output on the deterministic mutation corpus: (method, maxd,
+# expected row count, sha256[:16] of canonical rows). The driver's DuckDB
+# oracle cannot express these kernels; the hash makes the fixture result
+# replayable across rounds, and osa/lcs are additionally cross-checked
+# against the independent DPs above.
+_FIXTURE_HASHES = [
+    ("osa", 1, 189, "d6b45ebef67943a1"),
+    ("lcs", 2, 406, "5c9f14a3d670bc07"),
+    ("soundex", 0, 103, "d8619807ef8c9dfc"),
+]
+
+
+@pytest.mark.parametrize("method,maxd,nrows,want", _FIXTURE_HASHES)
+def test_fixture_hash_osa_lcs_soundex(method, maxd, nrows, want):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    L, R = _mutation_corpus()
+    out = fuzzy_string_join(
+        rd.from_arrow(pa.table({"wl": L})),
+        rd.from_arrow(pa.table({"wr": R})),
+        by={"wl": "wr"},
+        method=method,
+        max_distance=maxd,
+        how="inner",
+        distance_col="d" if method != "soundex" else None,
+    )
+    rows = sorted(tuple(sorted(x.items())) for x in out.take_all())
+    assert len(rows) == nrows
+    assert hashlib.sha256(repr(rows).encode()).hexdigest()[:16] == want
+
+    if method in ("osa", "lcs"):
+        ref = _osa_ref if method == "osa" else _lcs_ref
+        expected = sorted(
+            (("d", float(ref(a, b))), ("wl", a), ("wr", b))
+            for a in L
+            for b in R
+            if ref(a, b) <= maxd
+        )
+        assert rows == expected
