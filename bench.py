@@ -230,12 +230,12 @@ def run_bench() -> dict:
 
 
 def run_scaling():
-    # The edges stage is compute-dominated at 120k docs already (the
-    # candidate set grows ~quadratically with corpus size on this dense
-    # match relation: 480k docs -> 23.1M edges, ~485s at 32 cpus), so the
-    # default scaling corpus keeps both legs to minutes; override with
-    # GRAFT_N_DOCS_SCALING for the big-corpus row in BASELINE.md.
-    n_scaling = os.environ.get("GRAFT_N_DOCS_SCALING", "120000")
+    # The scaling criterion runs at 480k docs: at 120k the (now fast)
+    # edges stage is dominated by fixed shuffle/startup latency
+    # (efficiency ~0.60), while 480k amortizes it (measured 0.81,
+    # BENCH_scaling_r02.json). Full --scaling takes ~25 min (three legs,
+    # the 8-cpu one ~820s); override GRAFT_N_DOCS_SCALING to go smaller.
+    n_scaling = os.environ.get("GRAFT_N_DOCS_SCALING", "480000")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_N_DOCS=n_scaling)
