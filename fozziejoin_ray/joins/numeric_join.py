@@ -398,6 +398,106 @@ class BroadcastDistanceScorer:
         )
 
 
+def _blocked_distance_edges(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by,
+    lid: str,
+    rid: str,
+    max_distance: float,
+    method: str,
+    num_partitions: int,
+) -> rd.Dataset:
+    """Both-sides-large distance join: grid-bucket shuffle on the FIRST
+    key dimension instead of a driver-side broadcast matrix. Any pair
+    with euclidean/manhattan distance <= d has per-coordinate |diff|
+    <= d, so bucketing dim 0 at width ``max_distance`` (rights home,
+    lefts ±1, reference grid design difference/mod.rs:19-54) loses no
+    pairs; inside each partition rights are sorted by dim 0, every left
+    probes a searchsorted window clipped to its bucket's segment, and
+    the full k-dim distance is computed vectorized on the window pairs.
+    """
+    import pandas as pd
+
+    maxd = float(max_distance)
+    width = maxd if maxd > 0 else 1.0
+    lkeys = [l for l, _ in by]
+    rkeys = [r for _, r in by]
+    nkeys = len(by)
+
+    el = left.select_columns([lid] + sorted(set(lkeys))).map_batches(
+        _diff_emit(0, lid, lkeys, width), batch_format="pyarrow"
+    )
+    er = right.select_columns([rid] + sorted(set(rkeys))).map_batches(
+        _diff_emit(1, rid, rkeys, width), batch_format="pyarrow"
+    )
+    emitted = el.union(er)
+
+    def add_bp(t: pa.Table) -> pa.Table:
+        col = t[_NB].combine_chunks() if isinstance(t[_NB], pa.ChunkedArray) else t[_NB]
+        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def score_part(t: pa.Table) -> pa.Table:
+        idt = t.schema.field(_NI).type
+        empty = pa.table(
+            {LID: pa.array([], idt), RID: pa.array([], idt), "__fj_d0": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        side = t[_NS].to_numpy(zero_copy_only=False)
+        bkt = t[_NB].to_numpy(zero_copy_only=False)
+        ids = (
+            t[_NI].combine_chunks() if isinstance(t[_NI], pa.ChunkedArray) else t[_NI]
+        ).to_numpy(zero_copy_only=False)
+        vals = [t[f"__nb_v{i}"].to_numpy(zero_copy_only=False) for i in range(nkeys)]
+        lpos = np.nonzero(side == 0)[0]
+        rpos = np.nonzero(side == 1)[0]
+        if not len(lpos) or not len(rpos):
+            return empty
+        rv = vals[0][rpos]
+        order = np.argsort(rv, kind="stable")  # floor(v/w) is monotone in v
+        rv_s = rv[order]
+        rb_s = bkt[rpos][order]
+        rpos_s = rpos[order]
+        x = vals[0][lpos]
+        lb = bkt[lpos]
+        seg_lo = np.searchsorted(rb_s, lb, side="left")
+        seg_hi = np.searchsorted(rb_s, lb, side="right")
+        vlo = np.searchsorted(rv_s, x - maxd, side="left")
+        vhi = np.searchsorted(rv_s, x + maxd, side="right")
+        lo = np.maximum(seg_lo, vlo)
+        hi = np.minimum(seg_hi, vhi)
+        counts = np.maximum(hi - lo, 0)
+        lrow = np.repeat(np.arange(len(lpos)), counts)
+        spos = _concat_ranges(lo, counts)
+        rsel = rpos_s[spos]
+        if method == "manhattan":
+            D = np.abs(x[lrow] - rv_s[spos])
+            for ki in range(1, nkeys):
+                D += np.abs(vals[ki][lpos[lrow]] - vals[ki][rsel])
+        else:
+            D = (x[lrow] - rv_s[spos]) ** 2
+            for ki in range(1, nkeys):
+                diff = vals[ki][lpos[lrow]] - vals[ki][rsel]
+                D += diff * diff
+            D = np.sqrt(D)
+        keep = D <= maxd  # NaN in any dim fails -> NA never matches
+        return pa.table(
+            {
+                LID: pa.array(ids[lpos[lrow[keep]]], idt),
+                RID: pa.array(ids[rsel[keep]], idt),
+                "__fj_d0": pa.array(D[keep], pa.float64()),
+            }
+        )
+
+    return (
+        emitted.map_batches(add_bp, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(score_part, batch_format="pyarrow")
+    )
+
+
 def fuzzy_distance_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -413,17 +513,46 @@ def fuzzy_distance_join(
     concurrency=(1, 8),
     batch_size: int = 16384,
     drop_cols: tuple = (),
+    strategy: str = "auto",
+    broadcast_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """Ray-Data analog of ``fozzie_distance_join``
     (/root/reference/R/fozzie_distance_join.R:37-54): multi-column
     euclidean/manhattan distance within ``max_distance``. One distance
-    column regardless of key count (distance/mod.rs:108-122)."""
+    column regardless of key count (distance/mod.rs:108-122).
+
+    ``strategy``: "broadcast" ships the right (m, k) matrix to every
+    scorer actor; "blocked" grid-buckets BOTH sides on the first key at
+    width ``max_distance`` and shuffles (the path for two huge inputs);
+    "auto" picks blocked when the right side exceeds
+    ``broadcast_threshold`` rows."""
     check_mode(how)
     if method not in ("euclidean", "manhattan"):
         raise ValueError(f"unknown distance method {method!r}")
+    if strategy not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     by = normalize_by(by, left, right)
     left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
+
+    if strategy == "auto":
+        strategy = "blocked" if right.count() > broadcast_threshold else "broadcast"
+    if strategy == "blocked":
+        edges = _blocked_distance_edges(
+            left, right, by, lid, rid, float(max_distance), method, num_partitions
+        )
+        return assemble(
+            left,
+            right,
+            edges,
+            how=how,
+            lid=lid,
+            rid=rid,
+            distance_cols=[distance_col] if distance_col else [],
+            num_partitions=num_partitions,
+            drop_ids=["__fj_lid_src", "__fj_rid_src", *drop_cols],
+            n_dist=1,
+        )
 
     rcols = [rid] + [r for _, r in by]
     tables = list(

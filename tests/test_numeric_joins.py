@@ -206,6 +206,38 @@ def test_regex_invalid_pattern_errors():
         fuzzy_regex_join(l, r, by={"name": "pattern"}).take_all()
 
 
+def test_regex_multikey_and_refinement():
+    """Keys 2..n AND-refine per pair (regex/mod.rs:66-117; consistent
+    left-value/right-pattern orientation — documented divergence from the
+    reference's operand swap). NA and invalid refinement patterns drop
+    the pair silently (regex/mod.rs:98-101)."""
+    l = ds(name=["Alpha", "Amber", "beta", "Anna"],
+           city=["Austin", "Boston", "Austin", None])
+    r = ds(pattern=["^A", "^A", "^A", "a$"],
+           city_pat=["in$", "^B", "(", "ust"],
+           tag=["t1", "t2", "t3", "t4"])
+    out = fuzzy_regex_join(l, r, by=[("name", "pattern"), ("city", "city_pat")])
+    got = sorted((d["name"], d["tag"]) for d in out.take_all())
+    # Alpha: ^A + Austin~in$ (t1) and a$ + Austin~ust (t4); Amber: ^A +
+    # Boston~^B (t2); beta: a$ + Austin~ust (t4); Anna: city None drops all;
+    # the invalid "(" refinement pattern (t3) drops pairs silently
+    assert got == [("Alpha", "t1"), ("Alpha", "t4"), ("Amber", "t2"), ("beta", "t4")]
+
+
+def test_regex_sharded_equals_broadcast():
+    rng = np.random.RandomState(19)
+    names = ["".join(rng.choice(list("abcdef"), 6)) for _ in range(300)]
+    pats = [f"^{c1}.*{c2}$" for c1 in "abcdef" for c2 in "abcdef"]
+    l = ds(name=names)
+    r = ds(pattern=pats)
+    kw = dict(by={"name": "pattern"})
+    a = fuzzy_regex_join(l, r, strategy="broadcast", **kw)
+    b = fuzzy_regex_join(l, r, strategy="sharded", broadcast_threshold=7, **kw)
+    ka = sorted((d["name"], d["pattern"]) for d in a.take_all())
+    kb = sorted((d["name"], d["pattern"]) for d in b.take_all())
+    assert ka == kb and len(ka) > 0
+
+
 # ------------------------------------------------------------------ temporal
 
 
@@ -344,3 +376,37 @@ def test_interval_blocked_equals_broadcast(mode, overlap, maxgap, minov):
     ka = sorted((r["lid"], r["rid"]) for r in a.take_all())
     kb = sorted((r["lid"], r["rid"]) for r in b.take_all())
     assert ka == kb, (mode, overlap, maxgap, minov, len(ka), len(kb))
+
+
+@pytest.mark.parametrize("method,how", [
+    ("euclidean", "inner"),
+    ("euclidean", "left"),
+    ("euclidean", "full"),
+    ("manhattan", "inner"),
+    ("manhattan", "anti"),
+])
+def test_distance_blocked_equals_broadcast(method, how):
+    lt, rt = _rand_tables(seed=7, n=2500, m=2000)
+    # inject NA into a non-first dim: blocked must drop it like broadcast
+    lt = lt.set_column(
+        2, "y",
+        pa.array([None if i % 89 == 0 else v for i, v in enumerate(lt["y"].to_pylist())]),
+    )
+    kw = dict(
+        by=[("x", "x"), ("y", "y")], method=method, how=how, max_distance=2.0,
+        left_id="lid", right_id="rid",
+        distance_col="d" if how in ("inner", "left", "full") else None,
+    )
+    a = fuzzy_distance_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="broadcast", **kw)
+    b = fuzzy_distance_join(rd.from_arrow(lt), rd.from_arrow(rt), strategy="blocked", **kw)
+
+    def canon(out):
+        def v(x):
+            if isinstance(x, float):
+                return "NaN" if math.isnan(x) else repr(round(x, 9))
+            return repr(x)
+
+        rows = out.take_all()
+        return sorted(tuple(sorted((k, v(x)) for k, x in r.items())) for r in rows)
+
+    assert canon(a) == canon(b), (method, how)
