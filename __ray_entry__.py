@@ -754,4 +754,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((n_alpha / GREATEST(n_chars, 1.0)) *
                          (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) + n_punct / GREATEST(n_chars, 1.0), 1.0)), 6) AS quality
             FROM f""",
+        # Horner rolling hash, bases 31/131 mod 2^31-1, packed to 62 bits —
+        # exactly pipelines/text.py:fingerprint_docs (verified char-identical)
+        "doc_fingerprint": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS nt
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                CASE WHEN length(nt) = 0 THEN 0 ELSE list_reduce(
+                  list_transform(range(1, length(nt) + 1), i -> unicode(substr(nt, i, 1))::BIGINT),
+                  (a, c) -> (a * 31 + c) % 2147483647) END AS h31,
+                CASE WHEN length(nt) = 0 THEN 0 ELSE list_reduce(
+                  list_transform(range(1, length(nt) + 1), i -> unicode(substr(nt, i, 1))::BIGINT),
+                  (a, c) -> (a * 131 + c) % 2147483647) END AS h131
+              FROM norm
+            )
+            SELECT doc_id, h31 * 2147483648 + h131 AS fingerprint FROM h""",
     }
