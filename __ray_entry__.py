@@ -772,4 +772,57 @@ def oracle_sql() -> dict[str, str]:
               FROM norm
             )
             SELECT doc_id, h31 * 2147483648 + h131 AS fingerprint FROM h""",
+        # exact n-gram-Jaccard dup classes: distinct char 5-grams stand in
+        # for pipelines/dedup.py:char_shingles's distinct 64-bit hashes
+        # (injective on this corpus), recursive-CTE connected components
+        # with min-id labels matches cluster/union_find.py semantics
+        "dedup_ngram_jaccard": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, substr(text, CAST(i AS INT), 5) AS g
+                FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+                      FROM documents WHERE length(text) >= 5)
+                UNION ALL
+                SELECT doc_id, text AS g FROM documents
+                WHERE length(text) > 0 AND length(text) < 5
+              )
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            it AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+            e AS (SELECT it.a, it.b FROM it
+                  JOIN sz sa ON sa.doc_id = it.a JOIN sz sb ON sb.doc_id = it.b
+                  WHERE CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i) >= 0.6),
+            ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b AS src, a AS dst FROM e),
+            reach(node, comp) AS (
+              SELECT src, src FROM ed
+              UNION
+              SELECT ed.dst, r.comp FROM reach r JOIN ed ON ed.src = r.node),
+            lbl AS (SELECT node, MIN(comp) AS lbl FROM reach GROUP BY node)
+            SELECT d.doc_id AS doc_id, COALESCE(l.lbl, d.doc_id) AS dup_group
+            FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id""",
+        # flagship: _spansify key = first text span = first 3 words,
+        # method jaro_winkler with the reference's 0/0 prefix defaults
+        # (== pure jaro, strdist.py jw notes), blocking="exact" is the
+        # recall-complete all-pairs path, so the SQL cross join is the
+        # same pair space; min-id component labels, singletons to self
+        "linkage_clusters": r"""
+            WITH RECURSIVE k AS (
+              SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS did,
+                     array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 3), ' ') AS key
+              FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+            ),
+            e AS (SELECT a.did AS a, b.did AS b
+                  FROM k a JOIN k b ON a.did < b.did
+                  WHERE 1.0 - jaro_similarity(a.key, b.key) <= 0.12),
+            ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b AS src, a AS dst FROM e),
+            reach(node, comp) AS (
+              SELECT src, src FROM ed
+              UNION
+              SELECT ed.dst, r.comp FROM reach r JOIN ed ON ed.src = r.node),
+            lbl AS (SELECT node, MIN(comp) AS lbl FROM reach GROUP BY node)
+            SELECT d.did AS doc_id, COALESCE(l.lbl, d.did) AS cluster_id
+            FROM (SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS did FROM documents) d
+            LEFT JOIN lbl l ON l.node = d.did""",
     }

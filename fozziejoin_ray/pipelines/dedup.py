@@ -270,8 +270,38 @@ def _pairs_from_buckets(
         .map_groups(pairs_part, batch_format="pandas")
     )
     # a pair sharing multiple buckets appears multiple times -> distinct
-    return cand.groupby(["a", "b"]).count().map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    return _distinct_pairs(cand, num_partitions=num_partitions)
+
+
+def _distinct_pairs(cand: rd.Dataset, num_partitions: int = 64) -> rd.Dataset:
+    """Globally distinct (a, b) rows WITHOUT Ray's sort-based
+    multi-column aggregate (measured minutes-slow on millions of rows):
+    hash-partition on a combined pair hash, then one pandas
+    ``drop_duplicates`` per partition. A given pair always lands in
+    exactly one partition, so per-partition distinct is globally exact."""
+    import pandas as pd
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        ha = pd.util.hash_array(
+            np.asarray(t["a"].to_numpy(zero_copy_only=False)), categorize=False
+        )
+        hb = pd.util.hash_array(
+            np.asarray(t["b"].to_numpy(zero_copy_only=False)), categorize=False
+        )
+        h = ha * np.uint64(0x9E3779B97F4A7C15) + hb
+        return t.append_column("__pp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def uniq(df: pd.DataFrame) -> pa.Table:
+        # arrow out: downstream schema probes need Arrow types, not
+        # pandas block dtypes
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["a", "b"])[["a", "b"]], preserve_index=False
+        )
+
+    return (
+        cand.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(uniq, batch_format="pandas")
     )
 
 
@@ -567,6 +597,65 @@ def simhash_dedup(
 # ------------------------------------------------------- n-gram jaccard dup
 
 
+def _hot_shingle_order(
+    ds: rd.Dataset,
+    text_col: str,
+    shingle_k: int,
+    *,
+    min_df: int = 2,
+    top_hot: int = 1 << 20,
+    num_partitions: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hot_sorted, hot_rank): the corpus's shingles with document
+    frequency >= ``min_df``, as an int64 array sorted by hash plus the
+    aligned rank of each under ascending (df, hash). Used to order
+    prefix-filter emissions rarest-first. Broadcast-bounded: at most
+    ``top_hot`` entries survive (highest df wins); shingles outside the
+    table sort before all listed ones by raw hash, which is always
+    correct — the order is a pruning heuristic, never a semantics.
+
+    DF counting is the repo's partial-aggregate pattern: per-batch
+    ``np.unique`` partial counts, hash-partitioned, one pandas sum per
+    partition — no sort-based multi-column Ray aggregate."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = [
+            char_shingles(x or "", shingle_k) for x in t[text_col].to_pylist()
+        ]
+        h = np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+                "__hp": pa.array((u % np.uint64(num_partitions)).astype(np.int64)),
+            }
+        )
+
+    def tot(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False)["c"].sum()
+        g = g[g >= min_df]
+        return pd.DataFrame({"h": g.index.to_numpy(), "df": g.to_numpy()})
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__hp")
+        .map_groups(tot, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pdf) > top_hot:
+        pdf = pdf.nlargest(top_hot, "df")
+    if not len(pdf):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((pdf["h"].to_numpy(), pdf["df"].to_numpy()))
+    rank = np.empty(len(pdf), dtype=np.int64)
+    rank[order] = np.arange(len(pdf), dtype=np.int64)
+    hs = pdf["h"].to_numpy()
+    byhash = np.argsort(hs)
+    return hs[byhash], rank[byhash]
+
+
 def ngram_jaccard_dedup(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -584,37 +673,74 @@ def ngram_jaccard_dedup(
     share one of each other's smallest ceil((1-t)|S|)+1 hashes); verify
     exact jaccard in-group.
 
+    Prefixes are taken under a document-frequency total order (rarest
+    shingles first — the PPJoin ordering): the prefix theorem holds for
+    ANY fixed global order, and rare-first makes prefix buckets small, so
+    candidate count collapses on corpora with hot shingles. The order
+    table is bounded for scale: only the ``top_hot`` highest-df shingles
+    are ranked (broadcast once via ``ray.put``); everything below the cut
+    sorts first by raw hash — correctness is unaffected, only candidate
+    pruning quality degrades past the cap.
+
     Exactness caveats: setting ``max_block_emit`` truncates the prefix
     for long documents (breaking the prefix-filter completeness
     guarantee — that is why it defaults to None), and candidate buckets
     larger than :func:`_pairs_from_buckets`'s ``max_bucket`` cap are
     dropped (stop-word shingles); both are recall trade-offs to opt
     into, not defaults."""
+    import ray
 
-    def emit(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_bucket, out_id = [], []
-        for d, txt in zip(ids, texts):
-            sh = char_shingles(txt or "", shingle_k)
-            if not len(sh):
-                continue
-            prefix = int(np.ceil((1 - threshold) * len(sh))) + 1
-            prefix = min(prefix, len(sh))
-            if max_block_emit is not None:
-                prefix = min(prefix, max_block_emit)
-            for h in sh[:prefix]:  # shingles sorted by hash
-                out_bucket.append(str(h))
+    hot_ref = ray.put(_hot_shingle_order(ds, text_col, shingle_k, num_partitions=num_partitions))
+
+    class Emit:
+        def __init__(self):
+            self.hot_sorted, self.hot_rank = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_pylist()
+            texts = t.column(text_col).to_pylist()
+            out_bucket, out_id, counts = [], [], []
+            for d, txt in zip(ids, texts):
+                sh = char_shingles(txt or "", shingle_k)  # sorted by hash
+                if not len(sh):
+                    continue
+                prefix = int(np.ceil((1 - threshold) * len(sh))) + 1
+                prefix = min(prefix, len(sh))
+                if max_block_emit is not None:
+                    prefix = min(prefix, max_block_emit)
+                si = sh.view(np.int64)
+                pos = np.searchsorted(self.hot_sorted, si)
+                pos[pos >= len(self.hot_sorted)] = 0
+                ishot = (
+                    self.hot_sorted[pos] == si
+                    if len(self.hot_sorted)
+                    else np.zeros(len(si), dtype=bool)
+                )
+                # cold (rank 0) first by hash, hot ascending df-rank last
+                rank = np.where(ishot, self.hot_rank[pos] + 1, 0)
+                order = np.lexsort((si, rank))[:prefix]
+                out_bucket.append(si[order])
                 out_id.append(d)
-        return pa.table(
-            {
-                "__bucket": pa.array(out_bucket, pa.string()),
-                id_col: pa.array(out_id, type=t.column(id_col).type),
-            }
-        )
+                counts.append(len(order))
+            if not out_bucket:
+                return pa.table(
+                    {
+                        "__bucket": pa.array([], pa.int64()),
+                        id_col: pa.array([], type=t.column(id_col).type),
+                    }
+                )
+            return pa.table(
+                {
+                    "__bucket": pa.array(np.concatenate(out_bucket)),
+                    id_col: pa.array(
+                        np.repeat(np.asarray(out_id, dtype=object), counts),
+                        type=t.column(id_col).type,
+                    ),
+                }
+            )
 
-    bucketed = ds.map_batches(emit, batch_format="pyarrow")
-    cand = _pairs_from_buckets(bucketed, id_col)
+    bucketed = ds.map_batches(Emit, batch_format="pyarrow", concurrency=(1, 8))
+    cand = _pairs_from_buckets(bucketed, id_col, num_partitions=num_partitions)
     verified = _verify_pairs_jaccard(
         cand, ds, text_col, id_col, shingle_k, threshold, num_partitions
     )
