@@ -590,9 +590,36 @@ _GRAMS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from fozziejoin_ray.pipelines.text import STOPWORDS
+
     w = _WORDS_SQL
     tk = _TOKS_SQL
     string_base = f"WITH w AS ({w}), tk AS ({tk})"
+    # soundex_na (kernels/soundex.py:33-53) as SQL: standard letter->digit
+    # translate, collapse same-digit runs (RE2 has no backrefs, so one
+    # replace per digit), strip zeros, drop the first-letter run, pad.
+    # The dual-code prefix/camel rules degenerate on the space-free
+    # lowercase tokens both query sides feed in, so code equality IS the
+    # match rule.
+    def _collapse(col):
+        s = col
+        for d in "0123456":
+            s = f"regexp_replace({s}, '{d}{d}+', '{d}', 'g')"
+        return s
+
+    _sx = f"""
+      CASE WHEN U = '' THEN '0000' ELSE
+        substr(substr(U, 1, 1) ||
+          CASE WHEN substr(D, 1, 1) != '0'
+               THEN substr(replace({_collapse('D')}, '0', ''), 2)
+               ELSE replace({_collapse('D')}, '0', '') END
+          || '000', 1, 4) END"""
+    _sx_digits = "translate(U, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    stopword_values = ", ".join(
+        f"('{lang}', {pri + 1}, '{word}')"
+        for pri, (lang, words) in enumerate(STOPWORDS.items())
+        for word in sorted(words)
+    )
     mk = (
         "SELECT DISTINCT split_part(p_name,' ',1) AS {p}tok, p_brand AS {p}brand "
         "FROM part WHERE p_name IS NOT NULL AND split_part(p_name,' ',1) != ''"
@@ -825,4 +852,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.did AS doc_id, COALESCE(l.lbl, d.did) AS cluster_id
             FROM (SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS did FROM documents) d
             LEFT JOIN lbl l ON l.node = d.did""",
+        "string_soundex_inner": f"""{string_base},
+            wc AS (SELECT wl, {_sx} AS code FROM (
+                    SELECT wl, U, {_sx_digits} AS D
+                    FROM (SELECT wl, upper(regexp_replace(wl, '[^A-Za-z]', '', 'g')) AS U FROM w))),
+            tc AS (SELECT wr, {_sx} AS code FROM (
+                    SELECT wr, U, {_sx_digits} AS D
+                    FROM (SELECT wr, upper(regexp_replace(wr, '[^A-Za-z]', '', 'g')) AS U FROM tk)))
+            SELECT wc.wl AS wl, tc.wr AS wr FROM wc JOIN tc ON wc.code = tc.code""",
+        # stopword-overlap language id (pipelines/text.py:LangId): best
+        # hit ratio with strict-greater updates == ORDER BY score DESC
+        # then dict insertion order; zero hits -> 'und'
+        "lang_id": rf"""
+            WITH toks AS (
+              SELECT doc_id, lower(t) AS tok
+              FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS t FROM documents)
+            ),
+            n AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            sw(lang, pri, w) AS (VALUES {stopword_values}),
+            hits AS (SELECT toks.doc_id, sw.lang, sw.pri, COUNT(*) AS k
+                     FROM toks JOIN sw ON toks.tok = sw.w
+                     GROUP BY toks.doc_id, sw.lang, sw.pri),
+            scored AS (SELECT h.doc_id, h.lang, h.pri, CAST(h.k AS DOUBLE) / n.n AS score
+                       FROM hits h JOIN n ON n.doc_id = h.doc_id),
+            best AS (SELECT doc_id, lang, score,
+                            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pri) AS rn
+                     FROM scored)
+            SELECT d.doc_id AS doc_id,
+                   COALESCE(CASE WHEN b.score > 0 THEN b.lang END, 'und') AS lang_pred,
+                   COALESCE(CASE WHEN b.score > 0 THEN ROUND(b.score, 6) END, 0.0) AS lang_score
+            FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""",
     }
