@@ -882,4 +882,58 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CASE WHEN b.score > 0 THEN b.lang END, 'und') AS lang_pred,
                    COALESCE(CASE WHEN b.score > 0 THEN ROUND(b.score, 6) END, 0.0) AS lang_score
             FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""",
+        # lcs / osa distances as recursive-CTE dynamic programs: one DP
+        # cell per recursion step, rows carried as lists, row roll at
+        # j = m; completed table row surfaces as prev at i = n + 1.
+        # Feasible because both query sides are small distinct word sets.
+        "string_lcs_inner": f"""
+            WITH RECURSIVE w AS ({w}), tk AS ({tk}),
+            pairs AS (SELECT wl, wr, length(wl) AS n, length(wr) AS m FROM w, tk),
+            dp(wl, wr, n, m, i, j, prev, cur) AS (
+              SELECT wl, wr, n, m, 1, 1,
+                     list_transform(range(0, m + 1), x -> 0), [0]
+              FROM pairs WHERE n > 0 AND m > 0
+              UNION ALL
+              SELECT wl, wr, n, m,
+                     CASE WHEN j = m THEN i + 1 ELSE i END,
+                     CASE WHEN j = m THEN 1 ELSE j + 1 END,
+                     CASE WHEN j = m THEN list_append(cur, newval) ELSE prev END,
+                     CASE WHEN j = m THEN [0] ELSE list_append(cur, newval) END
+              FROM (SELECT *, CASE WHEN substr(wl, i, 1) = substr(wr, j, 1)
+                                   THEN prev[j] + 1
+                                   ELSE GREATEST(prev[j + 1], cur[j]) END AS newval
+                    FROM dp WHERE i <= n) t
+            ),
+            done AS (SELECT wl, wr, n, m, prev[m + 1] AS lcs FROM dp WHERE i = n + 1)
+            SELECT wl, wr, ROUND(CAST(n + m - 2 * lcs AS DOUBLE), 6) AS dist
+            FROM done WHERE n + m - 2 * lcs <= 3""",
+        "string_osa_inner": f"""
+            WITH RECURSIVE w AS ({w}), tk AS ({tk}),
+            pairs AS (SELECT wl, wr, length(wl) AS n, length(wr) AS m FROM w, tk),
+            dp(wl, wr, n, m, i, j, prev2, prev, cur) AS (
+              SELECT wl, wr, n, m, 1, 1,
+                     CAST([] AS BIGINT[]),
+                     list_transform(range(0, m + 1), x -> CAST(x AS BIGINT)),
+                     [CAST(1 AS BIGINT)]
+              FROM pairs WHERE n > 0 AND m > 0
+              UNION ALL
+              SELECT wl, wr, n, m,
+                     CASE WHEN j = m THEN i + 1 ELSE i END,
+                     CASE WHEN j = m THEN 1 ELSE j + 1 END,
+                     CASE WHEN j = m THEN prev ELSE prev2 END,
+                     CASE WHEN j = m THEN list_append(cur, newval) ELSE prev END,
+                     CASE WHEN j = m THEN [CAST(i + 1 AS BIGINT)] ELSE list_append(cur, newval) END
+              FROM (SELECT *, LEAST(
+                        prev[j + 1] + 1,
+                        cur[j] + 1,
+                        prev[j] + CASE WHEN substr(wl, i, 1) = substr(wr, j, 1) THEN 0 ELSE 1 END,
+                        CASE WHEN i > 1 AND j > 1
+                                  AND substr(wl, i, 1) = substr(wr, j - 1, 1)
+                                  AND substr(wl, i - 1, 1) = substr(wr, j, 1)
+                             THEN prev2[j - 1] + 1 ELSE 1 << 30 END
+                    ) AS newval
+                    FROM dp WHERE i <= n) t
+            ),
+            done AS (SELECT wl, wr, n, m, prev[m + 1] AS d FROM dp WHERE i = n + 1)
+            SELECT wl, wr, ROUND(CAST(d AS DOUBLE), 6) AS dist FROM done WHERE d <= 2""",
     }
