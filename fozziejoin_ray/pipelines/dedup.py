@@ -355,7 +355,9 @@ def _verify_pairs_jaccard(
             if sim >= threshold:
                 keep.append(i)
                 sims.append(sim)
-        out = t.take(keep).select(["a", "b"])
+        # typed indices: an all-filtered batch yields an empty python
+        # list, which pa.array would infer as null and break take
+        out = t.take(pa.array(keep, pa.int64())).select(["a", "b"])
         return out.append_column("jaccard", pa.array(sims, pa.float64()))
 
     return j.map_batches(verify, batch_format="pyarrow")
