@@ -97,6 +97,87 @@ def jaccard_sets(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+_POP16: np.ndarray | None = None
+
+
+def _popcount16_lut() -> np.ndarray:
+    """uint16 -> popcount lookup table (64 KiB, built once per process)."""
+    global _POP16
+    if _POP16 is None:
+        v = np.arange(65536, dtype=np.uint16)
+        _POP16 = (
+            np.unpackbits(v.view(np.uint8).reshape(-1, 2), axis=1).sum(axis=1).astype(np.uint16)
+        )
+    return _POP16
+
+
+# Bitset scoring is only worth the U x V/8 bytes when the batch's distinct
+# shingle vocabulary is small -- exactly the regime where prefix/LSH
+# blocking degenerates and candidate pairs blow up toward all-pairs. A
+# large per-batch vocabulary means blocking already made pairs rare, so
+# the per-pair sorted-intersection fallback stays cheap.
+_BITSET_VOCAB_CAP = 1 << 15
+_PAIR_SLAB = 16384  # keep AND/popcount slabs cache-resident under concurrency
+
+
+def jaccard_pairs_batch(
+    a_texts: list, b_texts: list, shingle_k: int
+) -> np.ndarray:
+    """Exact set-jaccard for N (a, b) text pairs — vectorized.
+
+    Shingles each distinct text once, then scores all pairs against a
+    batch-local shingle vocabulary as bitsets: ``inter = popcount(A & B)``
+    via a uint16 LUT, sliced into cache-resident pair slabs. Bit-for-bit
+    identical to per-pair :func:`jaccard_sets` (integer intersection /
+    union, same float64 division); falls back to that loop when the batch
+    vocabulary exceeds ``_BITSET_VOCAB_CAP``."""
+    n = len(a_texts)
+    if not n:
+        return np.empty(0, np.float64)
+    idx: dict[str, int] = {}
+    shs: list[np.ndarray] = []
+
+    def doc(s) -> int:
+        s = s or ""
+        i = idx.get(s)
+        if i is None:
+            i = len(shs)
+            idx[s] = i
+            shs.append(char_shingles(s, shingle_k))
+        return i
+
+    ai = np.fromiter((doc(s) for s in a_texts), np.int64, count=n)
+    bi = np.fromiter((doc(s) for s in b_texts), np.int64, count=n)
+    lens = np.fromiter((len(s) for s in shs), np.int64, count=len(shs))
+    nonempty = [s for s in shs if len(s)]
+    vocab = np.unique(np.concatenate(nonempty)) if nonempty else np.empty(0, np.uint64)
+    if len(vocab) > _BITSET_VOCAB_CAP:
+        return np.fromiter(
+            (jaccard_sets(shs[a], shs[b]) for a, b in zip(ai, bi)),
+            np.float64,
+            count=n,
+        )
+    nwords = max(1, (len(vocab) + 63) >> 6)
+    M = np.zeros((len(shs), nwords), dtype=np.uint64)
+    flat = np.concatenate(nonempty) if nonempty else np.empty(0, np.uint64)
+    rows = np.repeat(np.arange(len(shs), dtype=np.int64), lens)
+    col = np.searchsorted(vocab, flat).astype(np.uint64)
+    np.bitwise_or.at(
+        M, (rows, (col >> np.uint64(6)).astype(np.int64)), np.uint64(1) << (col & np.uint64(63))
+    )
+    lut = _popcount16_lut()
+    sims = np.empty(n, np.float64)
+    la, lb = lens[ai], lens[bi]
+    for s0 in range(0, n, _PAIR_SLAB):
+        sl = slice(s0, min(s0 + _PAIR_SLAB, n))
+        X = M[ai[sl]] & M[bi[sl]]
+        inter = lut[X.view(np.uint16)].sum(axis=1, dtype=np.int64)
+        union = la[sl] + lb[sl] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims[sl] = np.where(union > 0, inter / union, 1.0)
+    return sims
+
+
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -337,30 +418,88 @@ def _verify_pairs_jaccard(
     j = _attach_pair_texts(cand, ds, text_col, id_col, num_partitions)
 
     def verify(t: pa.Table) -> pa.Table:
-        keep = []
-        sims = []
         at = t.column("__a_text").to_pylist()
         bt = t.column("__t_text").to_pylist()
-        cache: dict[str, np.ndarray] = {}
-
-        def sh(s):
-            r = cache.get(s)
-            if r is None:
-                r = char_shingles(s or "", shingle_k)
-                cache[s] = r
-            return r
-
-        for i in range(t.num_rows):
-            sim = jaccard_sets(sh(at[i]), sh(bt[i]))
-            if sim >= threshold:
-                keep.append(i)
-                sims.append(sim)
-        # typed indices: an all-filtered batch yields an empty python
-        # list, which pa.array would infer as null and break take
-        out = t.take(pa.array(keep, pa.int64())).select(["a", "b"])
-        return out.append_column("jaccard", pa.array(sims, pa.float64()))
+        sims = jaccard_pairs_batch(at, bt, shingle_k)
+        keep = sims >= threshold
+        # typed indices: an all-filtered batch would otherwise infer a
+        # null-typed index array and break take
+        out = t.take(pa.array(np.nonzero(keep)[0], pa.int64())).select(["a", "b"])
+        return out.append_column("jaccard", pa.array(sims[keep], pa.float64()))
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+class _BroadcastJaccardVerify:
+    """Actor-pool verifier for the small-doc-table side of candidate
+    verification: the whole (id, text) table is ``ray.put`` once, each
+    actor shingles every doc and builds the corpus-vocabulary bitset
+    matrix ONCE in ``__init__``, and per-batch work collapses to
+    id->row gather + ``popcount(A & B)`` slabs — no shuffle at all.
+    When candidate pairs outnumber docs by orders of magnitude (the
+    degenerate-blocking regime), this replaces two hash-join
+    all-to-alls carrying pair x text payload. Large-vocabulary corpora
+    skip the bitset and score per-pair; a doc table above the caller's
+    broadcast limit never takes this path (join-back instead)."""
+
+    def __init__(self, ref, shingle_k: int, threshold: float):
+        import ray
+
+        ids, texts = ray.get(ref)
+        self.threshold = float(threshold)
+        self.idx = {d: i for i, d in enumerate(ids)}
+        shs = [char_shingles(s or "", shingle_k) for s in texts]
+        self.shs = shs
+        self.lens = np.fromiter((len(s) for s in shs), np.int64, count=len(shs))
+        nonempty = [s for s in shs if len(s)]
+        vocab = np.unique(np.concatenate(nonempty)) if nonempty else np.empty(0, np.uint64)
+        self.M = None
+        nwords = max(1, (len(vocab) + 63) >> 6)
+        # bitset matrix must stay heap-friendly per actor (docs x vocab/8)
+        if len(vocab) <= _BITSET_VOCAB_CAP and len(shs) * nwords * 8 <= 1 << 30:
+            M = np.zeros((len(shs), nwords), dtype=np.uint64)
+            flat = np.concatenate(nonempty) if nonempty else np.empty(0, np.uint64)
+            rows = np.repeat(np.arange(len(shs), dtype=np.int64), self.lens)
+            col = np.searchsorted(vocab, flat).astype(np.uint64)
+            np.bitwise_or.at(
+                M,
+                (rows, (col >> np.uint64(6)).astype(np.int64)),
+                np.uint64(1) << (col & np.uint64(63)),
+            )
+            self.M = M
+            self.lut = _popcount16_lut()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        get = self.idx.get
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        n = len(a)
+        ai = np.fromiter((get(x, -1) for x in a), np.int64, count=n)
+        bi = np.fromiter((get(x, -1) for x in b), np.int64, count=n)
+        ok = np.nonzero((ai >= 0) & (bi >= 0))[0]  # inner-join semantics
+        aii, bii = ai[ok], bi[ok]
+        sims = np.empty(len(ok), np.float64)
+        if self.M is not None:
+            la, lb = self.lens[aii], self.lens[bii]
+            for s0 in range(0, len(ok), _PAIR_SLAB):
+                sl = slice(s0, min(s0 + _PAIR_SLAB, len(ok)))
+                X = self.M[aii[sl]] & self.M[bii[sl]]
+                inter = self.lut[X.view(np.uint16)].sum(axis=1, dtype=np.int64)
+                union = la[sl] + lb[sl] - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims[sl] = np.where(union > 0, inter / union, 1.0)
+        else:
+            shs = self.shs
+            sims = np.fromiter(
+                (jaccard_sets(shs[x], shs[y]) for x, y in zip(aii, bii)),
+                np.float64,
+                count=len(ok),
+            )
+        keep = ok[sims >= self.threshold]
+        out = t.take(pa.array(keep, pa.int64())).select(["a", "b"])
+        return out.append_column(
+            "jaccard", pa.array(sims[sims >= self.threshold], pa.float64())
+        )
 
 
 def minhash_candidate_pairs(
@@ -668,6 +807,7 @@ def ngram_jaccard_dedup(
     max_block_emit: int | None = None,
     num_partitions: int = 32,
     id_type=None,
+    broadcast_doc_limit: int = 2_000_000,
 ) -> rd.Dataset:
     """Exact n-gram-Jaccard duplicate classes WITHOUT minhash
     approximation, for thresholds > 0.5: block on the ``m`` smallest
@@ -743,9 +883,24 @@ def ngram_jaccard_dedup(
 
     bucketed = ds.map_batches(Emit, batch_format="pyarrow", concurrency=(1, 8))
     cand = _pairs_from_buckets(bucketed, id_col, num_partitions=num_partitions)
-    verified = _verify_pairs_jaccard(
-        cand, ds, text_col, id_col, shingle_k, threshold, num_partitions
-    )
+    # candidate counts can dwarf the doc table (degenerate blocking on
+    # small-vocabulary corpora): when docs fit a broadcast, verify with a
+    # shuffle-free actor pool instead of two pair x text hash joins
+    if ds.count() <= broadcast_doc_limit:
+        from fozziejoin_ray.joins.string_join import _collect_right
+
+        mat = _collect_right(ds, [id_col, text_col])
+        ref = ray.put((mat[id_col].to_pylist(), mat[text_col].to_pylist()))
+        verified = cand.map_batches(
+            _BroadcastJaccardVerify,
+            fn_constructor_args=(ref, shingle_k, threshold),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    else:
+        verified = _verify_pairs_jaccard(
+            cand, ds, text_col, id_col, shingle_k, threshold, num_partitions
+        )
     return _dup_groups(ds, verified, id_col, num_partitions, id_type)
 
 
@@ -950,20 +1105,7 @@ def jaccard_score_fn(shingle_k: int, threshold: float):
     """score_fn for lsh_fused_edges: exact set-jaccard >= threshold."""
 
     def fn(a_list, b_list):
-        cache: dict[str, np.ndarray] = {}
-
-        def sh(s):
-            r = cache.get(s)
-            if r is None:
-                r = char_shingles(s, shingle_k)
-                cache[s] = r
-            return r
-
-        sims = np.fromiter(
-            (jaccard_sets(sh(x), sh(y)) for x, y in zip(a_list, b_list)),
-            np.float64,
-            count=len(a_list),
-        )
+        sims = jaccard_pairs_batch(a_list, b_list, shingle_k)
         keep = sims >= threshold
         return keep, sims[keep]
 
