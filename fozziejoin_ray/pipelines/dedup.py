@@ -97,6 +97,133 @@ def jaccard_sets(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+class DocShingleIndex:
+    """Compact per-doc shingle-set index for exact-jaccard verification,
+    built ONCE (usually on the driver, then ``ray.put``) and shared
+    zero-copy by every task/actor that scores candidate pairs.
+
+    Layout: one flat uint64 array of all docs' sorted distinct shingles
+    + int64 offsets (plasma zero-copy), plus a bitset matrix over the
+    df>=2 vocabulary — shingles that occur in a single document can
+    never contribute to an intersection, so dropping them from the
+    bitmap is EXACT and collapses the vocabulary of natural corpora by
+    orders of magnitude. ``jaccard_idx`` scores pair slabs with
+    ``popcount(A & B)`` when the bitset fits (`_BITSET_VOCAB_CAP`,
+    1 GiB matrix cap), else per-pair sorted intersection on the flat
+    array. Results are bit-identical to :func:`jaccard_sets`."""
+
+    def __init__(self, ids: list, texts: list, shingle_k: int):
+        self.ids = list(ids)
+        self._idx: dict | None = None
+        shs = [char_shingles(t or "", shingle_k) for t in texts]
+        n = len(shs)
+        self.lens = np.fromiter((len(s) for s in shs), np.int64, count=n)
+        self.offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(self.lens, out=self.offsets[1:])
+        self.flat = (
+            np.concatenate([s for s in shs if len(s)])
+            if self.offsets[-1]
+            else np.empty(0, np.uint64)
+        )
+        u, c = np.unique(self.flat, return_counts=True)
+        vocab = u[c >= 2]  # doc shingle sets are distinct -> counts == df
+        self._vocab_n = len(vocab)
+        self.M = None
+        nwords = max(1, (len(vocab) + 63) >> 6)
+        if len(vocab) <= _BITSET_VOCAB_CAP and n * nwords * 8 <= 1 << 30:
+            M = np.zeros((n, nwords), dtype=np.uint64)
+            rows = np.repeat(np.arange(n, dtype=np.int64), self.lens)
+            pos = np.searchsorted(vocab, self.flat)
+            np.minimum(pos, len(vocab) - 1 if len(vocab) else 0, out=pos)
+            hit = vocab[pos] == self.flat if len(vocab) else np.zeros(len(pos), bool)
+            col = pos[hit].astype(np.uint64)
+            np.bitwise_or.at(
+                M,
+                (rows[hit], (col >> np.uint64(6)).astype(np.int64)),
+                np.uint64(1) << (col & np.uint64(63)),
+            )
+            self.M = M
+
+    def lookup(self, id_values) -> np.ndarray:
+        """Map external id values -> row indices (-1 when absent)."""
+        if self._idx is None:
+            self._idx = {d: i for i, d in enumerate(self.ids)}
+        get = self._idx.get
+        return np.fromiter((get(x, -1) for x in id_values), np.int64, count=len(id_values))
+
+    @staticmethod
+    def _popcount_pairs(
+        M: np.ndarray, ai: np.ndarray, bi: np.ndarray, la: np.ndarray, lb: np.ndarray
+    ) -> np.ndarray:
+        lut = _popcount16_lut()
+        n = len(ai)
+        sims = np.empty(n, np.float64)
+        for s0 in range(0, n, _PAIR_SLAB):
+            sl = slice(s0, min(s0 + _PAIR_SLAB, n))
+            X = M[ai[sl]] & M[bi[sl]]
+            inter = lut[X.view(np.uint16)].sum(axis=1, dtype=np.int64)
+            union = la[sl] + lb[sl] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims[sl] = np.where(union > 0, inter / union, 1.0)
+        return sims
+
+    def jaccard_idx(self, ai: np.ndarray, bi: np.ndarray) -> np.ndarray:
+        """Exact set-jaccard for row-index pairs, vectorized.
+
+        When the corpus-wide bitset was too wide to build, a LOCAL one is
+        built over just the docs this call touches (a bucket partition /
+        verify batch references a small doc subset, whose df>=2
+        vocabulary is far narrower than the corpus's) — restricting to
+        locally-shared shingles is exact for intersections among those
+        docs. Per-pair sorted intersection remains the last resort."""
+        n = len(ai)
+        if not n:
+            return np.empty(0, np.float64)
+        if self.M is not None:
+            return self._popcount_pairs(self.M, ai, bi, self.lens[ai], self.lens[bi])
+        docs = np.unique(np.concatenate([ai, bi]))
+        if len(docs) == len(self.lens) and self._vocab_n > _BITSET_VOCAB_CAP:
+            # local == global vocabulary, already known too wide
+            return self._jaccard_loop(ai, bi)
+        L = self.lens[docs]
+        starts = self.offsets[docs]
+        cum = np.cumsum(L)
+        total = int(cum[-1]) if len(L) else 0
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum - L, L)
+            + np.repeat(starts, L)
+        )
+        flat_local = self.flat[pos]
+        u, c = np.unique(flat_local, return_counts=True)
+        vocab = u[c >= 2]
+        nwords = max(1, (len(vocab) + 63) >> 6)
+        if len(vocab) <= _BITSET_VOCAB_CAP and len(docs) * nwords * 8 <= 1 << 30:
+            M = np.zeros((len(docs), nwords), dtype=np.uint64)
+            rows = np.repeat(np.arange(len(docs), dtype=np.int64), L)
+            p = np.searchsorted(vocab, flat_local)
+            np.minimum(p, len(vocab) - 1 if len(vocab) else 0, out=p)
+            hit = vocab[p] == flat_local if len(vocab) else np.zeros(len(p), bool)
+            col = p[hit].astype(np.uint64)
+            np.bitwise_or.at(
+                M,
+                (rows[hit], (col >> np.uint64(6)).astype(np.int64)),
+                np.uint64(1) << (col & np.uint64(63)),
+            )
+            la = np.searchsorted(docs, ai)
+            lb = np.searchsorted(docs, bi)
+            return self._popcount_pairs(M, la, lb, self.lens[ai], self.lens[bi])
+        return self._jaccard_loop(ai, bi)
+
+    def _jaccard_loop(self, ai: np.ndarray, bi: np.ndarray) -> np.ndarray:
+        off, flat = self.offsets, self.flat
+        sims = np.empty(len(ai), np.float64)
+        for i in range(len(ai)):
+            a, b = ai[i], bi[i]
+            sims[i] = jaccard_sets(flat[off[a] : off[a + 1]], flat[off[b] : off[b + 1]])
+        return sims
+
+
 _POP16: np.ndarray | None = None
 
 
@@ -125,57 +252,30 @@ def jaccard_pairs_batch(
 ) -> np.ndarray:
     """Exact set-jaccard for N (a, b) text pairs — vectorized.
 
-    Shingles each distinct text once, then scores all pairs against a
-    batch-local shingle vocabulary as bitsets: ``inter = popcount(A & B)``
-    via a uint16 LUT, sliced into cache-resident pair slabs. Bit-for-bit
-    identical to per-pair :func:`jaccard_sets` (integer intersection /
-    union, same float64 division); falls back to that loop when the batch
-    vocabulary exceeds ``_BITSET_VOCAB_CAP``."""
+    Shingles each distinct text once, then scores all pairs through a
+    batch-local :class:`DocShingleIndex` (df>=2-vocabulary bitsets,
+    ``inter = popcount(A & B)`` via a uint16 LUT, cache-resident pair
+    slabs; per-pair sorted intersection when the vocabulary is too wide).
+    Bit-for-bit identical to per-pair :func:`jaccard_sets`."""
     n = len(a_texts)
     if not n:
         return np.empty(0, np.float64)
     idx: dict[str, int] = {}
-    shs: list[np.ndarray] = []
+    uniq: list[str] = []
 
     def doc(s) -> int:
         s = s or ""
         i = idx.get(s)
         if i is None:
-            i = len(shs)
+            i = len(uniq)
             idx[s] = i
-            shs.append(char_shingles(s, shingle_k))
+            uniq.append(s)
         return i
 
     ai = np.fromiter((doc(s) for s in a_texts), np.int64, count=n)
     bi = np.fromiter((doc(s) for s in b_texts), np.int64, count=n)
-    lens = np.fromiter((len(s) for s in shs), np.int64, count=len(shs))
-    nonempty = [s for s in shs if len(s)]
-    vocab = np.unique(np.concatenate(nonempty)) if nonempty else np.empty(0, np.uint64)
-    if len(vocab) > _BITSET_VOCAB_CAP:
-        return np.fromiter(
-            (jaccard_sets(shs[a], shs[b]) for a, b in zip(ai, bi)),
-            np.float64,
-            count=n,
-        )
-    nwords = max(1, (len(vocab) + 63) >> 6)
-    M = np.zeros((len(shs), nwords), dtype=np.uint64)
-    flat = np.concatenate(nonempty) if nonempty else np.empty(0, np.uint64)
-    rows = np.repeat(np.arange(len(shs), dtype=np.int64), lens)
-    col = np.searchsorted(vocab, flat).astype(np.uint64)
-    np.bitwise_or.at(
-        M, (rows, (col >> np.uint64(6)).astype(np.int64)), np.uint64(1) << (col & np.uint64(63))
-    )
-    lut = _popcount16_lut()
-    sims = np.empty(n, np.float64)
-    la, lb = lens[ai], lens[bi]
-    for s0 in range(0, n, _PAIR_SLAB):
-        sl = slice(s0, min(s0 + _PAIR_SLAB, n))
-        X = M[ai[sl]] & M[bi[sl]]
-        inter = lut[X.view(np.uint16)].sum(axis=1, dtype=np.int64)
-        union = la[sl] + lb[sl] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims[sl] = np.where(union > 0, inter / union, 1.0)
-    return sims
+    index = DocShingleIndex(list(range(len(uniq))), uniq, shingle_k)
+    return index.jaccard_idx(ai, bi)
 
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -432,74 +532,29 @@ def _verify_pairs_jaccard(
 
 class _BroadcastJaccardVerify:
     """Actor-pool verifier for the small-doc-table side of candidate
-    verification: the whole (id, text) table is ``ray.put`` once, each
-    actor shingles every doc and builds the corpus-vocabulary bitset
-    matrix ONCE in ``__init__``, and per-batch work collapses to
+    verification: a driver-built :class:`DocShingleIndex` is ``ray.put``
+    once and fetched zero-copy per actor, so per-batch work collapses to
     id->row gather + ``popcount(A & B)`` slabs — no shuffle at all.
     When candidate pairs outnumber docs by orders of magnitude (the
     degenerate-blocking regime), this replaces two hash-join
-    all-to-alls carrying pair x text payload. Large-vocabulary corpora
-    skip the bitset and score per-pair; a doc table above the caller's
-    broadcast limit never takes this path (join-back instead)."""
+    all-to-alls carrying pair x text payload. A doc table above the
+    caller's broadcast limit never takes this path (join-back
+    instead)."""
 
-    def __init__(self, ref, shingle_k: int, threshold: float):
+    def __init__(self, ref, threshold: float):
         import ray
 
-        ids, texts = ray.get(ref)
+        self.index: DocShingleIndex = ray.get(ref)
         self.threshold = float(threshold)
-        self.idx = {d: i for i, d in enumerate(ids)}
-        shs = [char_shingles(s or "", shingle_k) for s in texts]
-        self.shs = shs
-        self.lens = np.fromiter((len(s) for s in shs), np.int64, count=len(shs))
-        nonempty = [s for s in shs if len(s)]
-        vocab = np.unique(np.concatenate(nonempty)) if nonempty else np.empty(0, np.uint64)
-        self.M = None
-        nwords = max(1, (len(vocab) + 63) >> 6)
-        # bitset matrix must stay heap-friendly per actor (docs x vocab/8)
-        if len(vocab) <= _BITSET_VOCAB_CAP and len(shs) * nwords * 8 <= 1 << 30:
-            M = np.zeros((len(shs), nwords), dtype=np.uint64)
-            flat = np.concatenate(nonempty) if nonempty else np.empty(0, np.uint64)
-            rows = np.repeat(np.arange(len(shs), dtype=np.int64), self.lens)
-            col = np.searchsorted(vocab, flat).astype(np.uint64)
-            np.bitwise_or.at(
-                M,
-                (rows, (col >> np.uint64(6)).astype(np.int64)),
-                np.uint64(1) << (col & np.uint64(63)),
-            )
-            self.M = M
-            self.lut = _popcount16_lut()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        get = self.idx.get
-        a = t.column("a").to_pylist()
-        b = t.column("b").to_pylist()
-        n = len(a)
-        ai = np.fromiter((get(x, -1) for x in a), np.int64, count=n)
-        bi = np.fromiter((get(x, -1) for x in b), np.int64, count=n)
+        ai = self.index.lookup(t.column("a").to_pylist())
+        bi = self.index.lookup(t.column("b").to_pylist())
         ok = np.nonzero((ai >= 0) & (bi >= 0))[0]  # inner-join semantics
-        aii, bii = ai[ok], bi[ok]
-        sims = np.empty(len(ok), np.float64)
-        if self.M is not None:
-            la, lb = self.lens[aii], self.lens[bii]
-            for s0 in range(0, len(ok), _PAIR_SLAB):
-                sl = slice(s0, min(s0 + _PAIR_SLAB, len(ok)))
-                X = self.M[aii[sl]] & self.M[bii[sl]]
-                inter = self.lut[X.view(np.uint16)].sum(axis=1, dtype=np.int64)
-                union = la[sl] + lb[sl] - inter
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims[sl] = np.where(union > 0, inter / union, 1.0)
-        else:
-            shs = self.shs
-            sims = np.fromiter(
-                (jaccard_sets(shs[x], shs[y]) for x, y in zip(aii, bii)),
-                np.float64,
-                count=len(ok),
-            )
-        keep = ok[sims >= self.threshold]
-        out = t.take(pa.array(keep, pa.int64())).select(["a", "b"])
-        return out.append_column(
-            "jaccard", pa.array(sims[sims >= self.threshold], pa.float64())
-        )
+        sims = self.index.jaccard_idx(ai[ok], bi[ok])
+        hit = sims >= self.threshold
+        out = t.take(pa.array(ok[hit], pa.int64())).select(["a", "b"])
+        return out.append_column("jaccard", pa.array(sims[hit], pa.float64()))
 
 
 def minhash_candidate_pairs(
@@ -511,6 +566,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 13,
+    num_partitions: int = 64,
 ) -> rd.Dataset:
     """Distinct (a, b) candidate pairs from banded MinHash buckets —
     the two-stage candidate generator (bucket -> pairs -> groupby dedup);
@@ -544,7 +600,7 @@ def minhash_candidate_pairs(
         )
 
     bucketed = ds.map_batches(buckets, batch_format="pyarrow")
-    return _pairs_from_buckets(bucketed, id_col)
+    return _pairs_from_buckets(bucketed, id_col, num_partitions=num_partitions)
 
 
 def minhash_lsh_dedup(
@@ -559,23 +615,96 @@ def minhash_lsh_dedup(
     seed: int = 13,
     num_partitions: int = 32,
     id_type=None,
+    broadcast_doc_limit: int = 2_000_000,
+    carry_cutoff: int = 128,
 ) -> rd.Dataset:
     """Near-duplicate classes via MinHash+LSH: shingle -> minhash ->
     banded buckets -> candidate pairs -> exact-jaccard verify ->
     connected components. Returns (doc_id, dup_group) for every doc;
-    dup_group = min doc_id of its duplicate class."""
-    edges = lsh_fused_edges(
-        ds,
-        text_col,
-        id_col,
-        jaccard_score_fn(shingle_k, threshold),
-        num_perm=num_perm,
-        bands=bands,
-        shingle_k=shingle_k,
-        seed=seed,
-        num_partitions=num_partitions,
-        prefilter=JaccardSizeBoundFilter(threshold),
-    )
+    dup_group = min doc_id of its duplicate class.
+
+    Shuffle layout, selected by doc-table size and MEASURED mean text
+    length (the band shuffle carries ``bands x len(text)`` bytes per
+    doc, so text length decides whether carrying beats joining):
+
+    - texts ≤ ``carry_cutoff`` bytes: :func:`lsh_fused_edges` — carrying
+      a short text in each band emission is cheaper than any join-back
+      or index gather (measured 42s vs 50s at 120k 63-byte docs).
+    - long texts, table ≤ ``broadcast_doc_limit``: band emissions carry
+      only (numeric bucket, id) — 16 bytes per band per doc — and each
+      bucket partition verifies in place against a shared
+      :class:`DocShingleIndex` (:func:`lsh_index_edges`); only surviving
+      edges are exchanged (measured 3.6s vs 6.4s fused on 297-byte
+      docs).
+    - long texts, huge table: candidate pairs are deduped across bands
+      and text hash-joined back — an O(distinct candidates + corpus)
+      exchange vs fused's O(bands x corpus) text carry.
+
+    All three paths compute the same exact set-jaccard over the same
+    candidate set (same bucket math, same ``max_bucket`` cap), so
+    results are identical."""
+    import ray
+
+    from fozziejoin_ray.joins.string_join import _collect_right
+
+    small = ds.count() <= broadcast_doc_limit
+    mat = None
+    if small:
+        mat = _collect_right(ds, [id_col, text_col])
+        tl = pa.compute.binary_length(pa.compute.fill_null(mat[text_col], ""))
+        mean_len = float(pa.compute.mean(tl).as_py() or 0.0)
+    else:
+        sample = pa.concat_tables(
+            ds.limit(1000).map_batches(
+                lambda t: t.select([text_col]), batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        tl = pa.compute.binary_length(pa.compute.fill_null(sample[text_col], ""))
+        mean_len = float(pa.compute.mean(tl).as_py() or 0.0)
+
+    if mean_len <= carry_cutoff:
+        edges = lsh_fused_edges(
+            ds,
+            text_col,
+            id_col,
+            jaccard_score_fn(shingle_k, threshold),
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+            num_partitions=num_partitions,
+            prefilter=JaccardSizeBoundFilter(threshold),
+        )
+    elif small:
+        ref = ray.put(
+            DocShingleIndex(mat[id_col].to_pylist(), mat[text_col].to_pylist(), shingle_k)
+        )
+        edges = lsh_index_edges(
+            ds,
+            text_col,
+            id_col,
+            ref,
+            threshold,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+            num_partitions=num_partitions,
+        )
+    else:
+        cand = minhash_candidate_pairs(
+            ds,
+            text_col,
+            id_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+            num_partitions=num_partitions,
+        )
+        edges = _verify_pairs_jaccard(
+            cand, ds, text_col, id_col, shingle_k, threshold, num_partitions
+        )
     return _dup_groups(ds, edges, id_col, num_partitions, id_type)
 
 
@@ -890,10 +1019,12 @@ def ngram_jaccard_dedup(
         from fozziejoin_ray.joins.string_join import _collect_right
 
         mat = _collect_right(ds, [id_col, text_col])
-        ref = ray.put((mat[id_col].to_pylist(), mat[text_col].to_pylist()))
+        ref = ray.put(
+            DocShingleIndex(mat[id_col].to_pylist(), mat[text_col].to_pylist(), shingle_k)
+        )
         verified = cand.map_batches(
             _BroadcastJaccardVerify,
-            fn_constructor_args=(ref, shingle_k, threshold),
+            fn_constructor_args=(ref, threshold),
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
@@ -1044,11 +1175,17 @@ def lsh_fused_edges(
         .groupby("__bp")
         .map_groups(score_part, batch_format="pyarrow")
     )
+    return _dedup_scored_edges(scored, num_partitions)
 
-    # a pair that agreed in k bands was scored k times (same value pair ->
-    # identical score) -> one row per pair. Hash-partition on the pair and
-    # drop_duplicates per partition (Ray's multi-column sort aggregate is
-    # far more expensive than this single int-keyed exchange).
+
+def _dedup_scored_edges(scored: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """One row per (a, b): a pair that agreed in k bands was scored k
+    times (same value pair -> identical score). Hash-partition on the
+    pair and drop_duplicates per partition (Ray's multi-column sort
+    aggregate is far more expensive than this single int-keyed
+    exchange)."""
+    import pandas as pd
+
     def add_pp(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
         b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
@@ -1067,6 +1204,140 @@ def lsh_fused_edges(
         .groupby("__pp")
         .map_groups(dedup_part, batch_format="pandas")
     )
+
+
+_INDEX_CACHE: dict = {}
+
+
+def _get_index(ref) -> "DocShingleIndex":
+    """Per-worker-process cache for a broadcast DocShingleIndex: ray.get
+    re-unpickles the ids list on every call, so memoize by object ref
+    (numpy payloads stay zero-copy plasma views either way)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        import ray
+
+        got = ray.get(ref)
+        _INDEX_CACHE.clear()  # one live index per worker is plenty
+        _INDEX_CACHE[key] = got
+    return got
+
+
+def lsh_index_edges(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    index_ref,
+    threshold: float,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 13,
+    num_partitions: int = 64,
+    max_bucket: int = 4096,
+) -> rd.Dataset:
+    """Fused LSH candidates + exact-jaccard verify against a broadcast
+    :class:`DocShingleIndex` -> (a, b, score), each surviving pair once.
+
+    The slim sibling of :func:`lsh_fused_edges` for when the doc table
+    fits a broadcast: band emissions carry ONLY (numeric bucket, id) —
+    16 bytes per band per doc, no text, no sketch vector — because each
+    bucket-partition task verifies pairs by gathering bitset rows from
+    the shared index (zero-copy ``ray.get``). The size-bound prefilter
+    (``J <= min|S|/max|S|``) is applied from the index's length column,
+    shipped nowhere. Candidates are NOT pre-deduped (a pair that meets
+    in k bands is popcount-scored k times — cheaper than an
+    O(candidates) distinct exchange); only the surviving edge set is
+    deduped (:func:`_dedup_scored_edges`). Identical output to the
+    fused/text path: same bucket math, caps, and exact jaccard."""
+    import pandas as pd
+
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm
+    ma, mb = _minhash_params(num_perm, seed)
+    thr = float(threshold)
+
+    def buckets(t: pa.Table) -> pa.Table:
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        tc = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        kv = tc.to_numpy(zero_copy_only=False)
+        vrows = np.nonzero(np.fromiter((v is not None for v in kv), bool, count=len(kv)))[0]
+        if not len(vrows):
+            return pa.table(
+                {"__bucket": pa.array([], pa.uint64()), id_col: pa.array([], idc.type)}
+            )
+        sh = [char_shingles(kv[i], shingle_k) for i in vrows]
+        SIG = minhash_signatures_batch(sh, ma, mb)
+        BH = _band_hashes(SIG, bands)
+        bucket = (
+            (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(32))
+            | BH.astype(np.uint64)
+        ).ravel()
+        return pa.table(
+            {
+                "__bucket": pa.array(bucket),
+                id_col: idc.take(pa.array(np.repeat(vrows, bands))),
+            }
+        )
+
+    def add_bp(t: pa.Table) -> pa.Table:
+        col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
+        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
+
+    filt = JaccardSizeBoundFilter(thr)
+
+    def score_part(t: pa.Table) -> pa.Table:
+        idt = t.schema.field(id_col).type
+        empty = pa.table(
+            {
+                "a": pa.array([], idt),
+                "b": pa.array([], idt),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        index = _get_index(index_ref)
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        gidx = index.lookup(idc.to_pylist())
+        bucket = (
+            t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+        ).to_numpy(zero_copy_only=False)
+        ok = gidx >= 0
+        if not ok.all():
+            keep_rows = np.nonzero(ok)[0]
+            gidx, bucket = gidx[keep_rows], bucket[keep_rows]
+            idc = idc.take(pa.array(keep_rows))
+        S = index.lens[gidx].astype(np.uint64).reshape(-1, 1)
+        ai, bi = _triu_pairs_by_bucket(
+            bucket, max_bucket=max_bucket, sketch=S, keep_fn=filt.keep
+        )
+        if not len(ai):
+            return empty
+        sims = index.jaccard_idx(gidx[ai], gidx[bi])
+        hit = sims >= thr
+        ids = idc.to_numpy(zero_copy_only=False)
+        ra, rb = ids[ai[hit]], ids[bi[hit]]
+        src = np.where(ra < rb, ra, rb)
+        dst = np.where(ra < rb, rb, ra)
+        return pa.table(
+            {
+                "a": pa.array(src, idt),
+                "b": pa.array(dst, idt),
+                "score": pa.array(sims[hit], pa.float64()),
+            }
+        )
+
+    scored = (
+        ds.map_batches(buckets, batch_format="pyarrow")
+        .map_batches(add_bp, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(score_part, batch_format="pyarrow")
+    )
+    return _dedup_scored_edges(scored, num_partitions)
 
 
 class JaccardSizeBoundFilter:
