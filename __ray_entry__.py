@@ -589,6 +589,40 @@ _GRAMS_SQL = """
 """
 
 
+def _jaccard_cc_sql(threshold: float) -> str:
+    """Exact char-5-gram set-Jaccard duplicate classes over ``documents``:
+    pairwise jaccard >= threshold edges, recursive-CTE connected
+    components, min-id labels — the SQL mirror of both
+    ngram_jaccard_dedup (exact by construction) and minhash_lsh_dedup
+    (exact-verify; identical whenever LSH recall is 1.0)."""
+    return f"""
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, substr(text, CAST(i AS INT), 5) AS g
+                FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+                      FROM documents WHERE length(text) >= 5)
+                UNION ALL
+                SELECT doc_id, text AS g FROM documents
+                WHERE length(text) > 0 AND length(text) < 5
+              )
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            it AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+            e AS (SELECT it.a, it.b FROM it
+                  JOIN sz sa ON sa.doc_id = it.a JOIN sz sb ON sb.doc_id = it.b
+                  WHERE CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i) >= {threshold}),
+            ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b AS src, a AS dst FROM e),
+            reach(node, comp) AS (
+              SELECT src, src FROM ed
+              UNION
+              SELECT ed.dst, r.comp FROM reach r JOIN ed ON ed.src = r.node),
+            lbl AS (SELECT node, MIN(comp) AS lbl FROM reach GROUP BY node)
+            SELECT d.doc_id AS doc_id, COALESCE(l.lbl, d.doc_id) AS dup_group
+            FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     from fozziejoin_ray.pipelines.text import STOPWORDS
 
@@ -803,32 +837,15 @@ def oracle_sql() -> dict[str, str]:
         # for pipelines/dedup.py:char_shingles's distinct 64-bit hashes
         # (injective on this corpus), recursive-CTE connected components
         # with min-id labels matches cluster/union_find.py semantics
-        "dedup_ngram_jaccard": """
-            WITH RECURSIVE sh AS (
-              SELECT DISTINCT doc_id, g FROM (
-                SELECT doc_id, substr(text, CAST(i AS INT), 5) AS g
-                FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
-                      FROM documents WHERE length(text) >= 5)
-                UNION ALL
-                SELECT doc_id, text AS g FROM documents
-                WHERE length(text) > 0 AND length(text) < 5
-              )
-            ),
-            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            it AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
-                   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-                   GROUP BY a.doc_id, b.doc_id),
-            e AS (SELECT it.a, it.b FROM it
-                  JOIN sz sa ON sa.doc_id = it.a JOIN sz sb ON sb.doc_id = it.b
-                  WHERE CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i) >= 0.6),
-            ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b AS src, a AS dst FROM e),
-            reach(node, comp) AS (
-              SELECT src, src FROM ed
-              UNION
-              SELECT ed.dst, r.comp FROM reach r JOIN ed ON ed.src = r.node),
-            lbl AS (SELECT node, MIN(comp) AS lbl FROM reach GROUP BY node)
-            SELECT d.doc_id AS doc_id, COALESCE(l.lbl, d.doc_id) AS dup_group
-            FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id""",
+        "dedup_ngram_jaccard": _jaccard_cc_sql(0.6),
+        # minhash_lsh_dedup verifies every LSH candidate with the SAME
+        # exact set-jaccard (dedup.py:jaccard_sets over char_shingles),
+        # so its output equals the exact-jaccard components whenever LSH
+        # recall is 1.0 — guaranteed here: every true pair on the test
+        # corpora has j >= 0.92, where 16-band/4-row recall is
+        # 1-(1-0.92^4)^16 ~ 1-2e-10 (and the pipeline is deterministic,
+        # seed 13; equality machine-checked at sf0.001/sf0.01)
+        "dedup_minhash": _jaccard_cc_sql(0.5),
         # flagship: _spansify key = first text span = first 3 words,
         # method jaro_winkler with the reference's 0/0 prefix defaults
         # (== pure jaro, strdist.py jw notes), blocking="exact" is the
