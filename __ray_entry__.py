@@ -589,6 +589,75 @@ _GRAMS_SQL = """
 """
 
 
+def _simhash_cc_sql() -> str:
+    """SQL mirror of pipelines/dedup.py:simhash_dedup — an independent
+    DuckDB implementation of the same math: crc32-based 64-bit token
+    SimHash (crc(tok) | crc(reverse(tok)) << 32, bit-majority over the
+    doc's tokens, ties -> 0), exact hamming <= 3 pair edges, recursive-CTE
+    connected components with min-id labels. The engine's block-pigeonhole
+    candidate generation is recall-complete for hamming <= max_hamming, so
+    its output equals this exact answer (verified at sf0.001/sf0.01).
+    Signatures live as two BIGINTs (lo/hi 32 bits) to dodge unsigned-64
+    overflow; crc32 runs as a list_reduce over byte codepoints against the
+    standard 0xEDB88320 table (ASCII corpus: codepoint == byte)."""
+    tab = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tab.append(c)
+    ctab = "[" + ",".join(map(str, tab)) + "]"
+    return rf"""
+            WITH RECURSIVE ct AS (SELECT {ctab}::BIGINT[] AS v),
+            toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+              WHERE tok != ''
+            ),
+            h AS (
+              SELECT doc_id,
+                xor(list_reduce(
+                  list_prepend(4294967295::BIGINT,
+                    list_transform(range(1, length(tok) + 1), i -> unicode(substr(tok, i, 1))::BIGINT)),
+                  (a, c) -> xor(a // 256, ct.v[(xor(a, c) & 255) + 1])), 4294967295) AS hlo,
+                xor(list_reduce(
+                  list_prepend(4294967295::BIGINT,
+                    list_transform(range(1, length(tok) + 1), i -> unicode(substr(reverse(tok), i, 1))::BIGINT)),
+                  (a, c) -> xor(a // 256, ct.v[(xor(a, c) & 255) + 1])), 4294967295) AS hhi
+              FROM toks, ct
+            ),
+            bits AS (
+              SELECT doc_id, b,
+                SUM(CASE WHEN b < 32 THEN (hlo // (2::BIGINT ^ b)::BIGINT) % 2
+                         ELSE (hhi // (2::BIGINT ^ (b - 32))::BIGINT) % 2 END * 2 - 1) AS acc
+              FROM h, (SELECT unnest(range(0, 64)) AS b)
+              GROUP BY doc_id, b
+            ),
+            sg AS (
+              SELECT doc_id,
+                SUM(CASE WHEN acc > 0 AND b < 32 THEN (2::BIGINT ^ b)::BIGINT ELSE 0 END)::BIGINT AS slo,
+                SUM(CASE WHEN acc > 0 AND b >= 32 THEN (2::BIGINT ^ (b - 32))::BIGINT ELSE 0 END)::BIGINT AS shi
+              FROM bits GROUP BY doc_id
+            ),
+            sig AS (
+              SELECT d.doc_id, COALESCE(sg.slo, 0) AS slo, COALESCE(sg.shi, 0) AS shi
+              FROM documents d LEFT JOIN sg ON sg.doc_id = d.doc_id
+            ),
+            e AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 3
+            ),
+            ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b AS src, a AS dst FROM e),
+            reach(node, comp) AS (
+              SELECT src, src FROM ed
+              UNION
+              SELECT ed.dst, r.comp FROM reach r JOIN ed ON ed.src = r.node),
+            lbl AS (SELECT node, MIN(comp) AS lbl FROM reach GROUP BY node)
+            SELECT d.doc_id AS doc_id, COALESCE(l.lbl, d.doc_id) AS dup_group
+            FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id"""
+
+
 def _jaccard_cc_sql(threshold: float) -> str:
     """Exact char-5-gram set-Jaccard duplicate classes over ``documents``:
     pairwise jaccard >= threshold edges, recursive-CTE connected
@@ -846,6 +915,11 @@ def oracle_sql() -> dict[str, str]:
         # 1-(1-0.92^4)^16 ~ 1-2e-10 (and the pipeline is deterministic,
         # seed 13; equality machine-checked at sf0.001/sf0.01)
         "dedup_minhash": _jaccard_cc_sql(0.5),
+        # simhash_dedup's block-pigeonhole candidates are recall-complete
+        # for hamming <= max_hamming, so the engine's output IS the exact
+        # hamming-3 components; the SQL recomputes crc-simhash from
+        # scratch (see _simhash_cc_sql)
+        "dedup_simhash": _simhash_cc_sql(),
         # flagship: _spansify key = first text span = first 3 words,
         # method jaro_winkler with the reference's 0/0 prefix defaults
         # (== pure jaro, strdist.py jw notes), blocking="exact" is the

@@ -35,7 +35,7 @@ import ray.data as rd
 
 from ..semantics import check_mode
 from .modes import assemble, normalize_by
-from .rowids import ensure_row_id
+from .rowids import ensure_row_id, exceeds_rows
 from .string_join import LID, RID
 
 OVERLAP_TYPES = ("any", "within", "start", "end")
@@ -406,11 +406,11 @@ def fuzzy_interval_join(
             "integer" if (ltypes | rtypes) <= _INT_TYPES else "real"
         )
 
+    if strategy == "auto":
+        strategy = "blocked" if exceeds_rows(right, broadcast_threshold) else "broadcast"
     left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
 
-    if strategy == "auto":
-        strategy = "blocked" if right.count() > broadcast_threshold else "broadcast"
     if strategy == "blocked":
         edges = _blocked_interval_edges(
             left,

@@ -32,7 +32,7 @@ import ray.data as rd
 
 from ..semantics import F64_EPS, check_mode, distance_col_names
 from .modes import assemble, normalize_by
-from .rowids import ensure_row_id
+from .rowids import ensure_row_id, exceeds_rows
 from .string_join import LID, RID, dist_names
 
 
@@ -296,11 +296,11 @@ def fuzzy_difference_join(
     if strategy not in ("auto", "broadcast", "blocked"):
         raise ValueError(f"unknown strategy {strategy!r}")
     by = normalize_by(by, left, right)
+    if strategy == "auto":
+        strategy = "blocked" if exceeds_rows(right, broadcast_threshold) else "broadcast"
     left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
 
-    if strategy == "auto":
-        strategy = "blocked" if right.count() > broadcast_threshold else "broadcast"
     if strategy == "blocked":
         edges = _blocked_difference_edges(
             left, right, by, lid, rid, float(max_distance), num_partitions
@@ -532,11 +532,11 @@ def fuzzy_distance_join(
     if strategy not in ("auto", "broadcast", "blocked"):
         raise ValueError(f"unknown strategy {strategy!r}")
     by = normalize_by(by, left, right)
+    if strategy == "auto":
+        strategy = "blocked" if exceeds_rows(right, broadcast_threshold) else "broadcast"
     left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
 
-    if strategy == "auto":
-        strategy = "blocked" if right.count() > broadcast_threshold else "broadcast"
     if strategy == "blocked":
         edges = _blocked_distance_edges(
             left, right, by, lid, rid, float(max_distance), method, num_partitions

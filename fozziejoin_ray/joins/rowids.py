@@ -26,6 +26,15 @@ def _add_ids(block: pa.Table, start: int, col: str) -> pa.Table:
     return block.append_column(col, pa.array(np.arange(start, start + block.num_rows)))
 
 
+def exceeds_rows(ds: rd.Dataset, threshold: int) -> bool:
+    """True if ``ds`` has more than ``threshold`` rows. Runs as an
+    early-stopping ``limit(threshold + 1).count()`` probe so a huge input
+    only executes enough blocks to cross the line — call this on the RAW
+    input BEFORE :func:`ensure_row_id` (probing the wrapped dataset would
+    re-execute the id-assignment pipeline just to size it)."""
+    return ds.limit(threshold + 1).count() > threshold
+
+
 def ensure_row_id(ds: rd.Dataset, id_col: str | None, col: str = ROWID):
     """Return (dataset, id_column_name). If ``id_col`` is given it must be a
     unique key and is used as-is; otherwise a contiguous int64 id column is

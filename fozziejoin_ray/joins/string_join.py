@@ -38,7 +38,7 @@ from ..kernels.soundex import soundex_na_dual
 from ..kernels.strdist import get_qgrams, jaccard_set_batch, score_pairs
 from ..semantics import canon_method, check_mode, distance_col_names
 from .modes import assemble, normalize_by
-from .rowids import ensure_row_id
+from .rowids import ensure_row_id, exceeds_rows
 
 LID = "__fj_lid"
 RID = "__fj_rid"
@@ -345,11 +345,11 @@ def fuzzy_string_join(
     check_mode(how)
     method = canon_method(method)
     by = normalize_by(by, left, right)
+    if strategy == "auto":
+        strategy = "blocked" if exceeds_rows(right, broadcast_limit) else "broadcast"
     left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
 
-    if strategy == "auto":
-        strategy = "broadcast" if right.count() <= broadcast_limit else "blocked"
     if strategy == "broadcast":
         edges = build_edges_broadcast(
             left, right, by, method, max_distance, q, max_prefix, prefix_weight, lid, rid
