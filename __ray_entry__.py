@@ -349,13 +349,15 @@ def _embedding_dup_query(sf_dir: str):
 
 def _embedding_dup_bucketed_query(sf_dir: str):
     """Scale path: IVF-bucketed near-dup pair generation (no driver-side
-    O(n^2) matmul); pytest asserts recall >= 0.95 vs the brute-force
-    oracle, the driver records rows-only."""
+    O(n^2) matmul). In-bucket cosine is exact, so with enough probe
+    buckets (6 of 16 here: measured recall 1.0 at sf0.001/sf0.01, and
+    pytest holds >= 0.95 on the adversarial fixture) the output equals
+    the brute-force pair set and shares its SQL oracle."""
     from fozziejoin_ray.pipelines.ann import embedding_dup_pairs_bucketed
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = embedding_dup_pairs_bucketed(
-        emb, threshold=0.4, id_col="vec_id", n_centroids=16, assign_probes=4,
+        emb, threshold=0.4, id_col="vec_id", n_centroids=16, assign_probes=6,
         num_partitions=8, dtype=np.float64,
     )
     return _round_col(out, "cosine", 4)
@@ -850,6 +852,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text""",
         "embedding_dup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4""",
+        # bucketed pair generation is precision-exact and, at 6/16 probe
+        # buckets, recall-1.0 on these corpora (see the query docstring),
+        # so the brute-force SQL doubles as its oracle
+        "embedding_dup_bucketed": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
             SELECT a.vec_id AS a, b.vec_id AS b,
                    ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
