@@ -62,23 +62,14 @@ def q_difference():
 
     from fozziejoin_ray import fuzzy_difference_join
 
-    import pyarrow.compute as pc
-
-    # natural unique keys on both sides (l_linenumber is 1..7 in TPC-H)
-    # so no side pays the ensure_row_id materialization
-    li = rd.read_parquet(
-        f"{SF_DIR}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
-    ).map_batches(
-        lambda t: t.append_column(
-            "l_rowkey", pc.add(pc.multiply(t["l_orderkey"], 8), t["l_linenumber"])
-        ),
-        batch_format="pyarrow",
-    )
+    # right side rides its natural key; the synthetic lineitem has NO
+    # unique key (even (l_orderkey, l_linenumber) repeats), so the left
+    # side exercises the ensure_row_id parity path
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
     orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     out = fuzzy_difference_join(
         li, orders, by={"l_extendedprice": "o_totalprice"}, max_distance=2.0,
-        left_id="l_rowkey", right_id="o_orderkey",
+        right_id="o_orderkey",
     )
     return {"rows": out.count()}
 
@@ -96,22 +87,17 @@ def q_interval():
         ),
         batch_format="pyarrow",
     )
-    li = rd.read_parquet(
-        f"{SF_DIR}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
-    ).map_batches(
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]).map_batches(
         lambda t: pa.table(
-            {
-                "l_rowkey": pc.add(pc.multiply(t["l_orderkey"], 8), t["l_linenumber"]),
-                "ls": t["l_extendedprice"],
-                "le": pc.add(t["l_extendedprice"], 5.0),
-            }
+            {"l_orderkey": t["l_orderkey"], "ls": t["l_extendedprice"], "le": pc.add(t["l_extendedprice"], 5.0)}
         ),
         batch_format="pyarrow",
     )
+    # lineitem has no unique key in this synthetic data, so the right
+    # side takes the ensure_row_id parity path; orders rides o_orderkey
     out = fuzzy_interval_join(
         orders, li, by=[("os", "ls"), ("oe", "le")], overlap_type="any",
-        left_id="o_orderkey", right_id="l_rowkey",
+        left_id="o_orderkey",
     )
     return {"rows": out.count()}
 

@@ -38,7 +38,13 @@ def exceeds_rows(ds: rd.Dataset, threshold: int) -> bool:
 def ensure_row_id(ds: rd.Dataset, id_col: str | None, col: str = ROWID):
     """Return (dataset, id_column_name). If ``id_col`` is given it must be a
     unique key and is used as-is; otherwise a contiguous int64 id column is
-    appended in dataset order."""
+    appended in dataset order.
+
+    WARNING: a non-unique ``id_col`` is NOT detected (checking would cost
+    a full shuffle per join) and silently multiplies assembled rows —
+    every edge touching a duplicated id joins back to every row carrying
+    it. If no unique key exists, pass ``None`` and pay the materializing
+    id-assignment pass."""
     if id_col is not None:
         return ds, id_col
     ds = ds.materialize()

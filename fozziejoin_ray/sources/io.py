@@ -16,14 +16,22 @@ from __future__ import annotations
 
 import ray.data as rd
 
-_FORMATS = ("parquet", "lance")
+_FORMATS = ("parquet", "lance", "csv", "json")
 
 
 def read_table(path: str, *, format: str = "parquet", columns=None, **kwargs) -> rd.Dataset:
     """Read a table as a streaming Dataset. ``columns`` prunes at the
-    read (only requested columns leave storage)."""
+    read (only requested columns leave storage). csv/json cover the
+    reference's data.frame-from-flat-file workflows; they can't prune
+    at the read, so the projection happens right after."""
     if format == "parquet":
         return rd.read_parquet(path, columns=columns, **kwargs)
+    if format == "csv":
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
+    if format == "json":
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
     if format == "lance":
         try:
             return rd.read_lance(path, columns=columns, **kwargs)
@@ -39,6 +47,12 @@ def write_table(ds: rd.Dataset, path: str, *, format: str = "parquet", **kwargs)
     """Write a Dataset as partitioned files (never one giant file)."""
     if format == "parquet":
         ds.write_parquet(path, **kwargs)
+        return
+    if format == "csv":
+        ds.write_csv(path, **kwargs)
+        return
+    if format == "json":
+        ds.write_json(path, **kwargs)
         return
     if format == "lance":
         try:

@@ -232,3 +232,12 @@ def test_io_roundtrip_and_lance_gate(tmp_path):
         read_table(str(tmp_path / "t"), format="lance")
     with _pytest.raises(ValueError):
         read_table(str(tmp_path / "t"), format="csvx")
+
+    write_table(ds, str(tmp_path / "c"), format="csv")
+    cback = read_table(str(tmp_path / "c"), format="csv", columns=["doc_id", "text"])
+    assert cback.count() == len(TEXTS)
+    assert set(cback.schema().names) == {"doc_id", "text"}
+    write_table(ds, str(tmp_path / "j"), format="json")
+    jback = read_table(str(tmp_path / "j"), format="json", columns=["doc_id"])
+    assert jback.count() == len(TEXTS)
+    assert jback.schema().names == ["doc_id"]
