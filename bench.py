@@ -275,7 +275,7 @@ def run_scaling():
                 "total_sec_8cpu": lo["value"],
                 "total_sec_32cpu": hi["value"],
                 "sf": SF_DIR,
-                "n_docs": N_DOCS,
+                "n_docs": int(n_scaling),
             }
         )
     )

@@ -7,7 +7,6 @@ per batch)."""
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -28,30 +27,45 @@ _BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
 class LangId:
-    """Actor-pool stage: stopword-overlap language ID with an n-gram
-    fallback. Emits (lang_pred, lang_score)."""
+    """Actor-pool stage: stopword-overlap language ID. Emits
+    (lang_pred, lang_score): per-doc best stopword-hit ratio, dict order
+    breaking ties (strict-greater updates), zero hits -> "und".
+
+    Vectorized: one Arrow regex split tokenizes the whole batch into a
+    flat lowercase token stream with parent indices; per-language hit
+    counts are one ``np.isin`` + ``np.bincount`` over that stream (no
+    per-row Python). Tokenization is RE2 ``\\w`` (ASCII word chars, the
+    same class the DuckDB oracle's ``regexp_extract_all('\\w+')`` uses)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(_WORD_RE)
+        self.sw = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        langs, scores = [], []
-        for txt in t.column(self.text_col).to_pylist():
-            toks = [w.lower() for w in self.word.findall(txt or "")]
-            if not toks:
-                langs.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for lang, sw in STOPWORDS.items():
-                hit = sum(1 for w in toks if w in sw) / len(toks)
-                if hit > best:
-                    best_lang, best = lang, hit
-            langs.append(best_lang)
-            scores.append(best)
-        return t.append_column("lang_pred", pa.array(langs, pa.string())).append_column(
-            "lang_score", pa.array(scores, pa.float64())
+        n = t.num_rows
+        txt = pc.fill_null(t.column(self.text_col), "")
+        toks_list = pc.split_pattern_regex(pc.utf8_lower(txt), r"[^0-9a-z_]+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = toks_list.flatten()
+        parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)[keep]
+        parents = parents[keep]
+        import pandas as pd
+
+        tok_s = pd.Series(toks)
+        n_toks = np.bincount(parents, minlength=n).astype(np.float64)
+        denom = np.maximum(n_toks, 1.0)
+        best = np.zeros(n, dtype=np.float64)
+        best_lang = np.full(n, "und", dtype=object)
+        for lang, sw in self.sw.items():
+            hits = np.bincount(parents[tok_s.isin(sw).to_numpy()], minlength=n) / denom
+            upd = hits > best
+            best[upd] = hits[upd]
+            best_lang[upd] = lang
+        return t.append_column("lang_pred", pa.array(best_lang, pa.string())).append_column(
+            "lang_score", pa.array(best, pa.float64())
         )
 
 
