@@ -155,6 +155,38 @@ def _temporal_query(sf_dir: str):
     return _round_col(out, "sd")
 
 
+def _asof_query(sf_dir: str):
+    """Point-in-time feature lookup: each click event as-of joined to the
+    latest preceding purchase by the same user within 12 hours
+    (backward direction, largest-event_id tie rule). The float gap
+    column is intentionally NOT emitted — ids and timestamps compare
+    exactly, epoch-seconds floats wouldn't."""
+    from fozziejoin_ray import fuzzy_temporal_asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(kind, p):
+        return ev.map_batches(
+            lambda t, k=kind, p=p: (
+                lambda f: pa.table(
+                    {
+                        f"{p}_eid": f["event_id"],
+                        f"{p}_ts": f["ts"],
+                        f"{p}_uid": f["user_id"],
+                    }
+                )
+            )(t.filter(pc.equal(t["event_type"], k))),
+            batch_format="pyarrow",
+        )
+
+    return fuzzy_temporal_asof_join(
+        side("click", "l"), side("purchase", "r"),
+        by={"l_ts": "r_ts"}, on_exact={"l_uid": "r_uid"},
+        direction="backward", tolerance=12, unit="hours",
+        left_id="l_eid", right_id="r_eid",
+    )
+
+
 def _temporal_interval_query(sf_dir: str):
     """orders [o_orderdate, +2d] x lineitem(l_linenumber=1) [l_shipdate, +1d],
     real-mode any-overlap at maxgap=0 — reference semantics per
@@ -542,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "difference_inner": _difference_query,
         "temporal_inner": _temporal_query,
         "temporal_interval_any": _temporal_interval_query,
+        "asof_backward": _asof_query,
         "interval_real_any": _interval_real_query,
         "interval_int_any": _interval_int_query,
         "regex_inner": _regex_query,
@@ -803,6 +836,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0, 6) AS sd
             FROM lineitem l, orders o
             WHERE ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0 <= 86400.0""",
+        # as-of backward with 12h tolerance: argmax-by-(ts, event_id) via
+        # QUALIFY mirrors the engine's largest-rid tie rule (asof.py)
+        "asof_backward": """
+            WITH l AS (SELECT event_id AS l_eid, ts AS l_ts, user_id AS l_uid
+                       FROM events WHERE event_type = 'click'),
+                 r AS (SELECT event_id AS r_eid, ts AS r_ts, user_id AS r_uid
+                       FROM events WHERE event_type = 'purchase')
+            SELECT l_eid, l_ts, l_uid, r_eid, r_ts, r_uid
+            FROM l JOIN r ON r_uid = l_uid AND r_ts <= l_ts
+              AND epoch_us(l_ts) - epoch_us(r_ts) <= 43200000000
+            QUALIFY row_number() OVER (PARTITION BY l_eid ORDER BY r_ts DESC, r_eid DESC) = 1""",
         "temporal_interval_any": """
             WITH o AS (SELECT o_orderkey, o_orderdate AS os,
                               o_orderdate + INTERVAL 2 DAY AS oe FROM orders),

@@ -7,6 +7,7 @@ pairwise scoring + join-mode assembly + transitive clustering, over
 Arrow batches, designed for multi-node scale.
 """
 
+from .joins.asof import fuzzy_asof_join, fuzzy_temporal_asof_join  # noqa: F401
 from .joins.interval_join import fuzzy_interval_join  # noqa: F401
 from .joins.numeric_join import fuzzy_difference_join, fuzzy_distance_join  # noqa: F401
 from .joins.regex_join import fuzzy_regex_join  # noqa: F401
@@ -21,5 +22,7 @@ __all__ = [
     "fuzzy_regex_join",
     "fuzzy_temporal_join",
     "fuzzy_temporal_interval_join",
+    "fuzzy_asof_join",
+    "fuzzy_temporal_asof_join",
 ]
 __version__ = "0.1.0"
