@@ -187,6 +187,23 @@ def _asof_query(sf_dir: str):
     )
 
 
+def _sessionize_query(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity break per user) —
+    integer-microsecond arithmetic end to end, so values compare exactly
+    against the window-function oracle."""
+    from fozziejoin_ray.pipelines.events import sessionize
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ev, gap=30, unit="minutes", num_partitions=8)
+
+
+def _session_stats_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.events import session_stats
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return session_stats(ev, gap=30, unit="minutes", num_partitions=8)
+
+
 def _temporal_interval_query(sf_dir: str):
     """orders [o_orderdate, +2d] x lineitem(l_linenumber=1) [l_shipdate, +1d],
     real-mode any-overlap at maxgap=0 — reference semantics per
@@ -575,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_inner": _temporal_query,
         "temporal_interval_any": _temporal_interval_query,
         "asof_backward": _asof_query,
+        "sessionize": _sessionize_query,
+        "session_stats": _session_stats_query,
         "interval_real_any": _interval_real_query,
         "interval_int_any": _interval_int_query,
         "regex_inner": _regex_query,
@@ -836,6 +855,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0, 6) AS sd
             FROM lineitem l, orders o
             WHERE ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0 <= 86400.0""",
+        # gap sessionization: lag + cumulative break-flag window; strict
+        # > on the 30-min gap matches pipelines/events.py (at-gap stays)
+        "sessionize": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CASE WHEN prev IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events)""",
+        "session_stats": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CAST(SUM(CASE WHEN prev IS NULL
+                                   OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                              THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM (SELECT event_id, user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                    FROM events))
+            SELECT user_id, session_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS ts_first, MAX(ts) AS ts_last,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+            FROM s GROUP BY user_id, session_seq""",
         # as-of backward with 12h tolerance: argmax-by-(ts, event_id) via
         # QUALIFY mirrors the engine's largest-rid tie rule (asof.py)
         "asof_backward": """

@@ -1,0 +1,144 @@
+"""Event-stream operators for training-data pipelines: gap-based
+sessionization and per-session aggregates.
+
+Not reference operators — fozziejoin has no event-stream surface; these
+are the standard building blocks a behavioral-data pipeline needs next
+to the temporal joins (user histories -> sessions -> session features).
+
+Scale design: ONE hash shuffle on the entity column puts every user's
+events in one partition; inside a partition everything is vectorized
+pandas over integer microseconds (no floats anywhere, so results are
+bit-exact and SQL-replicable). Sessions of one user never span
+partitions, so per-partition aggregates are already global — no second
+shuffle for :func:`session_stats`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+UNIT_US = {
+    "us": 1,
+    "ms": 1_000,
+    "seconds": 1_000_000,
+    "minutes": 60_000_000,
+    "hours": 3_600_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def _gap_us(gap: float, unit: str) -> int:
+    if unit not in UNIT_US:
+        raise ValueError(f"unknown unit {unit!r}; expected one of {tuple(UNIT_US)}")
+    return int(round(float(gap) * UNIT_US[unit]))
+
+
+def _hash_part(col_name: str, num_partitions: int):
+    import pandas as pd
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t[col_name].to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return t.append_column("__sp", pa.array((h % num_partitions).astype(np.int64)))
+
+    return fn
+
+
+def _flags_and_seq(df, user_col: str, ts_col: str, gap_us: int):
+    """Sort by (user, ts) and return the sorted frame plus the 1-based
+    per-user session sequence. A new session starts at the user's first
+    event or when the gap to the previous event EXCEEDS ``gap_us``
+    (strictly greater: a gap of exactly ``gap`` stays in-session).
+    Equal timestamps trivially stay in-session, so tie order never
+    changes membership."""
+    df = df.sort_values([user_col, ts_col], kind="stable")
+    ts_us = df[ts_col].astype("int64").to_numpy()  # timestamp[us] -> micros
+    users = df[user_col].to_numpy()
+    new_user = np.r_[True, users[1:] != users[:-1]]
+    gap_break = np.r_[False, (ts_us[1:] - ts_us[:-1]) > gap_us]
+    flag = new_user | gap_break
+    # per-user cumulative count of breaks = global cumsum minus the
+    # cumsum just before each user's first row
+    cs = np.cumsum(flag)
+    base = np.repeat(cs[new_user] - 1, np.diff(np.r_[np.nonzero(new_user)[0], len(df)]))
+    return df, (cs - base).astype(np.int64)
+
+
+def sessionize(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: float = 30,
+    unit: str = "minutes",
+    session_col: str = "session_seq",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Append a 1-based per-user session sequence number: a new session
+    starts when the gap to the user's previous event exceeds ``gap``."""
+    gus = _gap_us(gap, unit)
+
+    def part(df):
+        if not len(df):
+            return df.drop(columns=["__sp"])
+        df, seq = _flags_and_seq(df, user_col, ts_col, gus)
+        df = df.drop(columns=["__sp"]).copy()
+        df[session_col] = seq
+        return df
+
+    return (
+        events.map_batches(_hash_part(user_col, num_partitions), batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(part, batch_format="pandas")
+    )
+
+
+def session_stats(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: float = 30,
+    unit: str = "minutes",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """One row per (user, session): event count, first/last timestamp and
+    integer-microsecond duration. Exact by construction (ints and
+    timestamps only); a user's sessions live in one partition, so the
+    per-partition aggregate IS the global aggregate."""
+    gus = _gap_us(gap, unit)
+
+    def part(df):
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype=df[user_col].dtype if user_col in df else object),
+                    "session_seq": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "ts_first": pd.Series([], dtype="datetime64[us]"),
+                    "ts_last": pd.Series([], dtype="datetime64[us]"),
+                    "duration_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        df, seq = _flags_and_seq(df, user_col, ts_col, gus)
+        df = df.copy()
+        df["session_seq"] = seq
+        g = df.groupby([user_col, "session_seq"], sort=False)[ts_col]
+        out = g.agg(n_events="size", ts_first="min", ts_last="max").reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["duration_us"] = (
+            out["ts_last"].astype("int64") - out["ts_first"].astype("int64")
+        ).astype(np.int64)
+        return out
+
+    return (
+        events.select_columns([user_col, ts_col])
+        .map_batches(_hash_part(user_col, num_partitions), batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(part, batch_format="pandas")
+    )

@@ -1,0 +1,80 @@
+"""Sessionize / session_stats tests: brute-force oracle, gap boundary
+inclusivity, partition invariance."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fozziejoin_ray.pipelines.events import session_stats, sessionize
+
+B = dt.datetime(2024, 1, 1)
+
+
+def ev(rows):
+    ids, us, ts = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": list(ids),
+                "user_id": list(us),
+                "ts": pa.array([B + dt.timedelta(seconds=s) for s in ts], pa.timestamp("us")),
+            }
+        )
+    )
+
+
+ROWS = [
+    # user 1: sessions [0, 10, 70], [200], [500, 530]  (gap 60s)
+    (1, 1, 0.0), (2, 1, 10.0), (3, 1, 70.0), (4, 1, 200.0), (5, 1, 500.0), (6, 1, 530.0),
+    # user 2: single event
+    (7, 2, 1000.0),
+    # user 3: exactly-at-gap stays in session; 1us over breaks
+    (8, 3, 0.0), (9, 3, 60.0), (10, 3, 120.000001),
+]
+EXPECTED_SEQ = {1: 1, 2: 1, 3: 1, 4: 2, 5: 3, 6: 3, 7: 1, 8: 1, 9: 1, 10: 2}
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_sessionize_matches_oracle(nparts):
+    out = sessionize(ev(ROWS), gap=60, unit="seconds", num_partitions=nparts).take_all()
+    got = {d["event_id"]: d["session_seq"] for d in out}
+    assert got == EXPECTED_SEQ
+    assert len(out) == len(ROWS)
+
+
+def test_session_stats():
+    out = session_stats(ev(ROWS), gap=60, unit="seconds", num_partitions=4).take_all()
+    got = {(d["user_id"], d["session_seq"]): (d["n_events"], d["duration_us"]) for d in out}
+    assert got == {
+        (1, 1): (3, 70_000_000),
+        (1, 2): (1, 0),
+        (1, 3): (2, 30_000_000),
+        (2, 1): (1, 0),
+        (3, 1): (2, 60_000_000),
+        (3, 2): (1, 0),
+    }
+    firsts = {(d["user_id"], d["session_seq"]): d["ts_first"] for d in out}
+    assert firsts[(1, 3)] == B + dt.timedelta(seconds=500)
+
+
+def test_sessionize_random_vs_pandas_oracle():
+    rng = np.random.RandomState(3)
+    n = 2000
+    rows = [
+        (i, int(rng.randint(0, 25)), float(np.round(rng.uniform(0, 50_000), 3)))
+        for i in range(n)
+    ]
+    out = sessionize(ev(rows), gap=10, unit="minutes", num_partitions=8).take_all()
+    got = {d["event_id"]: d["session_seq"] for d in out}
+
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "s"]).sort_values(["user_id", "s"])
+    brk = df.groupby("user_id")["s"].diff().gt(600).fillna(True) | df["event_id"].isna()
+    first = ~df["user_id"].duplicated()
+    df["seq"] = (brk | first).groupby(df["user_id"]).cumsum().astype(int)
+    exp = dict(zip(df["event_id"], df["seq"]))
+    assert got == exp
