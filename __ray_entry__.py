@@ -187,6 +187,16 @@ def _asof_query(sf_dir: str):
     )
 
 
+def _hash_split_query(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by key hash —
+    stable across reruns, partitionings and engines (same label from the
+    committed SQL expression)."""
+    from fozziejoin_ray.pipelines.split import hash_split
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r2")
+
+
 def _sessionize_query(sf_dir: str):
     """Gap-based sessionization (30-min inactivity break per user) —
     integer-microsecond arithmetic end to end, so values compare exactly
@@ -592,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_inner": _temporal_query,
         "temporal_interval_any": _temporal_interval_query,
         "asof_backward": _asof_query,
+        "hash_split": _hash_split_query,
         "sessionize": _sessionize_query,
         "session_stats": _session_stats_query,
         "interval_real_any": _interval_real_query,
@@ -746,6 +757,15 @@ def _jaccard_cc_sql(threshold: float) -> str:
             FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id"""
 
 
+from fozziejoin_ray.pipelines.split import split_sql_expr as _split_sql_expr
+
+_HASH_SPLIT_SQL = (
+    "SELECT doc_id, "
+    + _split_sql_expr("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r2")
+    + " AS split FROM documents"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from fozziejoin_ray.pipelines.text import STOPWORDS
 
@@ -855,6 +875,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0, 6) AS sd
             FROM lineitem l, orders o
             WHERE ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0 <= 86400.0""",
+        # hash split: the committed SQL expression IS the engine formula
+        # (pipelines/split.py:split_sql_expr), evaluated inline
+        "hash_split": _HASH_SPLIT_SQL,
         # gap sessionization: lag + cumulative break-flag window; strict
         # > on the 30-min gap matches pipelines/events.py (at-gap stays)
         "sessionize": """

@@ -1,0 +1,103 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``hash_split`` assigns every row a split label ("train"/"val"/...)
+from a polynomial hash of its key — the property a 100 TB pipeline
+needs: the assignment is a pure function of the key, so it is stable
+across reruns, partitionings, cluster sizes and engines (the exact
+formula is SQL-replicable, same Horner construction the fingerprint
+oracle uses), and rows never need a shuffle — one stateless
+``map_batches`` labels everything in place.
+
+Hash: h = Horner(codepoints of str(key) + ":" + salt, base 131,
+mod 2^31-1); bucket = h mod 10_000; labels assigned by cumulative
+ratio thresholds over the bucket space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .text import _fp_powers
+
+_M = np.uint64(2147483647)
+_BASE = 131
+_BUCKETS = 10_000
+
+
+def _bucket_of(keys: list, salt: str) -> np.ndarray:
+    """Vectorized Horner hash mod 2^31-1 of ``salt + ':' + str(key)``,
+    then the non-linear mix ``(h^2 + 48271*h) mod M`` before the bucket
+    modulus — Horner alone is linear, so consecutive keys (or salts
+    differing in one character) would land in consecutive buckets and a
+    salt change would barely reshuffle assignments. Null keys hash the
+    literal 'None' representation — deterministic, never errors."""
+    strs = [f"{salt}:{k}" for k in keys]
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    total = int(lens.sum())
+    h = np.zeros(len(strs), dtype=np.uint64)
+    if total:
+        codes = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        ends = np.cumsum(lens)
+        rev = np.repeat(ends - 1, lens) - np.arange(total, dtype=np.int64)
+        w = _fp_powers(_BASE, int(lens.max()))
+        terms = (codes * w[rev]) % _M
+        h = np.add.reduceat(terms, ends - lens) % _M
+    h = (h * h + np.uint64(48271) * h) % _M  # < 2^62 + 2^47: no overflow
+    return (h % np.uint64(_BUCKETS)).astype(np.int64)
+
+
+def hash_split(
+    ds: rd.Dataset,
+    key_col: str,
+    ratios: dict[str, float],
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Append ``out_col`` with a deterministic split label per row.
+    ``ratios`` values must sum to 1 (1e-9 tolerance); thresholds are
+    cumulative over a 10,000-bucket space, so realized proportions are
+    exact to 1e-4 in expectation."""
+    if not ratios:
+        raise ValueError("ratios must be a non-empty {label: fraction} dict")
+    tot = sum(ratios.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {tot}")
+    labels = list(ratios)
+    cum = np.cumsum([ratios[l] for l in labels])
+    bounds = np.minimum(np.round(cum * _BUCKETS).astype(np.int64), _BUCKETS)
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column(key_col).to_pylist(), salt)
+        li = np.searchsorted(bounds, b, side="right")
+        out = np.array(labels, dtype=object)[np.minimum(li, len(labels) - 1)]
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_sql_expr(key_expr: str, ratios: dict[str, float], *, salt: str = "") -> str:
+    """The DuckDB expression computing the SAME label as
+    :func:`hash_split` for column/expression ``key_expr`` — used by the
+    driver oracle and handy for cross-engine validation."""
+    labels = list(ratios)
+    cum = np.cumsum([ratios[l] for l in labels])
+    bounds = np.minimum(np.round(cum * _BUCKETS).astype(np.int64), _BUCKETS)
+    # COALESCE mirrors Python str(None) == 'None'; int/string keys render
+    # identically in both engines (float keys may not — use int/str keys)
+    s = f"'{salt}:' || COALESCE(CAST({key_expr} AS VARCHAR), 'None')"
+    h = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, length({s}) + 1), i -> unicode(substr({s}, i, 1))::BIGINT)), "
+        f"(a, c) -> (a * {_BASE} + c) % 2147483647)"
+    )
+    hm = f"(({h}) * ({h}) + 48271 * ({h})) % 2147483647"
+    expr = "CASE "
+    for lab, b in zip(labels, bounds):
+        if lab != labels[-1]:
+            expr += f"WHEN ({hm}) % {_BUCKETS} < {int(b)} THEN '{lab}' "
+        else:
+            expr += f"ELSE '{lab}' "
+    return expr + "END"

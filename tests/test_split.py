@@ -1,0 +1,56 @@
+"""hash_split tests: determinism, completeness, proportions, SQL parity."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fozziejoin_ray.pipelines.split import hash_split, split_sql_expr
+
+RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_deterministic_complete_and_proportional():
+    n = 20_000
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n))}))
+    out = hash_split(ds, "doc_id", RATIOS, salt="s1").take_all()
+    a = {d["doc_id"]: d["split"] for d in out}
+    out2 = hash_split(ds, "doc_id", RATIOS, salt="s1").take_all()
+    assert a == {d["doc_id"]: d["split"] for d in out2}  # rerun-stable
+    assert len(a) == n
+    frac = {k: sum(1 for v in a.values() if v == k) / n for k in RATIOS}
+    for k in RATIOS:
+        assert abs(frac[k] - RATIOS[k]) < 0.02, frac
+    # different salt reshuffles assignments
+    b = {d["doc_id"]: d["split"] for d in hash_split(ds, "doc_id", RATIOS, salt="s2").take_all()}
+    assert sum(1 for i in a if a[i] != b[i]) > n * 0.1
+
+
+def test_split_partition_invariant():
+    ds1 = rd.from_arrow(pa.table({"k": [f"id{i}" for i in range(500)]}))
+    a = {d["k"]: d["split"] for d in hash_split(ds1, "k", RATIOS).take_all()}
+    ds2 = rd.from_arrow(pa.table({"k": [f"id{i}" for i in range(500)]})).repartition(13)
+    b = {d["k"]: d["split"] for d in hash_split(ds2, "k", RATIOS).take_all()}
+    assert a == b
+
+
+def test_split_matches_sql_expr():
+    keys = list(range(300)) + [None]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(keys, pa.int64())}))
+    got = {d["doc_id"]: d["split"] for d in hash_split(ds, "doc_id", RATIOS, salt="x").take_all()}
+    con = duckdb.connect()
+    expr = split_sql_expr("doc_id", RATIOS, salt="x")
+    sql = con.execute(
+        f"SELECT doc_id, {expr} AS split FROM (SELECT unnest(?) AS doc_id)", [keys]
+    ).fetchall()
+    exp = dict(sql)
+    assert got == exp
+
+
+def test_split_validates_ratios():
+    ds = rd.from_arrow(pa.table({"k": [1]}))
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ds, "k", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(ds, "k", {})
