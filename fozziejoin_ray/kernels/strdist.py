@@ -96,10 +96,9 @@ def _duck():
     return _DUCK
 
 
-def _duck_binary(fn: str, a: list[str], b: list[str]) -> np.ndarray:
+def _duck_binary_tbl(fn: str, aa: pa.Array, ab: pa.Array) -> np.ndarray:
     con = _duck()
-    tbl = pa.table({"a": pa.array(a, type=pa.string()), "b": pa.array(b, type=pa.string())})
-    con.register("_fj_pairs", tbl)
+    con.register("_fj_pairs", pa.table({"a": aa, "b": ab}))
     try:
         out = con.execute(f"SELECT {fn}(a, b) AS d FROM _fj_pairs").fetch_arrow_table()
     finally:
@@ -107,23 +106,42 @@ def _duck_binary(fn: str, a: list[str], b: list[str]) -> np.ndarray:
     return out.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
 
 
-def _duckdb_char_metric(fn: str, a: list[str], b: list[str], py_fallback) -> np.ndarray:
+def _duck_binary(fn: str, a, b) -> np.ndarray:
+    return _duck_binary_tbl(fn, pa.array(a, type=pa.string()), pa.array(b, type=pa.string()))
+
+
+def _to_arrow_pair(a, b) -> tuple[pa.Array, pa.Array]:
+    """One conversion of both sides to Arrow string arrays (accepts
+    lists or numpy object arrays) — everything downstream (ascii mask,
+    equality, the DuckDB scan) runs on these without per-pair Python."""
+    return pa.array(a, type=pa.string()), pa.array(b, type=pa.string())
+
+
+def _duckdb_char_metric_arrow(fn: str, aa: pa.Array, ab: pa.Array, a, b, py_fallback) -> np.ndarray:
     """DuckDB's string metrics are byte-based; a char == a byte only for
-    ASCII. Route ASCII pairs (the common case) through DuckDB's C++ kernel
-    and the non-ASCII minority through a char-based python fallback."""
-    ascii_mask = np.fromiter(
-        ((x.isascii() and y.isascii()) for x, y in zip(a, b)), dtype=bool, count=len(a)
-    )
-    if ascii_mask.all():
-        return _duck_binary(fn, a, b)
-    out = np.empty(len(a), dtype=np.float64)
-    idx_ok = np.nonzero(ascii_mask)[0]
-    idx_py = np.nonzero(~ascii_mask)[0]
+    ASCII. The ascii mask is one vectorized Arrow kernel per side; ASCII
+    pairs (the common case) go through DuckDB's C++ kernel in one scan,
+    the non-ASCII minority through a char-based python fallback."""
+    import pyarrow.compute as pc
+
+    mask = pc.and_(pc.string_is_ascii(aa), pc.string_is_ascii(ab))
+    if pc.all(mask).as_py():
+        return _duck_binary_tbl(fn, aa, ab)
+    m = mask.to_numpy(zero_copy_only=False)
+    out = np.empty(len(aa), dtype=np.float64)
+    idx_ok = np.nonzero(m)[0]
+    idx_py = np.nonzero(~m)[0]
     if len(idx_ok):
-        out[idx_ok] = _duck_binary(fn, [a[i] for i in idx_ok], [b[i] for i in idx_ok])
+        take = pa.array(idx_ok, pa.int64())
+        out[idx_ok] = _duck_binary_tbl(fn, aa.take(take), ab.take(take))
     for i in idx_py:
         out[i] = py_fallback(a[i], b[i])
     return out
+
+
+def _duckdb_char_metric(fn: str, a, b, py_fallback) -> np.ndarray:
+    aa, ab = _to_arrow_pair(a, b)
+    return _duckdb_char_metric_arrow(fn, aa, ab, a, b, py_fallback)
 
 
 # ---------------------------------------------------------------------------
@@ -454,10 +472,13 @@ def score_pairs(
     if method in ("qgram", "cosine", "jaccard"):
         return _qgram_family_batch(method, a, b, q)
     if method == "jaro_winkler":
-        sim = _duckdb_char_metric("jaro_similarity", a, b, _py_jaro_sim)
+        import pyarrow.compute as pc
+
+        aa, ab = _to_arrow_pair(a, b)
+        sim = _duckdb_char_metric_arrow("jaro_similarity", aa, ab, a, b, _py_jaro_sim)
         # DuckDB returns 0.0 for two empty strings; rapidfuzz jaro says
         # identical -> similarity 1. Fix up both-empty (and any equal pair).
-        eq = np.fromiter((x == y for x, y in zip(a, b)), bool, count=n)
+        eq = pc.equal(aa, ab).to_numpy(zero_copy_only=False)
         sim[eq] = 1.0
         x = 1.0 - sim
         if max_prefix > 0 and prefix_weight != 0.0:

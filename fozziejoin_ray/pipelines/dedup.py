@@ -1156,7 +1156,9 @@ def lsh_fused_edges(
         ids = (
             t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
         ).to_numpy(zero_copy_only=False)
-        keep, scores = score_fn(list(kv[ai]), list(kv[bi]))
+        # numpy object arrays go straight to the score_fn — materializing
+        # python lists here costs more than the string kernel itself
+        keep, scores = score_fn(kv[ai], kv[bi])
         ra = ids[ai[keep]]
         rb = ids[bi[keep]]
         src = np.where(ra < rb, ra, rb)
