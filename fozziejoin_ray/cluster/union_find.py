@@ -35,14 +35,47 @@ CLUSTER = "cluster"
 
 
 def _driver_union_find_batches(batches, src: str, dst: str, node_type=None) -> "rd.Dataset":
-    """Exact union-find on the driver for small edge sets, consuming Arrow
-    batches (iter_rows would cost ~10x in per-row python overhead)."""
-    rows = (
-        (a, b)
-        for t in batches
-        for a, b in zip(t[src].to_pylist(), t[dst].to_pylist())
+    """Exact connected components on the driver for small edge sets —
+    fully vectorized: factorize both endpoint columns to int codes, then
+    alternate ``np.minimum.at`` label pulls with pointer jumping until a
+    fixpoint (O(log n) rounds; no per-edge python)."""
+    import pandas as pd
+
+    tables = [t for t in batches if t.num_rows]
+    if not tables:
+        return rd.from_arrow(
+            pa.table({NODE: pa.array([], node_type), CLUSTER: pa.array([], node_type)})
+        )
+    t = pa.concat_tables(tables)
+    a = t[src].combine_chunks().to_numpy(zero_copy_only=False)
+    b = t[dst].combine_chunks().to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(np.concatenate([a, b]), sort=False)
+    n = len(uniques)
+    ea = codes[: len(a)]
+    eb = codes[len(a):]
+    lbl = np.arange(n, dtype=np.int64)
+    while True:
+        prev = lbl
+        l2 = lbl.copy()
+        np.minimum.at(l2, ea, lbl[eb])
+        np.minimum.at(l2, eb, lbl[ea])
+        l2 = l2[l2]  # pointer jump
+        l2 = l2[l2]
+        lbl = l2
+        if np.array_equal(lbl, prev):
+            break
+    # labels are positions of component minima; map to the min VALUE in
+    # each component (uniques is not sorted, so position-min != value-min)
+    u = pd.Series(uniques)
+    rep = u.groupby(lbl, sort=False).transform("min")
+    return rd.from_arrow(
+        pa.table(
+            {
+                NODE: pa.array(uniques, type=node_type),
+                CLUSTER: pa.array(rep.to_numpy(), type=node_type),
+            }
+        )
     )
-    return _driver_union_find(rows, node_type)
 
 
 def _driver_union_find(edge_pairs, node_type=None) -> "rd.Dataset":
