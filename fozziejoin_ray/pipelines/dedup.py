@@ -257,23 +257,16 @@ def jaccard_pairs_batch(
     ``inter = popcount(A & B)`` via a uint16 LUT, cache-resident pair
     slabs; per-pair sorted intersection when the vocabulary is too wide).
     Bit-for-bit identical to per-pair :func:`jaccard_sets`."""
+    import pandas as pd
+
     n = len(a_texts)
     if not n:
         return np.empty(0, np.float64)
-    idx: dict[str, int] = {}
-    uniq: list[str] = []
-
-    def doc(s) -> int:
-        s = s or ""
-        i = idx.get(s)
-        if i is None:
-            i = len(uniq)
-            idx[s] = i
-            uniq.append(s)
-        return i
-
-    ai = np.fromiter((doc(s) for s in a_texts), np.int64, count=n)
-    bi = np.fromiter((doc(s) for s in b_texts), np.int64, count=n)
+    both = pd.Series(np.concatenate([np.asarray(a_texts, object), np.asarray(b_texts, object)]))
+    codes, uniques = pd.factorize(both.fillna(""), sort=False)  # C-speed text dedup
+    ai = codes[:n].astype(np.int64)
+    bi = codes[n:].astype(np.int64)
+    uniq = uniques.tolist()
     index = DocShingleIndex(list(range(len(uniq))), uniq, shingle_k)
     return index.jaccard_idx(ai, bi)
 
