@@ -197,6 +197,16 @@ def _hash_split_query(sf_dir: str):
     return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r2")
 
 
+def _topk_query(sf_dir: str):
+    """Data-curation staple: keep each user's 3 highest-value events,
+    ranked, ties by event_id. Value column is carried through untouched
+    (no float arithmetic), so the comparison is bit-exact."""
+    from fozziejoin_ray.pipelines.topk import top_k_per_group
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    return top_k_per_group(ev, "user_id", "value", 3, tie_cols="event_id", num_partitions=8)
+
+
 def _sessionize_query(sf_dir: str):
     """Gap-based sessionization (30-min inactivity break per user) —
     integer-microsecond arithmetic end to end, so values compare exactly
@@ -603,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_interval_any": _temporal_interval_query,
         "asof_backward": _asof_query,
         "hash_split": _hash_split_query,
+        "topk_per_group": _topk_query,
         "sessionize": _sessionize_query,
         "session_stats": _session_stats_query,
         "interval_real_any": _interval_real_query,
@@ -875,6 +886,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0, 6) AS sd
             FROM lineitem l, orders o
             WHERE ABS(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0 <= 86400.0""",
+        # top-k per group: row_number QUALIFY with explicit NULLS LAST
+        # mirrors pipelines/topk.py (desc order, event_id tie, rank kept)
+        "topk_per_group": """
+            SELECT event_id, user_id, value,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY value DESC NULLS LAST, event_id) AS BIGINT) AS rank
+            FROM events
+            QUALIFY rank <= 3""",
         # hash split: the committed SQL expression IS the engine formula
         # (pipelines/split.py:split_sql_expr), evaluated inline
         "hash_split": _HASH_SPLIT_SQL,
