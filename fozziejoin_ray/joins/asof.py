@@ -111,6 +111,10 @@ def _resolve(idx: RightAsofIndex, codes, x, direction: str, tol: float | None):
     n = len(x)
     pos = np.full(n, -1, dtype=np.int64)
     gap = np.full(n, np.nan)
+    if len(idx.t) == 0:
+        # right side had no usable rows (all-null ordering values, or
+        # simply empty): NA-never-matches => every left row is unmatched
+        return pos, gap
     ok = (~np.isnan(x)) & (codes >= 0)
     thr = (tol + F64_EPS) if tol is not None else None
 
@@ -366,10 +370,16 @@ def fuzzy_asof_join(
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
         strategy = "blocked" if (
-            tolerance is not None and exceeds_rows(right, broadcast_threshold)
+            tolerance is not None
+            and tolerance > 0
+            and exceeds_rows(right, broadcast_threshold)
         ) else "broadcast"
-    if strategy == "blocked" and tolerance is None:
-        raise ValueError("blocked asof requires a finite tolerance (unbounded lookback cannot tile)")
+    if strategy == "blocked" and (tolerance is None or not tolerance > 0):
+        raise ValueError(
+            "blocked asof requires a finite tolerance > 0 (unbounded lookback "
+            "cannot tile, and width-0 tiles are undefined; exact-timestamp "
+            "matching at tolerance=0 works via the broadcast strategy)"
+        )
 
     left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
@@ -387,9 +397,14 @@ def fuzzy_asof_join(
         tables = list(
             right.select_columns(cols).iter_batches(batch_size=None, batch_format="pyarrow")
         )
-        if not tables:
-            raise ValueError("right dataset is empty with no schema")
-        rt = pa.concat_tables(tables)
+        if tables:
+            rt = pa.concat_tables(tables)
+        else:
+            # zero-row right with a schema: left/anti modes must still emit
+            # padded / all-left output, so build an empty index, not an error
+            s = right.schema()
+            sch = pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+            rt = sch.empty_table().select(cols)
         index = RightAsofIndex(
             _numeric_np(rt[rkey]),
             rt[rid].to_numpy(zero_copy_only=False),

@@ -53,8 +53,15 @@ def _flags_and_seq(df, user_col: str, ts_col: str, gap_us: int):
     event or when the gap to the previous event EXCEEDS ``gap_us``
     (strictly greater: a gap of exactly ``gap`` stays in-session).
     Equal timestamps trivially stay in-session, so tie order never
-    changes membership."""
+    changes membership.
+
+    The timestamp column is normalized to datetime64[us] first: an input
+    that reaches pandas as timestamp[ns]/[ms]/[s] would otherwise view to
+    the wrong integer unit and be compared against a microsecond gap."""
     df = df.sort_values([user_col, ts_col], kind="stable")
+    if df[ts_col].dtype != "datetime64[us]":
+        df = df.copy()
+        df[ts_col] = df[ts_col].astype("datetime64[us]")
     ts_us = df[ts_col].astype("int64").to_numpy()  # timestamp[us] -> micros
     users = df[user_col].to_numpy()
     new_user = np.r_[True, users[1:] != users[:-1]]

@@ -35,7 +35,15 @@ class LangId:
     flat lowercase token stream with parent indices; per-language hit
     counts are one ``np.isin`` + ``np.bincount`` over that stream (no
     per-row Python). Tokenization is RE2 ``\\w`` (ASCII word chars, the
-    same class the DuckDB oracle's ``regexp_extract_all('\\w+')`` uses)."""
+    same class the DuckDB oracle's ``regexp_extract_all('\\w+')`` uses).
+
+    Unicode caveat (deliberate): the ASCII ``[0-9a-z_]`` word class
+    treats accented characters as separators, so non-ASCII words split
+    into ASCII fragments ("café" -> "caf"), inflating token counts and
+    shifting lang_score for non-ASCII documents relative to a Unicode
+    ``\\w+`` tokenizer. This matches the SQL oracle exactly and is the
+    documented engine behavior; all STOPWORDS are ASCII so lang_pred on
+    the supported languages is unaffected."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col

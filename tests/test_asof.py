@@ -136,6 +136,43 @@ def test_asof_blocked_requires_tolerance():
     r = ds(rid=[9], rt=[5.0])
     with pytest.raises(ValueError, match="tolerance"):
         fuzzy_asof_join(l, r, by={"lt": "rt"}, strategy="blocked", left_id="lid", right_id="rid")
+    # tolerance=0 is equally untileable (width-0 grid): must raise, not
+    # feed width=0 into floor(v/width)
+    with pytest.raises(ValueError, match="tolerance"):
+        fuzzy_asof_join(
+            l, r, by={"lt": "rt"}, strategy="blocked", tolerance=0.0,
+            left_id="lid", right_id="rid",
+        )
+
+
+def test_asof_all_null_right_ordering_yields_no_matches():
+    """Right side has rows but every ordering value is null: NA never
+    matches, so inner is empty and left pads — no crash."""
+    l = ds(lid=[1, 2], lt=[10.0, 1.0])
+    r = ds(rid=[9, 10], rt=pa.array([None, None], pa.float64()))
+    inner = fuzzy_asof_join(l, r, by={"lt": "rt"}, left_id="lid", right_id="rid").take_all()
+    assert inner == []
+    left = fuzzy_asof_join(
+        l, r, by={"lt": "rt"}, how="left", left_id="lid", right_id="rid"
+    ).take_all()
+    assert {d["lid"]: d["rid"] for d in left} == {1: None, 2: None}
+
+
+def test_asof_zero_row_right():
+    """A zero-row right (with schema) must yield empty inner and padded
+    left/anti output, not a ValueError."""
+    l = ds(lid=[1, 2], lt=[10.0, 1.0])
+    r = rd.from_arrow(pa.table({"rid": [9], "rt": [5.0]}).slice(0, 0))
+    inner = fuzzy_asof_join(l, r, by={"lt": "rt"}, left_id="lid", right_id="rid").take_all()
+    assert inner == []
+    left = fuzzy_asof_join(
+        l, r, by={"lt": "rt"}, how="left", left_id="lid", right_id="rid"
+    ).take_all()
+    assert {d["lid"]: d["rid"] for d in left} == {1: None, 2: None}
+    anti = fuzzy_asof_join(
+        l, r, by={"lt": "rt"}, how="anti", left_id="lid", right_id="rid"
+    ).take_all()
+    assert sorted(d["lid"] for d in anti) == [1, 2]
 
 
 def test_asof_blocked_randomized_equals_broadcast():

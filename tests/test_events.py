@@ -60,6 +60,34 @@ def test_session_stats():
     assert firsts[(1, 3)] == B + dt.timedelta(seconds=500)
 
 
+@pytest.mark.parametrize("res", ["s", "ms", "ns"])
+def test_sessionize_nonmicro_resolution(res):
+    """timestamp[ns]/[ms]/[s] inputs must be normalized to microseconds
+    before the gap comparison — a ns input previously compared
+    nanoseconds against a microsecond threshold."""
+    ids, us, ts = zip(*ROWS)
+    # shift the 1us-over row to the smallest over-gap step the resolution
+    # can represent (1s / 1ms); everything else is whole seconds
+    step = {"s": 1.0, "ms": 0.001, "ns": 0.000001}[res]
+    secs = [float(int(s)) + (step if s != int(s) else 0.0) for s in ts]
+    tbl = pa.table(
+        {
+            "event_id": list(ids),
+            "user_id": list(us),
+            "ts": pa.array(
+                [B + dt.timedelta(seconds=s) for s in secs], pa.timestamp("us")
+            ).cast(pa.timestamp(res)),
+        }
+    )
+    out = sessionize(rd.from_arrow(tbl), gap=60, unit="seconds", num_partitions=3).take_all()
+    got = {d["event_id"]: d["session_seq"] for d in out}
+    assert got == EXPECTED_SEQ
+
+    stats = session_stats(rd.from_arrow(tbl), gap=60, unit="seconds", num_partitions=3).take_all()
+    durs = {(d["user_id"], d["session_seq"]): d["duration_us"] for d in stats}
+    assert durs[(1, 1)] == 70_000_000  # micros, not nanos
+
+
 def test_sessionize_random_vs_pandas_oracle():
     rng = np.random.RandomState(3)
     n = 2000
