@@ -2,9 +2,22 @@
 
 A strategy maps each key value to a set of block keys such that every pair
 within ``max_distance`` shares at least one block, and defines an in-group
-rule (``pair_ok``) that (a) enforces any residual validity check and (b)
-dedups pairs that meet in more than one block, so every candidate pair is
-scored exactly once across the whole shuffle.
+rule that (a) enforces any residual validity check and (b) dedups pairs
+that meet in more than one block, so every candidate pair is scored
+exactly once across the whole shuffle.
+
+The API is VECTORIZED — the two hot stages of the blocked path never touch
+Python per row or per pair:
+
+- ``emit_unique(uniq, side) -> (uidx, keys)``: block-key emissions per
+  UNIQUE value (callers factorize the key column first and fan out to
+  rows with ``np.repeat``). Per-value work (q-gram / soundex encoding)
+  runs once per distinct value with an lru cache; everything else is
+  numpy array ops.
+- ``candidates(ul, ur, bk, selfjoin) -> (ia, ib)``: the valid unique-value
+  index pairs for one block, built with array ops (length masks, bucketed
+  cross products, ``np.isin`` disqualification) instead of a Python loop
+  calling a per-pair predicate.
 
 Generalizes the reference's in-memory candidate generation:
 
@@ -32,25 +45,111 @@ Completeness notes per method (inclusive threshold ``dist <= maxd``):
   every value with cnt <= maxd.
 - soundex: every clause of the match rule equates one code of each
   side, so sharing >= 1 dual code is necessary.
+
+Exactly-once rules (all enforced inside ``candidates``):
+
+- LengthWindow: rights emit only their home length block, so a
+  two-table pair meets once by construction; a self-join pair is scored
+  only in block L{min(len_a, len_b)}.
+- GramBlocks: a pair sharing k grams meets in k blocks and is scored
+  only in the block of its SMALLEST shared gram (codepoint order); the
+  ``__small__`` block scores only pairs sharing NO gram.
+- SoundexBlocks: scored only in the block of the smallest shared code.
+- AllPairs: the salt grid/triangle names exactly one block per pair.
 """
 
 from __future__ import annotations
 
-import zlib
-
 from functools import lru_cache
+
+import numpy as np
 
 from ..kernels.soundex import soundex_na_dual
 from ..kernels.strdist import get_qgrams
 from ..semantics import canon_method
 
 _cached_qgrams = lru_cache(maxsize=262144)(get_qgrams)
+_cached_soundex = lru_cache(maxsize=262144)(soundex_na_dual)
 
 SMALL_BLOCK = "__small__"
 
+_EMPTY_PAIR = (np.empty(0, np.int64), np.empty(0, np.int64))
 
-def _stable_hash(s) -> int:
-    return zlib.crc32(repr(s).encode())
+
+def value_salt_hash(values: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash per value, vectorized. Used by AllPairs
+    for both emission and in-block filtering — any consistent hash works,
+    so this is pandas' siphash over the object array."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+
+
+def id_salt_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash per row id, vectorized — used for the
+    hot-block grid/triangle sub-salts (emitter and scorer must agree)."""
+    import pandas as pd
+
+    if ids.dtype == object:
+        return pd.util.hash_array(ids, categorize=False)
+    return pd.util.hash_array(np.asarray(ids), categorize=False)
+
+
+def _cross_expand(ca: np.ndarray, cb: np.ndarray):
+    """Vectorized variable-size cross product: for parallel group sizes
+    ``ca[k] x cb[k]`` return (rep, a_local, b_local) flat arrays — rep
+    names the group, a_local/b_local index within each side's group."""
+    sizes = ca * cb
+    total = int(sizes.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+    rep = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    off = np.cumsum(sizes) - sizes
+    t = np.arange(total, dtype=np.int64) - off[rep]
+    cbr = cb[rep]
+    return rep, t // cbr, t % cbr
+
+
+def _triu_with_diag(n: int):
+    """All unordered index pairs (i <= j) over ``n`` items, vectorized."""
+    if n == 0:
+        return _EMPTY_PAIR
+    counts = np.arange(n, 0, -1, dtype=np.int64)  # i pairs with i..n-1
+    ia = np.repeat(np.arange(n, dtype=np.int64), counts)
+    off = np.cumsum(counts) - counts
+    ib = ia + (np.arange(counts.sum(), dtype=np.int64) - off[ia])
+    return ia, ib
+
+
+def _full_cross(nl: int, nr: int):
+    if nl == 0 or nr == 0:
+        return _EMPTY_PAIR
+    return (
+        np.repeat(np.arange(nl, dtype=np.int64), nr),
+        np.tile(np.arange(nr, dtype=np.int64), nl),
+    )
+
+
+def _bucket_cross(lc, lvi, rc, rvi):
+    """Pairs (a_val_idx, b_val_idx) co-occurring in any shared bucket:
+    ``lc``/``rc`` are bucket codes, ``lvi``/``rvi`` the parallel value
+    indices. Vectorized: sort by code, intersect codes, expand each
+    shared bucket's cross product."""
+    lo = np.argsort(lc, kind="stable")
+    ro = np.argsort(rc, kind="stable")
+    lcs_, lvs = lc[lo], lvi[lo]
+    rcs_, rvs = rc[ro], rvi[ro]
+    lu, lstart, lcount = np.unique(lcs_, return_index=True, return_counts=True)
+    ru_, rstart, rcount = np.unique(rcs_, return_index=True, return_counts=True)
+    common, li, ri = np.intersect1d(lu, ru_, return_indices=True)
+    if not len(common):
+        return _EMPTY_PAIR
+    rep, al, bl = _cross_expand(lcount[li], rcount[ri])
+    return lvs[lstart[li][rep] + al], rvs[rstart[ri][rep] + bl]
+
+
+def _str_keys(prefix: str, ints: np.ndarray) -> np.ndarray:
+    return np.char.add(prefix, ints.astype("U"))
 
 
 class LengthWindow:
@@ -61,21 +160,44 @@ class LengthWindow:
     def __init__(self, max_distance: float, exact: bool = False):
         self.d = 0 if exact else int(max_distance)
 
-    def emit(self, value: str, side: str) -> list[str]:
-        l = len(value)
-        if side == "right":
-            return [f"L{l}"]
-        if side == "left":
-            return [f"L{m}" for m in range(max(0, l - self.d), l + self.d + 1)]
-        return [f"L{m}" for m in range(max(0, l - self.d), l + 1)]  # self
+    @staticmethod
+    def _lens(values: np.ndarray) -> np.ndarray:
+        import pandas as pd
 
-    def pair_ok(self, va: str, vb: str, bk: str, selfjoin: bool) -> bool:
-        la, lb = len(va), len(vb)
-        if abs(la - lb) > self.d:
-            return False
-        if selfjoin:
-            return bk == f"L{min(la, lb)}"
-        return bk == f"L{lb}"  # meets only in right's home block anyway
+        return pd.Series(values, dtype=object).str.len().to_numpy(dtype=np.int64)
+
+    def emit_unique(self, uniq: np.ndarray, side: str):
+        lens = self._lens(uniq)
+        n = len(uniq)
+        if side == "right":
+            return np.arange(n, dtype=np.int64), _str_keys("L", lens).astype(object)
+        offs = (
+            np.arange(-self.d, self.d + 1, dtype=np.int64)
+            if side == "left"
+            else np.arange(-self.d, 1, dtype=np.int64)  # self: [len-d, len]
+        )
+        w = len(offs)
+        grid = lens[:, None] + offs[None, :]
+        uidx = np.repeat(np.arange(n, dtype=np.int64), w)
+        flat = grid.ravel()
+        ok = flat >= 0
+        return uidx[ok], _str_keys("L", flat[ok]).astype(object)
+
+    def candidates(self, ul: np.ndarray, ur, bk: str, selfjoin: bool):
+        m = int(bk[1:])
+        if not selfjoin:
+            # rights in L{m} all have len m; lefts were emitted only if
+            # |len - m| <= d, so every pair is valid and meets once
+            return _full_cross(len(ul), len(ur))
+        # self-join: values have len in [m, m+d]; a pair is scored here
+        # iff min(len_a, len_b) == m (its smallest shared block)
+        lens = self._lens(ul)
+        a_idx = np.nonzero(lens == m)[0]
+        b_idx = np.nonzero((lens > m) & (lens <= m + self.d))[0]
+        ia1, ib1 = _triu_with_diag(len(a_idx))
+        ia = [a_idx[ia1], np.repeat(a_idx, len(b_idx))]
+        ib = [a_idx[ib1], np.tile(b_idx, len(a_idx))]
+        return np.concatenate(ia), np.concatenate(ib)
 
 
 class GramBlocks:
@@ -87,43 +209,123 @@ class GramBlocks:
         self.q = q
         self.small_limit = max_distance if with_small else -1.0
 
-    def _grams(self, value: str):
-        return _cached_qgrams(value, self.q)
+    def _flat_grams(self, values: np.ndarray, below: str | None):
+        """(value_idx, gram) flat arrays over distinct grams per value,
+        optionally restricted to grams < ``below``. The per-value gram
+        extraction is cached; everything downstream is array ops."""
+        vi: list[int] = []
+        gr: list[str] = []
+        q = self.q
+        for i, v in enumerate(values):
+            for x in _cached_qgrams(v, q):
+                if below is None or x < below:
+                    vi.append(i)
+                    gr.append(x)
+        return (
+            np.asarray(vi, dtype=np.int64),
+            np.asarray(gr, dtype=object),
+        )
 
-    def emit(self, value: str, side: str) -> list[str]:
-        prof = self._grams(value)
-        keys = [f"G{g}" for g in prof]
-        if self.small_limit >= 0 and sum(prof.values()) <= self.small_limit:
-            keys.append(SMALL_BLOCK)
-        return keys
+    def emit_unique(self, uniq: np.ndarray, side: str):
+        vi, gr = self._flat_grams(uniq, None)
+        keys = (
+            np.char.add("G", gr.astype("U")) if len(gr) else np.empty(0, dtype="U1")
+        )
+        if self.small_limit >= 0:
+            small = np.fromiter(
+                (
+                    sum(_cached_qgrams(v, self.q).values()) <= self.small_limit
+                    for v in uniq
+                ),
+                bool,
+                count=len(uniq),
+            )
+            sidx = np.nonzero(small)[0]
+            if len(sidx):
+                vi = np.concatenate([vi, sidx])
+                keys = np.concatenate(
+                    [keys.astype(object), np.full(len(sidx), SMALL_BLOCK, object)]
+                )
+                return vi, keys
+        return vi, keys.astype(object) if keys.dtype.kind == "U" else keys
 
-    def pair_ok(self, va: str, vb: str, bk: str, selfjoin: bool) -> bool:
-        shared = sorted(set(self._grams(va)) & set(self._grams(vb)))
-        if bk == SMALL_BLOCK:
-            return not shared
-        return bool(shared) and bk == f"G{shared[0]}"
+    def candidates(self, ul: np.ndarray, ur, bk: str, selfjoin: bool):
+        import pandas as pd
+
+        g = None if bk == SMALL_BLOCK else bk[1:]
+        nl = len(ul)
+        nr = nl if selfjoin else len(ur)
+        ia, ib = _triu_with_diag(nl) if selfjoin else _full_cross(nl, nr)
+        if not len(ia):
+            return ia, ib
+        # disqualify pairs sharing a gram smaller than g (or ANY gram for
+        # the __small__ block): those pairs score in that gram's block
+        lvi, lgr = self._flat_grams(ul, g)
+        rvi, rgr = (lvi, lgr) if selfjoin else self._flat_grams(ur, g)
+        if not len(lvi) or not len(rvi):
+            return ia, ib
+        codes, _ = pd.factorize(np.concatenate([lgr, rgr]))
+        lc, rc = codes[: len(lgr)], codes[len(lgr) :]
+        da, db = _bucket_cross(lc, lvi, rc, rvi)
+        if not len(da):
+            return ia, ib
+        if selfjoin:
+            dkeys = np.minimum(da, db) * nr + np.maximum(da, db)
+        else:
+            dkeys = da * nr + db
+        mask = ~np.isin(ia * nr + ib, np.unique(dkeys))
+        return ia[mask], ib[mask]
 
 
 class SoundexBlocks:
-    def emit(self, value: str, side: str) -> list[str]:
-        primary, alt = soundex_na_dual(value)
-        keys = {primary} if alt is None else {primary, alt}
-        return [f"S{k}" for k in sorted(keys)]
+    @staticmethod
+    def _codes(values: np.ndarray):
+        """(primary, alt) unicode arrays; a missing alt is the empty
+        string, which never equals a real code."""
+        prim = []
+        alt = []
+        for v in values:
+            p, a = _cached_soundex(v)
+            prim.append(p)
+            alt.append(a if a is not None else "")
+        return np.asarray(prim, dtype="U16"), np.asarray(alt, dtype="U16")
 
-    def pair_ok(self, va: str, vb: str, bk: str, selfjoin: bool) -> bool:
-        pa_, aa = soundex_na_dual(va)
-        pb, ab = soundex_na_dual(vb)
-        ca = {pa_} if aa is None else {pa_, aa}
-        cb = {pb} if ab is None else {pb, ab}
-        # the reference match rule (soundex.rs:49-53) == sharing >= 1 code
-        match = (
-            pa_ == pb
-            or aa == pb
-            or ab == pa_
-            or (aa is not None and ab is not None and aa == ab)
-        )
-        shared = sorted(ca & cb)
-        return match and bool(shared) and bk == f"S{shared[0]}"
+    def emit_unique(self, uniq: np.ndarray, side: str):
+        p, a = self._codes(uniq)
+        n = len(uniq)
+        idx = np.arange(n, dtype=np.int64)
+        has_alt = (a != "") & (a != p)
+        aidx = np.nonzero(has_alt)[0]
+        uidx = np.concatenate([idx, aidx])
+        keys = np.concatenate([np.char.add("S", p), np.char.add("S", a[aidx])])
+        return uidx, keys.astype(object)
+
+    def candidates(self, ul: np.ndarray, ur, bk: str, selfjoin: bool):
+        c = bk[1:]
+        pl, al = self._codes(ul)
+        pr, ar = (pl, al) if selfjoin else self._codes(ur)
+        nl, nr = len(pl), len(pr)
+        ia, ib = _triu_with_diag(nl) if selfjoin else _full_cross(nl, nr)
+        if not len(ia):
+            return ia, ib
+        HI = "￿"  # sorts above every real code
+        pa_, aa = pl[ia], al[ia]
+        pb, ab = pr[ib], ar[ib]
+        aa_m = np.where(aa == "", HI, aa)
+        ab_m = np.where(ab == "", HI, ab)
+
+        def smin(x, y):  # np.minimum has no unicode loop; < does
+            return np.where(x < y, x, y)
+
+        # smallest shared code across the <=2x2 code combinations; the
+        # reference match rule (soundex.rs:49-53) == sharing >= 1 code
+        best = np.full(len(ia), HI, dtype="U16")
+        best = np.where(pa_ == pb, smin(best, pa_), best)
+        best = np.where(aa_m == pb, smin(best, pb), best)
+        best = np.where(ab_m == pa_, smin(best, pa_), best)
+        best = np.where((aa_m == ab_m) & (aa != ""), smin(best, aa_m), best)
+        mask = best == c
+        return ia[mask], ib[mask]
 
 
 class AllPairs:
@@ -136,28 +338,45 @@ class AllPairs:
         self.sl = max(1, sl)
         self.sr = max(1, sr)
 
-    def emit(self, value: str, side: str) -> list[str]:
-        h = _stable_hash(value)
+    def emit_unique(self, uniq: np.ndarray, side: str):
+        n = len(uniq)
+        h = value_salt_hash(uniq)
         if side == "left":
-            i = h % self.sl
-            return [f"X{i}_{j}" for j in range(self.sr)]
-        if side == "right":
-            j = h % self.sr
-            return [f"X{i}_{j}" for i in range(self.sl)]
-        # self-join triangle: k = sl salts
-        s = h % self.sl
-        return [f"X{min(s, t)}_{max(s, t)}" for t in range(self.sl)]
+            i = (h % self.sl).astype(np.int64)
+            uidx = np.repeat(np.arange(n, dtype=np.int64), self.sr)
+            ii = np.repeat(i, self.sr)
+            jj = np.tile(np.arange(self.sr, dtype=np.int64), n)
+        elif side == "right":
+            j = (h % self.sr).astype(np.int64)
+            uidx = np.repeat(np.arange(n, dtype=np.int64), self.sl)
+            jj = np.repeat(j, self.sl)
+            ii = np.tile(np.arange(self.sl, dtype=np.int64), n)
+        else:  # self-join triangle over sl salts
+            s = (h % self.sl).astype(np.int64)
+            uidx = np.repeat(np.arange(n, dtype=np.int64), self.sl)
+            ss = np.repeat(s, self.sl)
+            tt = np.tile(np.arange(self.sl, dtype=np.int64), n)
+            ii = np.minimum(ss, tt)
+            jj = np.maximum(ss, tt)
+        keys = np.char.add(
+            np.char.add(_str_keys("X", ii), "_"), jj.astype("U")
+        )
+        return uidx, keys.astype(object)
 
-    def pair_ok(self, va: str, vb: str, bk: str, selfjoin: bool) -> bool:
+    def candidates(self, ul: np.ndarray, ur, bk: str, selfjoin: bool):
         if not selfjoin:
-            return True  # cross grid: a pair meets only in (left salt, right salt)
+            # cross grid: a pair meets only in (left salt, right salt)
+            return _full_cross(len(ul), len(ur))
         # Self-join triangle: two values with the SAME salt s co-occur in
-        # every block X{min(s,t)}_{max(s,t)} — restrict every pair (not just
-        # identical values) to the single block named by both salts, i.e.
-        # same-salt pairs score only on the diagonal.
-        sa = _stable_hash(va) % self.sl
-        sb = _stable_hash(vb) % self.sl
-        return bk == f"X{min(sa, sb)}_{max(sa, sb)}"
+        # every block X{min(s,t)}_{max(s,t)} — restrict every pair to the
+        # single block named by both salts (same-salt pairs score only on
+        # the diagonal).
+        bi, bj = (int(x) for x in bk[1:].split("_"))
+        s = (value_salt_hash(ul) % self.sl).astype(np.int64)
+        ia, ib = _triu_with_diag(len(ul))
+        sa, sb = s[ia], s[ib]
+        mask = (np.minimum(sa, sb) == bi) & (np.maximum(sa, sb) == bj)
+        return ia[mask], ib[mask]
 
 
 def strategy_for(

@@ -7,17 +7,22 @@ candidate generation becomes a distributed blocking shuffle:
    key values) rows per input row, using the method's recall-complete
    strategy (blocking/strategies.py). Only the id + key columns travel
    through the shuffle — wide payload columns (e.g. ``spans``) are
-   joined back by id afterwards.
+   joined back by id afterwards. The batch is factorized first, so
+   per-value work (gram/soundex encoding) runs once per DISTINCT value
+   and the fanout to rows is pure ``np.repeat`` arithmetic — no Python
+   loop over rows.
 2. **salt** (optional): a cheap pre-pass counts rows per block key,
    collects only the oversized blocks to the driver, and re-emits them
    under salted sub-keys — a grid split for two-table joins, a triangle
    split for self-joins — so no single ``map_groups`` call exceeds the
    pair budget. Every pair still meets in exactly one block.
 3. **score**: one ``groupby(block_key)`` co-locates candidates;
-   ``map_groups`` dedups values, applies ``strategy.pair_ok`` (validity
-   + exactly-once dedup across blocks), scores the surviving unique
-   value pairs with the vectorized kernels, fans out to id pairs, and
-   applies multi-key AND refinement.
+   ``map_groups`` factorizes values, asks the strategy for the valid
+   unique-value pairs (vectorized: length masks, bucketed gram
+   disqualification, salt-triangle masks — see
+   ``strategies.candidates``), scores them with the vectorized kernels,
+   fans out to id pairs with one ``np.repeat`` cross-product expansion,
+   and applies multi-key AND refinement. No per-pair Python anywhere.
 
 This generalizes the reference's in-memory candidate maps
 (/root/reference/src/rust/src/string/edit/mod.rs:32-51 and
@@ -28,14 +33,13 @@ handling, which the reference — single-process rayon — never needed.
 from __future__ import annotations
 
 import math
-import zlib
 from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..blocking.strategies import strategy_for
+from ..blocking.strategies import _cross_expand, id_salt_hash, strategy_for
 from ..kernels.strdist import score_pairs
 from ..semantics import canon_method
 from .string_join import LID, RID, dist_names, refine_score
@@ -45,56 +49,98 @@ SIDE = "__fj_side"
 ID = "__fj_id"
 
 
-def _id_hash(v) -> int:
-    return zlib.crc32(repr(v).encode())
+def _cmp_ids(ids: np.ndarray) -> np.ndarray:
+    """Comparable view of an id array: object strings -> fixed-width
+    unicode so elementwise < runs in C (same codepoint order as Python)."""
+    if ids.dtype == object:
+        return ids.astype("U")
+    return ids
+
+
+def _salted_keys(bk: str, a: np.ndarray, b: np.ndarray, tri_sl: int | None = None):
+    """Vectorized '{bk}#{a}_{b}' (grid) or '{bk}#T{sl}:{a}_{b}' (triangle)."""
+    prefix = f"{bk}#T{tri_sl}:" if tri_sl is not None else f"{bk}#"
+    return np.char.add(
+        np.char.add(np.char.add(prefix, a.astype("U")), "_"), b.astype("U")
+    ).astype(object)
 
 
 def _emit_batches(strategy, side: str, id_col: str, key_cols: list[str], salts: dict | None):
-    """Returns a map_batches fn emitting (bk, side, id, k0..kn) rows."""
+    """Returns a map_batches fn emitting (bk, side, id, k0..kn) rows —
+    factorize once, emit per unique value, fan out with np.repeat."""
     side_num = {"left": 0, "right": 1, "self": 0}[side]
 
     def fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         keys = [t.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
-        out_bk: list[str] = []
-        out_row: list[int] = []
-        k0 = keys[0]
-        for i in range(len(ids)):
-            v = k0[i]
-            if v is None:
-                continue
-            for bk in strategy.emit(v, side):
-                salt = salts.get(bk) if salts else None
-                if salt is None:
-                    out_bk.append(bk)
-                    out_row.append(i)
-                else:
-                    sl, sr = salt
-                    h = _id_hash(ids[i])
+        codes, uniq = pd.factorize(keys[0])
+        uniq = np.asarray(uniq, dtype=object)
+        if len(uniq):
+            uidx, bks = strategy.emit_unique(uniq, side)
+        else:
+            uidx, bks = np.empty(0, np.int64), np.empty(0, dtype=object)
+        # group emissions by unique index for the per-row gather
+        order = np.argsort(uidx, kind="stable")
+        uidx_s, bks_s = uidx[order], bks[order]
+        rng = np.arange(len(uniq), dtype=np.int64)
+        starts = np.searchsorted(uidx_s, rng, side="left")
+        counts = np.searchsorted(uidx_s, rng, side="right") - starts
+
+        rows0 = np.nonzero(codes >= 0)[0]
+        c = codes[rows0]
+        cnt = counts[c]
+        total = int(cnt.sum())
+        rep_row = np.repeat(rows0, cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        em_keys = bks_s[np.repeat(starts[c], cnt) + within]
+
+        if salts:
+            hot_mask = np.isin(em_keys.astype("U"), np.array(list(salts)))
+            rows_parts = [rep_row[~hot_mask]]
+            keys_parts = [em_keys[~hot_mask]]
+            if hot_mask.any():
+                hr = rep_row[hot_mask]
+                hk = em_keys[hot_mask].astype("U")
+                hh = id_salt_hash(ids[hr])
+                for bk, (sl, sr) in salts.items():
+                    m = hk == bk
+                    if not m.any():
+                        continue
+                    rr, rh = hr[m], hh[m]
                     if side == "left":
-                        li = h % sl
-                        for j in range(sr):
-                            out_bk.append(f"{bk}#{li}_{j}")
-                            out_row.append(i)
+                        li = np.repeat((rh % sl).astype(np.int64), sr)
+                        jj = np.tile(np.arange(sr, dtype=np.int64), len(rr))
+                        rows_parts.append(np.repeat(rr, sr))
+                        keys_parts.append(_salted_keys(bk, li, jj))
                     elif side == "right":
-                        rj = h % sr
-                        for li in range(sl):
-                            out_bk.append(f"{bk}#{li}_{rj}")
-                            out_row.append(i)
+                        rj = np.repeat((rh % sr).astype(np.int64), sl)
+                        ii = np.tile(np.arange(sl, dtype=np.int64), len(rr))
+                        rows_parts.append(np.repeat(rr, sl))
+                        keys_parts.append(_salted_keys(bk, ii, rj))
                     else:  # self: triangle (sl encoded so the scorer can
                         # restrict same-salt id pairs to the diagonal block)
-                        s = h % sl
-                        for tt in range(sl):
-                            out_bk.append(f"{bk}#T{sl}:{min(s, tt)}_{max(s, tt)}")
-                            out_row.append(i)
-        rows = np.asarray(out_row, dtype=np.int64)
+                        ss = np.repeat((rh % sl).astype(np.int64), sl)
+                        tt = np.tile(np.arange(sl, dtype=np.int64), len(rr))
+                        rows_parts.append(np.repeat(rr, sl))
+                        keys_parts.append(
+                            _salted_keys(bk, np.minimum(ss, tt), np.maximum(ss, tt), tri_sl=sl)
+                        )
+            rep_row = np.concatenate(rows_parts)
+            em_keys = np.concatenate(keys_parts)
+
+        take = pa.array(rep_row, pa.int64())
+        idc = t.column(id_col).combine_chunks() if isinstance(t.column(id_col), pa.ChunkedArray) else t.column(id_col)
         cols = {
-            BK: pa.array(out_bk, type=pa.string()),
-            SIDE: pa.array(np.full(len(rows), side_num, dtype=np.int8)),
-            ID: pa.array(ids[rows]) if len(rows) else pa.array([], t.column(id_col).type),
+            BK: pa.array(em_keys, type=pa.string()),
+            SIDE: pa.array(np.full(len(rep_row), side_num, dtype=np.int8)),
+            ID: idc.take(take),
         }
-        for c, arr in zip(key_cols, keys):
-            cols["k_" + c] = pa.array(arr[rows]) if len(rows) else pa.array([], t.column(c).type)
+        for cname in key_cols:
+            kc = t.column(cname)
+            kc = kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc
+            cols["k_" + cname] = kc.take(take)
         return pa.table(cols)
 
     return fn
@@ -138,6 +184,17 @@ def _plan_salts(
     return plan
 
 
+def _group_positions(codes: np.ndarray, n_uniq: int):
+    """Row positions per factorized code: (sorted positions, starts,
+    counts) so group k's rows are pos_sorted[starts[k] : starts[k]+counts[k]]."""
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    rng = np.arange(n_uniq, dtype=np.int64)
+    starts = np.searchsorted(sorted_codes, rng, side="left")
+    counts = np.searchsorted(sorted_codes, rng, side="right") - starts
+    return order, starts, counts
+
+
 def _make_group_scorer(cfg: dict):
     strategy = strategy_for(
         cfg["method"], cfg["max_distance"], cfg["q"], allpairs_salts=cfg["allpairs_salts"]
@@ -149,7 +206,6 @@ def _make_group_scorer(cfg: dict):
     max_prefix = cfg["max_prefix"]
     prefix_weight = cfg["prefix_weight"]
     lkeys = cfg["left_keys"]
-    rkeys = cfg["right_keys"]
     nkeys = len(lkeys)
 
     def empty(t: pa.Table) -> pa.Table:
@@ -160,6 +216,8 @@ def _make_group_scorer(cfg: dict):
         return pa.table(cols)
 
     def score_group(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         full_bk = t.column(BK)[0].as_py()
         bk = _base_bk(full_bk)
         side = t.column(SIDE).to_numpy(zero_copy_only=False)
@@ -167,15 +225,13 @@ def _make_group_scorer(cfg: dict):
         # Salted self-join triangle sub-block: two ids with the SAME salt
         # co-occur in all sl sub-blocks of this base block — keep only the
         # id pairs whose salt pair names THIS sub-block (same-salt pairs on
-        # the diagonal), mirroring AllPairs.pair_ok at the id level.
+        # the diagonal), mirroring AllPairs.candidates at the id level.
         salt_spec = None
         if selfjoin and "#T" in full_bk:
             spec = full_bk.split("#T", 1)[1]
             slt, rest = spec.split(":", 1)
             bi, bj = (int(x) for x in rest.split("_"))
-            id_salt = np.fromiter(
-                (_id_hash(x) % int(slt) for x in ids), np.int64, count=len(ids)
-            )
+            id_salt = (id_salt_hash(ids) % int(slt)).astype(np.int64)
             salt_spec = (id_salt, bi, bj)
         # emitted key columns are unified under the left names for both
         # sides (see build_edges_blocked); row positions select the side
@@ -183,7 +239,7 @@ def _make_group_scorer(cfg: dict):
         rkv = lkv
 
         if selfjoin:
-            lpos = np.arange(len(ids))
+            lpos = np.arange(len(ids), dtype=np.int64)
             rpos = lpos
         else:
             lpos = np.nonzero(side == 0)[0]
@@ -191,108 +247,74 @@ def _make_group_scorer(cfg: dict):
         if not len(lpos) or not len(rpos):
             return empty(t)
 
-        lu: dict[str, list[int]] = defaultdict(list)
-        for p in lpos:
-            v = lkv[0][p]
-            if v is not None:
-                lu[v].append(p)
+        lcodes, lu = pd.factorize(lkv[0][lpos])
+        lu = np.asarray(lu, dtype=object)
+        lorder, lstarts, lcounts = _group_positions(lcodes, len(lu))
+        lrows_sorted = lpos[lorder]
         if selfjoin:
-            ru = lu
+            ru, rrows_sorted, rstarts, rcounts = lu, lrows_sorted, lstarts, lcounts
         else:
-            ru = defaultdict(list)
-            for p in rpos:
-                v = rkv[0][p]
-                if v is not None:
-                    ru[v].append(p)
+            rcodes, ru = pd.factorize(rkv[0][rpos])
+            ru = np.asarray(ru, dtype=object)
+            rorder, rstarts, rcounts = _group_positions(rcodes, len(ru))
+            rrows_sorted = rpos[rorder]
+        if not len(lu) or not len(ru):
+            return empty(t)
 
-        luvals = list(lu)
-        ruvals = list(ru)
-        pair_a: list[str] = []
-        pair_b: list[str] = []
-        if selfjoin:
-            svals = sorted(luvals)
-            for i, va in enumerate(svals):
-                for vb in svals[i:]:
-                    if va == vb and len(lu[va]) < 2:
-                        continue
-                    if strategy.pair_ok(va, vb, bk, True):
-                        pair_a.append(va)
-                        pair_b.append(vb)
-        else:
-            for va in luvals:
-                for vb in ruvals:
-                    if strategy.pair_ok(va, vb, bk, False):
-                        pair_a.append(va)
-                        pair_b.append(vb)
-        if not pair_a:
+        ia, ib = strategy.candidates(lu, None if selfjoin else ru, bk, selfjoin)
+        if not len(ia):
             return empty(t)
 
         d0 = score_pairs(
-            method, pair_a, pair_b, q=q, max_prefix=max_prefix, prefix_weight=prefix_weight
+            method, list(lu[ia]), list(ru[ib]),
+            q=q, max_prefix=max_prefix, prefix_weight=prefix_weight,
         )
         keep = d0 <= maxd
-
-        la_parts: list[np.ndarray] = []
-        rb_parts: list[np.ndarray] = []
-        d_parts: list[np.ndarray] = []
-        for k in np.nonzero(keep)[0]:
-            va, vb = pair_a[k], pair_b[k]
-            ap = np.asarray(lu[va], dtype=np.int64)
-            bp = np.asarray((ru if not selfjoin else lu)[vb], dtype=np.int64)
-            aa = np.repeat(ap, len(bp))
-            bb = np.tile(bp, len(ap))
-            if selfjoin:
-                ia = ids[aa]
-                ib = ids[bb]
-                if va == vb:
-                    # same value list crossed with itself: keep each
-                    # unordered id pair once
-                    m = ia < ib
-                    aa, bb = aa[m], bb[m]
-                else:
-                    # distinct values: every id pair is unique; normalize
-                    # orientation so edges are canonical (id_a < id_b)
-                    swap = ia > ib
-                    aa2 = np.where(swap, bb, aa)
-                    bb2 = np.where(swap, aa, bb)
-                    aa, bb = aa2, bb2
-                if salt_spec is not None:
-                    id_salt, bi, bj = salt_spec
-                    sa_ = id_salt[aa]
-                    sb_ = id_salt[bb]
-                    m2 = (np.minimum(sa_, sb_) == bi) & (np.maximum(sa_, sb_) == bj)
-                    aa, bb = aa[m2], bb[m2]
-            la_parts.append(aa)
-            rb_parts.append(bb)
-            d_parts.append(np.full(len(aa), d0[k]))
-        if not la_parts:
+        ia, ib, d0 = ia[keep], ib[keep], d0[keep]
+        if not len(ia):
             return empty(t)
-        apos = np.concatenate(la_parts)
-        bpos = np.concatenate(rb_parts)
-        dists = [np.concatenate(d_parts)]
 
+        # fan out unique-value pairs to id pairs: one vectorized
+        # variable-size cross-product expansion
+        rep, al, bl = _cross_expand(lcounts[ia], rcounts[ib])
+        if not len(rep):
+            return empty(t)
+        apos = lrows_sorted[lstarts[ia][rep] + al]
+        bpos = rrows_sorted[rstarts[ib][rep] + bl]
+        dists0 = d0[rep]
+
+        if selfjoin:
+            ids_c = _cmp_ids(ids)
+            a_ids, b_ids = ids_c[apos], ids_c[bpos]
+            samev = ia[rep] == ib[rep]
+            # same value list crossed with itself: keep each unordered id
+            # pair once; distinct values: every id pair is unique —
+            # normalize orientation so edges are canonical (id_a < id_b)
+            keepm = np.where(samev, a_ids < b_ids, True)
+            swap = (~samev) & (a_ids > b_ids)
+            apos, bpos = np.where(swap, bpos, apos), np.where(swap, apos, bpos)
+            if salt_spec is not None:
+                id_salt, bi, bj = salt_spec
+                sa_, sb_ = id_salt[apos], id_salt[bpos]
+                keepm &= (np.minimum(sa_, sb_) == bi) & (np.maximum(sa_, sb_) == bj)
+            apos, bpos, dists0 = apos[keepm], bpos[keepm], dists0[keepm]
+            if not len(apos):
+                return empty(t)
+
+        dists = [dists0]
         for ki in range(1, nkeys):
             av = lkv[ki][apos]
             bv = rkv[ki][bpos]
-            ok = np.fromiter(
-                ((x is not None and y is not None) for x, y in zip(av, bv)),
-                bool,
-                count=len(av),
-            )
+            ok = ~(pd.isna(av) | pd.isna(bv))
             dk = np.full(len(av), np.inf)
             ii = np.nonzero(ok)[0]
             if len(ii):
                 dk[ii] = refine_score(
-                    method,
-                    [av[i] for i in ii],
-                    [bv[i] for i in ii],
-                    q=q,
-                    max_prefix=max_prefix,
-                    prefix_weight=prefix_weight,
+                    method, list(av[ii]), list(bv[ii]),
+                    q=q, max_prefix=max_prefix, prefix_weight=prefix_weight,
                 )
             keep2 = dk <= maxd
-            apos = apos[keep2]
-            bpos = bpos[keep2]
+            apos, bpos = apos[keep2], bpos[keep2]
             dists = [d[keep2] for d in dists] + [dk[keep2]]
             if not len(apos):
                 return empty(t)

@@ -400,40 +400,162 @@ def jaccard_distance_set(s1: frozenset, s2: frozenset) -> float:
     return 1.0 - len(s1 & s2) / union
 
 
+class _GramCSR:
+    """Sparse counted q-gram profiles over the DISTINCT strings of one
+    scoring call: flat (gram_code, count) arrays sorted by (value, gram
+    code), plus per-value offsets and precomputed totals/sq-norms. All
+    pair metrics reduce to sums over the intersection of two sorted
+    sparse vectors, computed for EVERY pair at once with one
+    searchsorted merge + bincount — no per-pair Python."""
+
+    def __init__(self, uniq: np.ndarray, q: int):
+        n_u = len(uniq)
+        # flat codepoint array of all distinct strings, then every q-gram
+        # as one packed/hashed uint64 key — vectorized sliding window, no
+        # per-gram Python. Packing is exact for q <= 3 (21 bits per
+        # codepoint); q >= 4 uses a 64-bit polynomial hash (a collision
+        # would merge two gram identities; probability ~G^2/2^64).
+        lens = np.fromiter((len(s) for s in uniq), np.int64, count=n_u)
+        flat = np.frombuffer("".join(uniq).encode("utf-32-le"), np.uint32)
+        offs = np.cumsum(lens) - lens
+        ng = np.maximum(lens - q + 1, 0)
+        tot_g = int(ng.sum())
+        vi_occ = np.repeat(np.arange(n_u, dtype=np.int64), ng)
+        within = np.arange(tot_g, dtype=np.int64) - np.repeat(np.cumsum(ng) - ng, ng)
+        gs = np.repeat(offs, ng) + within
+        win = flat[gs[:, None] + np.arange(q, dtype=np.int64)[None, :]].astype(np.uint64)
+        if q <= 3:
+            key = np.zeros(tot_g, np.uint64)
+            for j in range(q):
+                key = (key << np.uint64(21)) | win[:, j]
+        else:
+            key = np.zeros(tot_g, np.uint64)
+            mult = np.uint64(0x100000001B3)
+            for j in range(q):
+                key = key * mult + win[:, j]
+        # count per (value, gram): sort composite keys once — packed
+        # single-key sort when (value bits + gram bits) fit in 64
+        key_bits = 21 * q if q <= 3 else 64
+        vi_bits = int(n_u).bit_length()
+        if key_bits + vi_bits <= 64:
+            packed = (vi_occ.astype(np.uint64) << np.uint64(key_bits)) | key
+            packed.sort()
+            vi_s = (packed >> np.uint64(key_bits)).astype(np.int64)
+            key_s = packed & np.uint64((1 << key_bits) - 1)
+        else:
+            comp = np.lexsort((key, vi_occ))
+            vi_s, key_s = vi_occ[comp], key[comp]
+        if tot_g:
+            new = np.r_[True, (vi_s[1:] != vi_s[:-1]) | (key_s[1:] != key_s[:-1])]
+            idx = np.nonzero(new)[0]
+            ct_a = np.diff(np.r_[idx, tot_g]).astype(np.float64)
+            vi_a = vi_s[idx]
+            keys_d = key_s[idx]
+            # global gram codes preserving per-value sorted order
+            gcode = np.searchsorted(np.unique(keys_d), keys_d).astype(np.int64)
+        else:
+            vi_a = np.empty(0, np.int64)
+            ct_a = np.empty(0, np.float64)
+            gcode = np.empty(0, np.int64)
+        self.vi = vi_a
+        self.gcode = gcode
+        self.ct = ct_a
+        rng = np.arange(n_u, dtype=np.int64)
+        self.starts = np.searchsorted(self.vi, rng, side="left")
+        self.cnts = np.searchsorted(self.vi, rng, side="right") - self.starts
+        self.tot = np.bincount(self.vi, weights=self.ct, minlength=n_u)
+        self.sq = np.bincount(self.vi, weights=self.ct * self.ct, minlength=n_u)
+        self.G = int(self.gcode.max()) + 1 if len(self.gcode) else 1
+
+    def _expand(self, codes: np.ndarray):
+        """(pair_local, flat_offset) for one side of a pair chunk."""
+        c = self.cnts[codes]
+        total = int(c.sum())
+        rep = np.repeat(np.arange(len(codes), dtype=np.int64), c)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(c) - c, c)
+        return rep, np.repeat(self.starts[codes], c) + within
+
+    def intersect_sums(self, ca: np.ndarray, cb: np.ndarray, kind: str) -> np.ndarray:
+        """Per pair (ca[i], cb[i]): sum over shared grams of min(count)
+        ('min'), count*count ('dot'), or 1 ('set'). Chunked so the
+        expanded arrays stay cache-friendly."""
+        n = len(ca)
+        out = np.zeros(n, np.float64)
+        per_pair = self.cnts[ca] + self.cnts[cb]
+        budget = 1 << 24
+        lo = 0
+        csum = np.cumsum(per_pair)
+        while lo < n:
+            hi = int(np.searchsorted(csum, (csum[lo - 1] if lo else 0) + budget, side="right"))
+            hi = min(max(hi, lo + 1), n)
+            cac, cbc = ca[lo:hi], cb[lo:hi]
+            repA, offA = self._expand(cac)
+            repB, offB = self._expand(cbc)
+            # keys are sorted: pair_local ascending, gram code ascending
+            # within each value's slice
+            keysA = repA * self.G + self.gcode[offA]
+            keysB = repB * self.G + self.gcode[offB]
+            pos = np.searchsorted(keysB, keysA)
+            posc = np.minimum(pos, max(len(keysB) - 1, 0))
+            hit = (pos < len(keysB)) & (len(keysB) > 0)
+            if len(keysB):
+                hit &= keysB[posc] == keysA
+            if hit.any():
+                if kind == "min":
+                    w = np.minimum(self.ct[offA[hit]], self.ct[offB[posc[hit]]])
+                elif kind == "dot":
+                    w = self.ct[offA[hit]] * self.ct[offB[posc[hit]]]
+                else:  # set
+                    w = np.ones(int(hit.sum()), np.float64)
+                out[lo:hi] = np.bincount(repA[hit], weights=w, minlength=hi - lo)
+            lo = hi
+        return out
+
+
+def _factorize_pairs(a: list[str], b: list[str]):
+    import pandas as pd
+
+    av = np.asarray(a, dtype=object)
+    bv = np.asarray(b, dtype=object)
+    codes, uniq = pd.factorize(np.concatenate([av, bv]))
+    n = len(av)
+    return codes[:n].astype(np.int64), codes[n:].astype(np.int64), np.asarray(uniq, object)
+
+
 def _qgram_family_batch(method: str, a: list[str], b: list[str], q: int) -> np.ndarray:
-    cache: dict[str, Counter] = {}
-
-    def prof(s: str) -> Counter:
-        p = cache.get(s)
-        if p is None:
-            p = get_qgrams(s, q)
-            cache[s] = p
-        return p
-
+    ca, cb, uniq = _factorize_pairs(a, b)
+    csr = _GramCSR(uniq, q)
+    ta, tb = csr.tot[ca], csr.tot[cb]
     if method == "qgram":
-        fn = qgram_distance
-    elif method == "cosine":
-        fn = cosine_distance
-    else:
-        fn = jaccard_distance_counted
-    return np.fromiter((fn(prof(x), prof(y)) for x, y in zip(a, b)), np.float64, count=len(a))
+        # L1 mismatch = totalA + totalB - 2 * sum(min) over shared grams
+        return ta + tb - 2.0 * csr.intersect_sums(ca, cb, "min")
+    if method == "cosine":
+        dot = csr.intersect_sums(ca, cb, "dot")
+        na = np.sqrt(csr.sq[ca])
+        nb = np.sqrt(csr.sq[cb])
+        ok = (na > 0) & (nb > 0)
+        out = np.ones(len(ca), np.float64)
+        out[ok] = 1.0 - dot[ok] / (na[ok] * nb[ok])
+        return out
+    # generalized (multiset) jaccard: inter = sum(min), union = tA+tB-inter
+    inter = csr.intersect_sums(ca, cb, "min")
+    union = ta + tb - inter
+    out = np.ones(len(ca), np.float64)
+    ok = union > 0
+    out[ok] = 1.0 - inter[ok] / union[ok]
+    return out
 
 
 def jaccard_set_batch(a: list[str], b: list[str], q: int) -> np.ndarray:
-    cache: dict[str, frozenset] = {}
-
-    def prof(s: str) -> frozenset:
-        p = cache.get(s)
-        if p is None:
-            p = get_qgram_set(s, q)
-            cache[s] = p
-        return p
-
-    return np.fromiter(
-        (jaccard_distance_set(prof(x), prof(y)) for x, y in zip(a, b)),
-        np.float64,
-        count=len(a),
-    )
+    ca, cb, uniq = _factorize_pairs(a, b)
+    csr = _GramCSR(uniq, q)
+    inter = csr.intersect_sums(ca, cb, "set")
+    union = csr.cnts[ca] + csr.cnts[cb] - inter
+    # both-empty -> 0.0 (jaccard.rs:84-87: empty sets compare equal)
+    out = np.zeros(len(ca), np.float64)
+    ok = union > 0
+    out[ok] = 1.0 - inter[ok] / union[ok]
+    return out
 
 
 # ---------------------------------------------------------------------------

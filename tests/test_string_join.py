@@ -343,3 +343,63 @@ def test_fixture_hash_osa_lcs_soundex(method, maxd, nrows, want):
             if ref(a, b) <= maxd
         )
         assert rows == expected
+
+
+@pytest.mark.parametrize(
+    "method,maxd,q",
+    [
+        ("lv", 1, 2),
+        ("hamming", 1, 2),
+        ("osa", 1, 2),
+        ("qgram", 2, 2),
+        ("cosine", 0.5, 2),
+        ("jaccard", 0.5, 2),
+        ("jw", 0.15, 2),
+        ("soundex", 0.0, 2),
+    ],
+)
+def test_blocked_equals_broadcast(method, maxd, q):
+    """The blocked (shuffle) path must produce exactly the broadcast
+    path's edge set for every method family — including under a small
+    pair_budget that forces hot-block salting."""
+    L, R = _mutation_corpus()
+    l = rd.from_arrow(pa.table({"lid": list(range(len(L))), "wl": L}))
+    r = rd.from_arrow(pa.table({"rid": list(range(len(R))), "wr": R}))
+
+    def run(strategy, **kw):
+        out = fuzzy_string_join(
+            l, r, by={"wl": "wr"}, method=method, max_distance=maxd, q=q,
+            how="inner", distance_col="d", left_id="lid", right_id="rid",
+            strategy=strategy,
+        )
+        return sorted(
+            (d["lid"], d["rid"], round(d["d"], 12)) for d in out.take_all()
+        )
+
+    bc = run("broadcast")
+    bl = run("blocked")
+    assert bl == bc, f"{method}: blocked != broadcast ({len(bl)} vs {len(bc)} rows)"
+
+
+def test_blocked_equals_broadcast_salted_and_multikey():
+    """Salting (tiny pair budget) and multi-key refinement through the
+    blocked path must not change results."""
+    from fozziejoin_ray.joins.blocked import build_edges_blocked
+
+    L, R = _mutation_corpus()
+    l = rd.from_arrow(pa.table({"lid": list(range(len(L))), "wl": L, "p": [w[::-1] for w in L]}))
+    r = rd.from_arrow(pa.table({"rid": list(range(len(R))), "wr": R, "p2": [w[::-1] for w in R]}))
+
+    def edges(pair_budget):
+        e = build_edges_blocked(
+            l, r, [("wl", "wr"), ("p", "p2")], "levenshtein", 1.0, 2, 0, 0.0,
+            "lid", "rid", pair_budget=pair_budget,
+        )
+        return sorted(
+            (d["__fj_lid"], d["__fj_rid"], d["__fj_d0"], d["__fj_d1"])
+            for d in e.take_all()
+        )
+
+    unsalted = edges(None)
+    salted = edges(200)  # force hot-block grid salting
+    assert salted == unsalted and len(unsalted) > 0
