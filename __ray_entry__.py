@@ -534,38 +534,72 @@ def _frame_sample_query(sf_dir: str):
 
 def _spansify(docs):
     """Deterministically reshape the sf documents table into the
-    input_hint spans shape (interleaved text+media)."""
-    import zlib
+    input_hint spans shape (interleaved text+media). Vectorized: Arrow
+    whitespace split / list_slice / binary_join build head+rest, the
+    list<struct> column is assembled from flat numpy arrays + offsets —
+    no per-row Python."""
+    import numpy as np
 
     from fozziejoin_ray.sources.docgen import SPAN_TYPE
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        out_ids, out_spans = [], []
-        for d, txt in zip(ids, texts):
-            words = (txt or "").split()
-            head = " ".join(words[:3])
-            rest = " ".join(words[3:])
-            spans = [{"kind": "text", "text": head, "media_ref": "", "offset": 0}]
-            spans.append(
-                {
-                    "kind": "media",
-                    "text": "",
-                    "media_ref": "m://%08x" % zlib.crc32(str(d).encode()),
-                    "offset": 1,
-                }
-            )
-            if rest:
-                spans.append({"kind": "text", "text": rest, "media_ref": "", "offset": 2})
-            out_ids.append(f"d{d:012d}" if isinstance(d, int) else str(d))
-            out_spans.append(spans)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids, pa.string()),
-                "spans": pa.array(out_spans, pa.list_(SPAN_TYPE)),
-            }
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        ids = t.column("doc_id")
+        txt = pc.utf8_trim_whitespace(pc.fill_null(t.column("text"), ""))
+        words = pc.utf8_split_whitespace(txt)
+        head = pc.binary_join(pc.list_slice(words, 0, 3), " ").to_numpy(
+            zero_copy_only=False
         )
+        rest = pc.binary_join(pc.list_slice(words, 3), " ").to_numpy(
+            zero_copy_only=False
+        )
+        has_rest = rest != ""
+        # doc ids: ints -> d%012d, strings pass through
+        if pa.types.is_integer(ids.type):
+            out_ids = pc.binary_join_element_wise(
+                "d", pc.utf8_lpad(pc.cast(ids, pa.string()), 12, "0"), ""
+            )
+        else:
+            out_ids = pc.cast(ids, pa.string())
+        # deterministic media ref per doc id (vectorized hash)
+        h = pd.util.hash_array(
+            np.asarray(ids.to_numpy(zero_copy_only=False)), categorize=False
+        ) & np.uint64(0xFFFFFFFF)
+        mref = np.char.add("m://", np.char.mod("%08x", h.astype(np.int64)))
+        # flat span struct arrays: 2 spans per doc + 1 when rest is non-empty
+        counts = np.where(has_rest, 3, 2).astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        total = int(offsets[-1])
+        base = offsets[:-1]
+        kind = np.empty(total, object)
+        text_f = np.full(total, "", dtype=object)
+        mref_f = np.full(total, "", dtype=object)
+        off_f = np.empty(total, np.int32)
+        kind[base] = "text"
+        text_f[base] = head
+        off_f[base] = 0
+        kind[base + 1] = "media"
+        mref_f[base + 1] = mref
+        off_f[base + 1] = 1
+        rsel = np.nonzero(has_rest)[0]
+        kind[base[rsel] + 2] = "text"
+        text_f[base[rsel] + 2] = rest[rsel]
+        off_f[base[rsel] + 2] = 2
+        structs = pa.StructArray.from_arrays(
+            [
+                pa.array(kind, pa.string()),
+                pa.array(text_f, pa.string()),
+                pa.array(mref_f, pa.string()),
+                pa.array(off_f, pa.int32()),
+            ],
+            fields=list(SPAN_TYPE),
+        )
+        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), structs)
+        return pa.table({"doc_id": out_ids, "spans": spans})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 

@@ -195,10 +195,22 @@ def _group_positions(codes: np.ndarray, n_uniq: int):
     return order, starts, counts
 
 
+def _bk_part_hash(bks: np.ndarray, num_parts: int) -> np.ndarray:
+    """Deterministic partition id per FULL block key (salt suffix
+    included) — the unit of partition-granular checkpoint resume: every
+    edge a block produces lands in that block's partition."""
+    import pandas as pd
+
+    return (
+        pd.util.hash_array(np.asarray(bks, dtype=object), categorize=False) % num_parts
+    ).astype(np.int64)
+
+
 def _make_group_scorer(cfg: dict):
     strategy = strategy_for(
         cfg["method"], cfg["max_distance"], cfg["q"], allpairs_salts=cfg["allpairs_salts"]
     )
+    ckpt = cfg.get("ckpt_parts")  # (num_parts, part_col) or None
     selfjoin = cfg["selfjoin"]
     method = cfg["method"]
     maxd = cfg["max_distance"]
@@ -213,6 +225,8 @@ def _make_group_scorer(cfg: dict):
         cols = {LID: pa.array([], idt), RID: pa.array([], idt)}
         for n in dist_names(nkeys):
             cols[n] = pa.array([], pa.float64())
+        if ckpt is not None:
+            cols[ckpt[1]] = pa.array([], pa.int64())
         return pa.table(cols)
 
     def score_group(t: pa.Table) -> pa.Table:
@@ -322,6 +336,9 @@ def _make_group_scorer(cfg: dict):
         cols = {LID: pa.array(ids[apos]), RID: pa.array(ids[bpos])}
         for n, d in zip(dist_names(nkeys), dists):
             cols[n] = pa.array(d, pa.float64())
+        if ckpt is not None:
+            part = int(_bk_part_hash(np.array([full_bk], object), ckpt[0])[0])
+            cols[ckpt[1]] = pa.array(np.full(len(apos), part, dtype=np.int64))
         return pa.table(cols)
 
     return score_group
@@ -341,9 +358,17 @@ def build_edges_blocked(
     *,
     pair_budget: int | None = 4_000_000,
     allpairs_salts: tuple[int, int] = (8, 8),
+    ckpt_parts: tuple[int, list[int], str] | None = None,
 ) -> rd.Dataset:
     """Edges via blocking shuffle. ``right=None`` -> self-join on ``left``
-    (edges have id_a < id_b, one per unordered pair)."""
+    (edges have id_a < id_b, one per unordered pair).
+
+    ``ckpt_parts=(num_parts, missing, part_col)`` enables
+    partition-granular checkpoint resume: each block (salted key) hashes
+    to one of ``num_parts`` deterministic partitions; only blocks whose
+    partition is in ``missing`` enter the shuffle — candidate generation
+    AND scoring are skipped for partitions a previous run completed —
+    and every edge carries its partition id in ``part_col``."""
     method = canon_method(method)
     selfjoin = right is None
     strategy = strategy_for(method, max_distance, q, allpairs_salts=allpairs_salts)
@@ -360,6 +385,7 @@ def build_edges_blocked(
         "left_keys": lkeys,
         "right_keys": rkeys,
         "allpairs_salts": allpairs_salts,
+        "ckpt_parts": None if ckpt_parts is None else (ckpt_parts[0], ckpt_parts[2]),
     }
 
     def emitted_with(salts):
@@ -395,4 +421,14 @@ def build_edges_blocked(
             salts = None
 
     emitted = emitted_with(salts)
+    if ckpt_parts is not None:
+        num_parts, missing, _ = ckpt_parts
+        want = np.asarray(sorted(missing), dtype=np.int64)
+
+        def part_filter(t: pa.Table) -> pa.Table:
+            bks = t.column(BK).to_numpy(zero_copy_only=False)
+            keep = np.isin(_bk_part_hash(bks, num_parts), want)
+            return t.filter(pa.array(keep))
+
+        emitted = emitted.map_batches(part_filter, batch_format="pyarrow")
     return emitted.groupby(BK).map_groups(_make_group_scorer(cfg), batch_format="pyarrow")

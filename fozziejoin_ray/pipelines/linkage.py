@@ -151,6 +151,7 @@ def match_edges(
     minhash_bands: int = 32,
     minhash_perm: int = 64,
     shingle_k: int = 2,
+    ckpt_parts: tuple[int, list[int], str] | None = None,
 ) -> rd.Dataset:
     """Self-join the key table under fozziejoin string semantics; edges
     (src, dst, dist) with src < dst, exactly once per pair.
@@ -180,13 +181,17 @@ def match_edges(
             None,
             pair_budget=pair_budget,
             allpairs_salts=allpairs_salts,
+            ckpt_parts=ckpt_parts,
         )
-        return edges.map_batches(
-            lambda t: pa.table(
-                {"src": t["__fj_lid"], "dst": t["__fj_rid"], "dist": t["__fj_d0"]}
-            ),
-            batch_format="pyarrow",
-        )
+        pc_col = None if ckpt_parts is None else ckpt_parts[2]
+
+        def to_edges(t: pa.Table) -> pa.Table:
+            cols = {"src": t["__fj_lid"], "dst": t["__fj_rid"], "dist": t["__fj_d0"]}
+            if pc_col is not None:
+                cols[pc_col] = t[pc_col]
+            return pa.table(cols)
+
+        return edges.map_batches(to_edges, batch_format="pyarrow")
     if blocking != "minhash":
         raise ValueError(f"unknown blocking {blocking!r}")
 
@@ -281,7 +286,27 @@ def match_edges(
         ),
         batch_format="pyarrow",
     )
-    return edges.union(identity_edges)
+    out = edges.union(identity_edges)
+    if ckpt_parts is not None:
+        # minhash edges partition by hash(src): deterministic, but the
+        # filter cannot push below the LSH shuffle — resume here skips
+        # the WRITE of completed partitions, not their compute (the
+        # exact-blocking path above skips both)
+        num_parts, missing, col = ckpt_parts
+        want = np.asarray(sorted(missing), dtype=np.int64)
+
+        def tag_filter(t: pa.Table) -> pa.Table:
+            h = (
+                pd.util.hash_array(
+                    np.asarray(t["src"].to_numpy(zero_copy_only=False)), categorize=False
+                )
+                % num_parts
+            ).astype(np.int64)
+            keep = np.isin(h, want)
+            return t.append_column(col, pa.array(h)).filter(pa.array(keep))
+
+        out = out.map_batches(tag_filter, batch_format="pyarrow")
+    return out
 
 
 def cluster_documents(
@@ -313,7 +338,7 @@ def cluster_documents(
         "blocking": blocking,
     }
 
-    def build_edges():
+    def build_edges(ckpt_parts=None):
         return match_edges(
             keys,
             method=method,
@@ -323,13 +348,28 @@ def cluster_documents(
             allpairs_salts=allpairs_salts,
             blocking=blocking,
             num_partitions=num_partitions,
+            ckpt_parts=ckpt_parts,
         )
 
     if checkpoint_dir is not None:
         manifest = Manifest(checkpoint_dir)
         n_docs = docs.count()
         fp_edges = fingerprint({"stage": "edges", "n_docs": n_docs, **params})
-        edges = manifest.run_stage("edges", fp_edges, build_edges)
+        # partition-granular: a run killed mid-edges resumes reusing every
+        # completed partition file; the exact-blocking path also skips the
+        # candidate generation + scoring of completed partitions
+        edges = manifest.run_stage_partitioned(
+            "edges",
+            fp_edges,
+            num_partitions,
+            lambda missing: build_edges(
+                ckpt_parts=(num_partitions, missing, "__ckpt_part")
+            ),
+            part_col="__ckpt_part",
+            empty_schema=pa.schema(
+                [("src", id_type), ("dst", id_type), ("dist", pa.float64())]
+            ),
+        )
         labels = manifest.run_stage(
             "labels",
             fingerprint({"stage": "labels", "edges_fp": fp_edges}),

@@ -222,3 +222,80 @@ def test_jaro_char_bound_filter_lossless():
     d = score_pairs("jaro_winkler", [words[a] for a, _ in pairs], [words[b] for _, b in pairs])
     lost = (d <= MAXD) & ~keep
     assert int(lost.sum()) == 0
+
+
+def test_partition_granular_resume(docs_and_labels, tmp_path):
+    """A run killed mid-edges leaves completed partition files behind;
+    the next run must (a) ask the builder for ONLY the missing
+    partitions, (b) reuse the completed files byte-for-byte, and
+    (c) produce the identical edge set. Fingerprint change invalidates
+    every partition."""
+    import os
+
+    from fozziejoin_ray.state.checkpoint import Manifest, fingerprint
+
+    docs_t, _ = docs_and_labels
+    keys_ds = extract_keys(rd.from_arrow(docs_t))
+    P = 8
+    fp = fingerprint({"t": "resume-test"})
+
+    def build(missing):
+        return match_edges(
+            keys_ds, method=METHOD, max_distance=MAXD, pair_budget=None,
+            num_partitions=P, ckpt_parts=(P, missing, "__ckpt_part"),
+        )
+
+    # clean full run -> ground truth
+    man1 = Manifest(str(tmp_path / "full"))
+    full = man1.run_stage_partitioned("edges", fp, P, build)
+    truth = sorted((r["src"], r["dst"]) for r in full.take_all())
+    assert truth
+
+    # simulate a mid-stage kill: seed a fresh dir with HALF the part files
+    man2 = Manifest(str(tmp_path / "crash"))
+    src_dir = man1.stage_dir("edges")
+    dst_dir = man2.stage_dir("edges")
+    os.makedirs(dst_dir, exist_ok=True)
+    seeded = sorted(os.listdir(src_dir))[: P // 2]
+    for fn in seeded:
+        with open(os.path.join(src_dir, fn), "rb") as a, open(
+            os.path.join(dst_dir, fn), "wb"
+        ) as b:
+            b.write(a.read())
+    seeded_parts = {int(fn.split("-")[1]) for fn in seeded}
+
+    calls = []
+
+    def spy_build(missing):
+        calls.append(list(missing))
+        return build(missing)
+
+    resumed = man2.run_stage_partitioned("edges", fp, P, spy_build)
+    # builder saw exactly the non-seeded partitions
+    assert len(calls) == 1
+    assert set(calls[0]) == set(range(P)) - seeded_parts
+    assert sorted((r["src"], r["dst"]) for r in resumed.take_all()) == truth
+
+    # manifest: per-partition lineage + metrics for all P partitions,
+    # resumed ones recorded
+    import json
+
+    man = json.load(open(tmp_path / "crash" / "manifest.json"))
+    e = man["edges"]
+    assert e["num_partitions"] == P
+    assert set(e["partitions"]) == {str(i) for i in range(P)}
+    assert sorted(e["resumed_parts"]) == sorted(seeded_parts)
+    assert all("rows" in v for v in e["partitions"].values())
+
+    # second identical run: nothing recomputed
+    calls.clear()
+    again = man2.run_stage_partitioned("edges", fp, P, spy_build)
+    assert calls == []
+    assert sorted((r["src"], r["dst"]) for r in again.take_all()) == truth
+
+    # fingerprint change: all partitions invalid, stale files purged
+    calls.clear()
+    fp2 = fingerprint({"t": "resume-test-v2"})
+    man2.run_stage_partitioned("edges", fp2, P, spy_build)
+    assert calls and set(calls[0]) == set(range(P))
+    assert all(fp2 in fn for fn in os.listdir(dst_dir))
