@@ -16,11 +16,12 @@ key. The reference silently drops a pair whose refinement pattern fails
 to compile (regex/mod.rs:98-101 ``.ok()``); that behavior is kept.
 
 Scale strategies: "broadcast" ships the whole compiled pattern set to
-every scorer actor; "sharded" (both sides large) splits the pattern set
-into shards of <= ``broadcast_threshold`` patterns, scans the left
-stream once per shard, and unions the edges — per-actor memory is
-bounded by the shard while the total regex work (inherently
-|left| x |patterns|) is unchanged.
+every scorer actor; "sharded" (both sides large) builds pattern shards
+of <= ``broadcast_threshold`` rows INCREMENTALLY from the right-side
+batch stream (the driver never materializes the full pattern table —
+one shard at a time), scans the left stream once per shard, and unions
+the edges — per-actor AND driver memory are bounded by the shard while
+the total regex work (inherently |left| x |patterns|) is unchanged.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ import ray.data as rd
 
 from ..semantics import check_mode
 from .modes import assemble, normalize_by
-from .rowids import ensure_row_id
+from .rowids import ensure_row_id, exceeds_rows
 from .string_join import LID, RID
 
 
@@ -209,26 +210,47 @@ def fuzzy_regex_join(
     right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
 
     rcols = [rid] + sorted({r for _, r in by})
-    tables = list(
-        right.select_columns(rcols).iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    rt = pa.concat_tables(tables)
     if strategy == "auto":
-        strategy = "sharded" if rt.num_rows > broadcast_threshold else "broadcast"
-    shards = (
-        [rt]
-        if strategy == "broadcast"
-        else [
-            rt.slice(s, broadcast_threshold)
-            for s in range(0, max(rt.num_rows, 1), broadcast_threshold)
-        ]
-    )
+        strategy = "sharded" if exceeds_rows(right, broadcast_threshold) else "broadcast"
+
+    def shard_stream():
+        """Build pattern shards incrementally from the right-side batch
+        stream — the driver never holds more than one shard (plus one
+        in-flight batch), so a pattern table larger than driver memory
+        shards through. Always yields at least one (possibly empty)
+        shard so every join mode gets an edges dataset."""
+        buf: list[pa.Table] = []
+        nbuf = 0
+        any_out = False
+        for t in right.select_columns(rcols).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            s = 0
+            while s < t.num_rows:
+                take = (
+                    min(broadcast_threshold - nbuf, t.num_rows - s)
+                    if strategy == "sharded"
+                    else t.num_rows - s
+                )
+                buf.append(t.slice(s, take))
+                nbuf += take
+                s += take
+                if strategy == "sharded" and nbuf >= broadcast_threshold:
+                    yield pa.concat_tables(buf)
+                    any_out = True
+                    buf, nbuf = [], 0
+        if buf:
+            yield pa.concat_tables(buf)
+        elif not any_out:
+            s = right.schema()
+            sch = pa.schema([pa.field(n, ty) for n, ty in zip(s.names, s.types)])
+            yield sch.empty_table().select(rcols)
 
     cfg = {"by": by, "lid": lid}
     left_cols = [lid] + sorted({l for l, _ in by})
     lsel = left.select_columns(left_cols)
     edges: rd.Dataset | None = None
-    for shard in shards:
+    for shard in shard_stream():
         index = RightPatternIndex(
             shard.column(by[0][1]).to_numpy(zero_copy_only=False),
             shard.column(rid).to_numpy(zero_copy_only=False),

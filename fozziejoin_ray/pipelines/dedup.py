@@ -640,6 +640,15 @@ def minhash_lsh_dedup(
 
     from fozziejoin_ray.joins.string_join import _collect_right
 
+    # Materialize the (id, text) projection ONCE: count, the layout
+    # probe, the band/bucket stage and the final id join all consume it,
+    # and on a derived input each would otherwise re-execute the whole
+    # upstream graph. The projection is two columns (the object store
+    # spills if it must), which beats 3-4 upstream executions.
+    ds = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    ).materialize()
+
     small = ds.count() <= broadcast_doc_limit
     mat = None
     if small:
@@ -816,6 +825,12 @@ def simhash_dedup(
     blocks = max_hamming + 1
     width = 64 // blocks
 
+    # one upstream execution: signatures AND the final id join both read
+    # this materialized projection
+    ds = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    ).materialize()
+
     def sig_table(t: pa.Table) -> pa.Table:
         sigs = simhash64_batch(t.column(text_col).to_pylist())
         return pa.table({id_col: t[id_col], "__sig": pa.array(sigs)})
@@ -953,6 +968,12 @@ def ngram_jaccard_dedup(
     dropped (stop-word shingles); both are recall trade-offs to opt
     into, not defaults."""
     import ray
+
+    # one upstream execution: the hot-shingle pass, the emit stage, the
+    # count probe and the id join all read this materialized projection
+    ds = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    ).materialize()
 
     hot_ref = ray.put(_hot_shingle_order(ds, text_col, shingle_k, num_partitions=num_partitions))
 

@@ -410,3 +410,15 @@ def test_distance_blocked_equals_broadcast(method, how):
         return sorted(tuple(sorted((k, v(x)) for k, x in r.items())) for r in rows)
 
     assert canon(a) == canon(b), (method, how)
+
+
+def test_regex_zero_row_right_left_mode():
+    """Zero-row pattern table: inner empty, left pads — the streaming
+    shard builder must emit one empty shard, not crash on concat."""
+    l = ds(name=["Alpha", "beta"])
+    r = rd.from_arrow(pa.table({"pattern": ["^A"]}).slice(0, 0))
+    inner = fuzzy_regex_join(l, r, by={"name": "pattern"}).take_all()
+    assert inner == []
+    left = fuzzy_regex_join(l, r, by={"name": "pattern"}, how="left").take_all()
+    assert sorted(d["name"] for d in left) == ["Alpha", "beta"]
+    assert all(d["pattern"] is None for d in left)

@@ -241,3 +241,46 @@ def test_io_roundtrip_and_lance_gate(tmp_path):
     jback = read_table(str(tmp_path / "j"), format="json", columns=["doc_id"])
     assert jback.count() == len(TEXTS)
     assert jback.schema().names == ["doc_id"]
+
+
+def test_dedup_executes_upstream_once():
+    """minhash/ngram/simhash dedup materialize their (id, text)
+    projection once: on a derived input the upstream graph must execute
+    exactly one time, not once per internal consumer (count probe,
+    collect, bucket stage, id join)."""
+    import ray
+
+    from fozziejoin_ray.pipelines.dedup import minhash_lsh_dedup, ngram_jaccard_dedup, simhash_dedup
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    for fn, kw in (
+        (minhash_lsh_dedup, {"threshold": 0.5}),
+        (ngram_jaccard_dedup, {"threshold": 0.6}),
+        (simhash_dedup, {}),
+    ):
+        counter = Counter.remote()
+
+        def bump(t, _c=counter):
+            ray.get(_c.inc.remote())
+            return t
+
+        nblocks = 4
+        derived = (
+            docs_ds()
+            .repartition(nblocks)
+            .map_batches(bump, batch_format="pyarrow", batch_size=None)
+        )
+        out = fn(derived, "text", "doc_id", num_partitions=4, **kw).take_all()
+        assert len(out) == len(TEXTS)
+        execs = ray.get(counter.get.remote())
+        assert execs == nblocks, (fn.__name__, execs)
