@@ -450,6 +450,28 @@ def _ann_topk_query(sf_dir: str):
     return _round_col(out, "cosine", 4)
 
 
+def _ann_ivf_exhaustive_query(sf_dir: str):
+    """IVF with nprobe == n_centroids probes every bucket: exact search
+    through the IVF physical plan, verified against the same SQL oracle
+    as ann_topk (fozziejoin_ray/pipelines/ann.py:ivf_topk)."""
+    from fozziejoin_ray.pipelines.ann import ivf_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = pa.concat_tables(
+        list(
+            emb.map_batches(
+                lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    ).sort_by("vec_id")
+    Q = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    out = ivf_topk(
+        emb, Q, qt.column("vec_id").to_pylist(), k=10, id_col="vec_id",
+        n_centroids=16, nprobe=16, dtype=np.float64,
+    )
+    return _round_col(out, "cosine", 4)
+
+
 def _ann_ivf_query(sf_dir: str):
     from fozziejoin_ray.pipelines.ann import ivf_topk
 
@@ -665,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_bucketed": _embedding_dup_bucketed_query,
         "ann_topk": _ann_topk_query,
         "ann_ivf": _ann_ivf_query,
+        "ann_ivf_exhaustive": _ann_ivf_exhaustive_query,
         # text analysis
         "token_count": _token_count_query,
         "quality_score": _quality_query,
@@ -1034,6 +1057,17 @@ def oracle_sql() -> dict[str, str]:
             FROM e a, e b
             WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4""",
         "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+                       FROM q, embeddings e),
+                 r AS (SELECT query_id, vec_id, cos,
+                              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank FROM r WHERE rank <= 10""",
+        # IVF probing every bucket IS exhaustive search: same oracle as
+        # ann_topk (the ann_ivf entry stays approximate-by-design, rows-only)
+        "ann_ivf_exhaustive": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
                  s AS (SELECT q.query_id, e.vec_id,
                               list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos

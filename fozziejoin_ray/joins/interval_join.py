@@ -180,12 +180,22 @@ _TS = "__ti_side"
 _TI = "__ti_id"
 
 
-def _interval_emit(side: int, id_col: str, scol: str, ecol: str, tile: float, expand: float):
+def _interval_emit(
+    side: int,
+    id_col: str,
+    scol: str,
+    ecol: str,
+    tile: float,
+    expand: float,
+    skip_longer_than: float | None = None,
+):
     """map_batches fn emitting (tile, side, id, s, e) rows — rights cover
     the tiles their interval touches, lefts the tiles of their
     maxgap+slack-expanded query interval. Rows with NaN endpoints emit
     nothing (NA never matches); start > end raises (reference
-    real.rs:47-63)."""
+    real.rs:47-63). ``skip_longer_than`` drops intervals longer than the
+    cutoff from the tiling (the two-level scheme routes them through a
+    broadcast instead — see :func:`_blocked_interval_edges`)."""
 
     def fn(t: pa.Table) -> pa.Table:
         s = np.asarray(t[scol].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -197,7 +207,10 @@ def _interval_emit(side: int, id_col: str, scol: str, ecol: str, tile: float, ex
         if np.any(s > e):
             which = "df2" if side == 1 else "left table"
             raise ValueError(f"Invalid interval in {which}: start > end")
-        ok = np.nonzero(~(np.isnan(s) | np.isnan(e)))[0]
+        valid = ~(np.isnan(s) | np.isnan(e))
+        if skip_longer_than is not None:
+            valid &= (e - s) <= skip_longer_than
+        ok = np.nonzero(valid)[0]
         lo = s[ok] - (expand if side == 0 else 0.0)
         hi = e[ok] + (expand if side == 0 else 0.0)
         t0 = np.floor(lo / tile).astype(np.int64)
@@ -234,6 +247,7 @@ def _blocked_interval_edges(
     minoverlap: float,
     num_partitions: int,
     tile_width: float | None = None,
+    long_cutoff: float | None = None,
 ) -> rd.Dataset:
     """Both-sides-large interval join: number-line tiling instead of a
     driver-side broadcast (the scale analog of the reference's shared
@@ -243,12 +257,17 @@ def _blocked_interval_edges(
     A pair that meets in several tiles is kept only in the canonical
     tile containing max(left query start, right start) — exactly once.
 
-    Partitioning assumption: ``tile_width`` (auto: 2x the sampled p95
-    right-interval length, floored by the gap window) must be on the
-    order of typical interval lengths. Heavy-tailed length distributions
-    replicate long intervals across many tiles; route such data through
-    a two-level scheme (long rights broadcast, short rights tiled) or an
-    explicit ``tile_width``."""
+    Heavy tails are handled with a TWO-LEVEL split: right intervals
+    longer than ``long_cutoff`` (auto: the tile width) never enter the
+    tiling — they are collected, start-sorted, broadcast via ``ray.put``
+    and probed by the left stream exactly like the broadcast strategy —
+    so per-tile replication of the short side is bounded by
+    ``long_cutoff/tile_width + 1 <= 2`` tiles per right interval while
+    arbitrarily long intervals cost one broadcast row each. Partitioning
+    assumption: the long TAIL (not the body) fits the object store; a
+    corpus where most intervals are long wants a larger explicit
+    ``tile_width`` instead. ``tile_width`` auto = 2x the sampled p95
+    right-interval length, floored by the gap window."""
     import pandas as pd
 
     g = float(maxgap) + (0.0 if mode == "integer" else 1e-6)
@@ -269,12 +288,29 @@ def _blocked_interval_edges(
         p95 = float(np.percentile(lens, 95)) if len(lens) else 1.0
         tile_width = max(2.0 * p95, 4.0 * expand, 1e-6)
     tw = float(tile_width)
+    cutoff = tw if long_cutoff is None else float(long_cutoff)
+
+    # long rights -> broadcast side channel (start > end validation for
+    # them happens in their own emit-side check below)
+    def long_only(t: pa.Table) -> pa.Table:
+        s = np.asarray(t[by[0][1]].cast(pa.float64()).to_numpy(zero_copy_only=False))
+        e = np.asarray(t[by[1][1]].cast(pa.float64()).to_numpy(zero_copy_only=False))
+        keep = (e - s) > cutoff  # NaN endpoints compare False (NA never matches)
+        return t.filter(pa.array(keep))
+
+    long_tables = list(
+        right.select_columns([rid, by[0][1], by[1][1]])
+        .map_batches(long_only, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    long_rt = pa.concat_tables(long_tables) if long_tables else None
 
     el = left.select_columns([lid, by[0][0], by[1][0]]).map_batches(
         _interval_emit(0, lid, by[0][0], by[1][0], tw, expand), batch_format="pyarrow"
     )
     er = right.select_columns([rid, by[0][1], by[1][1]]).map_batches(
-        _interval_emit(1, rid, by[0][1], by[1][1], tw, expand), batch_format="pyarrow"
+        _interval_emit(1, rid, by[0][1], by[1][1], tw, expand, skip_longer_than=cutoff),
+        batch_format="pyarrow",
     )
     emitted = el.union(er)
 
@@ -352,11 +388,45 @@ def _blocked_interval_edges(
         rb = np.concatenate(out_r)
         return pa.table({LID: pa.array(ids[la], idt), RID: pa.array(ids[rb], idt)})
 
-    return (
+    tiled = (
         emitted.map_batches(add_bp, batch_format="pyarrow")
         .groupby("__bp")
         .map_groups(score_part, batch_format="pyarrow")
     )
+    if long_rt is None or long_rt.num_rows == 0:
+        return tiled
+    # broadcast sub-join for the long tail: identical predicates, one
+    # edge stream unioned with the tiled edges (disjoint right sets ->
+    # still exactly once per pair)
+    import ray
+
+    lrs = np.asarray(long_rt[by[0][1]].cast(pa.float64()).to_numpy(zero_copy_only=False))
+    lre = np.asarray(long_rt[by[1][1]].cast(pa.float64()).to_numpy(zero_copy_only=False))
+    if np.any(lrs > lre):
+        raise ValueError("Invalid interval in df2: start > end")
+    index = RightIntervalIndex(
+        lrs,
+        lre,
+        long_rt[rid].to_numpy(zero_copy_only=False),
+        rid_type=long_rt.schema.field(rid).type,
+    )
+    cfg = {
+        "lid": lid,
+        "left_start": by[0][0],
+        "left_end": by[1][0],
+        "mode": mode,
+        "overlap_type": overlap_type,
+        "maxgap": maxgap,
+        "minoverlap": minoverlap,
+    }
+    long_edges = left.select_columns([lid, by[0][0], by[1][0]]).map_batches(
+        BroadcastIntervalScorer,
+        fn_constructor_args=(ray.put(index), cfg),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    return tiled.union(long_edges)
 
 
 def fuzzy_interval_join(
@@ -378,6 +448,7 @@ def fuzzy_interval_join(
     strategy: str = "auto",
     broadcast_threshold: int = 2_000_000,
     tile_width: float | None = None,
+    long_cutoff: float | None = None,
 ) -> rd.Dataset:
     """Ray-Data analog of ``fozzie_interval_join``
     (/root/reference/R/fozzie_interval_join.R:47-83).
@@ -424,6 +495,7 @@ def fuzzy_interval_join(
             float(minoverlap),
             num_partitions,
             tile_width,
+            long_cutoff,
         )
         return assemble(
             left,

@@ -35,17 +35,46 @@ def exceeds_rows(ds: rd.Dataset, threshold: int) -> bool:
     return ds.limit(threshold + 1).count() > threshold
 
 
-def ensure_row_id(ds: rd.Dataset, id_col: str | None, col: str = ROWID):
+def assert_unique_ids(ds: rd.Dataset, id_col: str, num_partitions: int = 16) -> None:
+    """Raise ValueError if ``id_col`` carries duplicates — one groupby-count
+    probe (a hash shuffle of the single id column), early-stopped at the
+    first duplicate found. Opt-in insurance against the silent row
+    multiplication a non-unique id causes in join assembly."""
+    counts = (
+        ds.select_columns([id_col])
+        .groupby(id_col)
+        .count()
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater(t["count()"], 1)),
+            batch_format="pyarrow",
+        )
+    )
+    dupes = counts.limit(5).take_all()
+    if dupes:
+        ex = ", ".join(repr(d[id_col]) for d in dupes)
+        raise ValueError(
+            f"id column {id_col!r} is not unique (duplicated values include: {ex}); "
+            "a non-unique id silently multiplies assembled join rows — pass a "
+            "unique key or id_col=None for generated row ids"
+        )
+
+
+def ensure_row_id(
+    ds: rd.Dataset, id_col: str | None, col: str = ROWID, validate_ids: bool = False
+):
     """Return (dataset, id_column_name). If ``id_col`` is given it must be a
     unique key and is used as-is; otherwise a contiguous int64 id column is
     appended in dataset order.
 
-    WARNING: a non-unique ``id_col`` is NOT detected (checking would cost
-    a full shuffle per join) and silently multiplies assembled rows —
-    every edge touching a duplicated id joins back to every row carrying
-    it. If no unique key exists, pass ``None`` and pay the materializing
-    id-assignment pass."""
+    WARNING: a non-unique ``id_col`` is NOT detected by default (checking
+    costs a groupby-count shuffle per join) and silently multiplies
+    assembled rows — every edge touching a duplicated id joins back to
+    every row carrying it. Pass ``validate_ids=True`` (one
+    :func:`assert_unique_ids` probe) to pay for the check, or
+    ``id_col=None`` for the materializing id-assignment pass."""
     if id_col is not None:
+        if validate_ids:
+            assert_unique_ids(ds, id_col)
         return ds, id_col
     ds = ds.materialize()
     refs = []

@@ -334,6 +334,7 @@ def fuzzy_string_join(
     strategy: str = "auto",
     broadcast_limit: int = 2_000_000,
     num_partitions: int = 16,
+    validate_ids: bool = False,
 ) -> rd.Dataset:
     """Ray-Data-native analog of ``fozzie_string_join``
     (/root/reference/R/fozzie_string_join.R:59-77): join `left` and `right`
@@ -347,8 +348,8 @@ def fuzzy_string_join(
     by = normalize_by(by, left, right)
     if strategy == "auto":
         strategy = "blocked" if exceeds_rows(right, broadcast_limit) else "broadcast"
-    left, lid = ensure_row_id(left, left_id, "__fj_lid_src")
-    right, rid = ensure_row_id(right, right_id, "__fj_rid_src")
+    left, lid = ensure_row_id(left, left_id, "__fj_lid_src", validate_ids=validate_ids)
+    right, rid = ensure_row_id(right, right_id, "__fj_rid_src", validate_ids=validate_ids)
 
     if strategy == "broadcast":
         edges = build_edges_broadcast(

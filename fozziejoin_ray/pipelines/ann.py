@@ -118,10 +118,17 @@ def ivf_topk(
     embed_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 17,
+    dtype=np.float32,
 ) -> rd.Dataset:
     """IVF-style approximate top-k: centroids from a deterministic seeded
     sample; each vector shuffles once to its centroid bucket; each query
-    probes only its ``nprobe`` nearest buckets."""
+    probes only its ``nprobe`` nearest buckets.
+
+    ``nprobe=n_centroids`` probes EVERY bucket, making the search
+    exhaustive — identical results to :func:`ann_topk` (same scoring,
+    same (cosine desc, vec_id) tie-break) with the IVF physical plan;
+    that mode is what the driver's SQL oracle verifies. ``dtype=
+    np.float64`` bit-matches a double-precision oracle."""
     centroids = _sample_centroids(ds, embed_col, n_centroids, seed)
     cref = ray.put(centroids)
 
@@ -133,8 +140,8 @@ def ivf_topk(
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow")
 
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
-    probes = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    Q = _normalize(np.asarray(queries, dtype=dtype))
+    probes = np.argsort(-(Q @ centroids.T.astype(dtype)), axis=1)[:, :nprobe]  # (nq, nprobe)
     bucket_to_queries: dict[int, list[int]] = {}
     for qi, row in enumerate(probes):
         for b in row:
@@ -154,7 +161,7 @@ def ivf_topk(
         )
         if not qis:
             return empty
-        X = _normalize(_embed_matrix(t, embed_col))
+        X = _normalize(_embed_matrix(t, embed_col, dtype))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sims = X @ Qm[qis].T
         kk = min(k, len(X))

@@ -422,3 +422,38 @@ def test_regex_zero_row_right_left_mode():
     left = fuzzy_regex_join(l, r, by={"name": "pattern"}, how="left").take_all()
     assert sorted(d["name"] for d in left) == ["Alpha", "beta"]
     assert all(d["pattern"] is None for d in left)
+
+
+def test_interval_blocked_heavy_tail_two_level():
+    """Heavy-tailed right intervals: the two-level split must (a) match
+    the broadcast rows exactly and (b) bound per-tile replication — long
+    rights never enter the tiling (they broadcast), so right emissions
+    stay <= 2 per short interval instead of O(len/tile) for the tail."""
+    rng = np.random.RandomState(23)
+    n = 1200
+    ls = np.round(rng.uniform(0, 1000, n), 3)
+    le = ls + np.round(rng.uniform(0, 5, n), 3)
+    rs = np.round(rng.uniform(0, 1000, n), 3)
+    lens = np.where(
+        rng.rand(n) < 0.05, rng.uniform(200, 800, n), rng.uniform(0, 5, n)
+    ).round(3)
+    re = rs + lens
+    l = ds(s=ls, e=le, lid=np.arange(n))
+    r = ds(s2=rs, e2=re, rid=np.arange(n))
+    kw = dict(by=[("s", "s2"), ("e", "e2")], maxgap=1.0, left_id="lid", right_id="rid")
+    a = fuzzy_interval_join(l, r, strategy="broadcast", **kw)
+    b = fuzzy_interval_join(l, r, strategy="blocked", tile_width=10.0, **kw)
+    ka = sorted((d["lid"], d["rid"]) for d in a.take_all())
+    kb = sorted((d["lid"], d["rid"]) for d in b.take_all())
+    assert ka == kb and len(ka) > 0
+
+    # emission-count bound: with the cutoff each tiled right covers
+    # <= len/tile + 1 <= 2 tiles; without it the tail dominates
+    from fozziejoin_ray.joins.interval_join import _interval_emit
+
+    t = pa.table({"rid": np.arange(n), "s2": rs, "e2": re})
+    cut = _interval_emit(1, "rid", "s2", "e2", 10.0, 1.0 + 1e-6, skip_longer_than=10.0)(t)
+    full = _interval_emit(1, "rid", "s2", "e2", 10.0, 1.0 + 1e-6)(t)
+    n_short = int((lens <= 10.0).sum())
+    assert cut.num_rows <= 2 * n_short
+    assert full.num_rows > 3 * cut.num_rows

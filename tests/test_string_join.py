@@ -9,12 +9,15 @@ import pytest
 import ray.data as rd
 
 from fozziejoin_ray import fuzzy_string_join
-from tests.fixtures import NAMES, rows_sorted, test_df_table, whoops_table
+# alias: a module-level name starting with test_ would be collected
+# as a test and flagged for returning a table
+from tests.fixtures import NAMES, rows_sorted, whoops_table
+from tests.fixtures import test_df_table as make_test_df_table
 
 
 @pytest.fixture()
 def tables():
-    return rd.from_arrow(test_df_table()), rd.from_arrow(whoops_table())
+    return rd.from_arrow(make_test_df_table()), rd.from_arrow(whoops_table())
 
 
 def _pairs(ds):
@@ -403,3 +406,23 @@ def test_blocked_equals_broadcast_salted_and_multikey():
     unsalted = edges(None)
     salted = edges(200)  # force hot-block grid salting
     assert salted == unsalted and len(unsalted) > 0
+
+
+def test_validate_ids_catches_duplicates():
+    """The docstring-warned hazard: a duplicated id_col silently
+    multiplies assembled rows. validate_ids=True must raise instead."""
+    l = rd.from_arrow(pa.table({"k": ["a", "b"], "i": [1, 1]}))
+    r = rd.from_arrow(pa.table({"k": ["a"], "j": [9]}))
+    with pytest.raises(Exception) as ei:
+        fuzzy_string_join(
+            l, r, by={"k": "k"}, method="lv", max_distance=0,
+            left_id="i", right_id="j", validate_ids=True,
+        ).take_all()
+    assert "not unique" in str(ei.value)
+    # unique ids pass the probe untouched
+    l2 = rd.from_arrow(pa.table({"k": ["a", "b"], "i": [1, 2]}))
+    out = fuzzy_string_join(
+        l2, r, by={"k": "k"}, method="lv", max_distance=0,
+        left_id="i", right_id="j", validate_ids=True,
+    ).take_all()
+    assert len(out) == 1
