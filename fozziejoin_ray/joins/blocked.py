@@ -388,17 +388,27 @@ def build_edges_blocked(
         "ckpt_parts": None if ckpt_parts is None else (ckpt_parts[0], ckpt_parts[2]),
     }
 
+    lsel = [lid] + sorted(set(lkeys) - {lid})
+    left_p = left.select_columns(lsel)
+    right_p = None if selfjoin else right.select_columns([rid] + sorted(set(rkeys) - {rid}))
+    if pair_budget is not None:
+        # salt planning runs the emit pipeline a second time; materialize
+        # the projected (id, keys) inputs once so the upstream graph does
+        # not re-execute for the planning pass
+        left_p = left_p.materialize()
+        if right_p is not None:
+            right_p = right_p.materialize()
+
     def emitted_with(salts):
-        lsel = [lid] + sorted(set(lkeys) - {lid})
         if selfjoin:
-            e = left.select_columns(lsel).map_batches(
+            e = left_p.map_batches(
                 _emit_batches(strategy, "self", lid, lkeys, salts), batch_format="pyarrow"
             )
             return e
-        el = left.select_columns(lsel).map_batches(
+        el = left_p.map_batches(
             _emit_batches(strategy, "left", lid, lkeys, salts), batch_format="pyarrow"
         )
-        er = right.select_columns([rid] + sorted(set(rkeys) - {rid})).map_batches(
+        er = right_p.map_batches(
             _emit_batches(strategy, "right", rid, rkeys, salts), batch_format="pyarrow"
         )
         if lkeys != rkeys:
