@@ -524,6 +524,14 @@ def _fingerprint_query(sf_dir: str):
     return fingerprint_docs(docs, "text").select_columns(["doc_id", "fingerprint"])
 
 
+def _tfidf_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.text import tfidf_top_terms
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(docs, "text", "doc_id", k=5)
+    return _round_col(out, "score", 6)
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -693,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _quality_query,
         "lang_id": _lang_id_query,
         "doc_fingerprint": _fingerprint_query,
+        "tfidf_top_terms": _tfidf_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1114,6 +1123,24 @@ def oracle_sql() -> dict[str, str]:
               FROM norm
             )
             SELECT doc_id, h31 * 2147483648 + h131 AS fingerprint FROM h""",
+        # tf-idf over the same ASCII [0-9a-z_]+ token class as lang_id;
+        # idf = ln((N+1)/(df+1)) + 1, ties break on the smaller term —
+        # exactly pipelines/text.py:tfidf_top_terms
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         tf.tf * (LN((n.n + 1) / (df.df + 1)) + 1.0) AS score
+                  FROM tf JOIN df USING (term), n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+                  FROM s)
+            SELECT doc_id, term, tf, df, ROUND(score, 6) AS score, rank
+            FROM r WHERE rank <= 5""",
         # exact n-gram-Jaccard dup classes: distinct char 5-grams stand in
         # for pipelines/dedup.py:char_shingles's distinct 64-bit hashes
         # (injective on this corpus), recursive-CTE connected components

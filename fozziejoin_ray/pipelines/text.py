@@ -201,3 +201,99 @@ def fingerprint_docs(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return t.append_column("fingerprint", pa.array(out.astype(np.int64), pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _doc_term_counts(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """(id, term, tf) — one row per distinct (doc, term), fully
+    vectorized: one Arrow regex split into a flat token stream, then a
+    (parent, term-code) composite sort + run-length count per batch."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        txt = pc.fill_null(t.column(text_col), "")
+        toks_list = pc.split_pattern_regex(pc.utf8_lower(txt), r"[^0-9a-z_]+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = toks_list.flatten()
+        parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)[keep]
+        parents = parents[keep]
+        if not len(toks):
+            return pa.table(
+                {
+                    id_col: pa.array([], idc.type),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniq = pd.factorize(toks)
+        comp = parents.astype(np.int64) * len(uniq) + codes
+        comp.sort()
+        new = np.r_[True, comp[1:] != comp[:-1]]
+        idx = np.nonzero(new)[0]
+        tf = np.diff(np.r_[idx, len(comp)])
+        pr = (comp[idx] // len(uniq)).astype(np.int64)
+        tc = (comp[idx] % len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: idc.take(pa.array(pr)),
+                "term": pa.array(np.asarray(uniq, object)[tc], pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-document top-k TF-IDF terms: (id, term, tf, df, score, rank).
+
+    Tokenizer: lowercase ASCII ``[0-9a-z_]+`` (the same class as
+    :class:`LangId` and the SQL oracle). ``idf = ln((N+1)/(df+1)) + 1``
+    (smoothed, SQL-expressible); ``score = tf * idf``; ties break on the
+    smaller term. Documents with no tokens emit no rows.
+
+    Scale shape: one flat (doc, term, tf) stream (one row per distinct
+    doc-term — the per-batch count IS the partial aggregate), a
+    term-keyed groupby for document frequency, a term-keyed hash join to
+    attach df (vocab can exceed any broadcast), and one doc-keyed
+    shuffle for the per-doc top-k. No driver-side state at any size.
+    """
+    from ..joins.hashjoin import hash_join
+    from .topk import top_k_per_group
+
+    # one upstream execution: the projection is materialized, then the
+    # token stream once more (df pass + join pass both read it)
+    ds = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    ).materialize()
+    n_docs = ds.count()
+    flat = _doc_term_counts(ds, text_col, id_col).materialize()
+    df = flat.groupby("term").count()
+    df = df.map_batches(
+        lambda t: pa.table({"__t2": t["term"], "df": t["count()"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(flat, df, "term", "__t2", num_partitions=num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
+        return t.append_column("score", pa.array(tf * idf, pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return top_k_per_group(
+        scored, id_col, "score", k,
+        descending=True, tie_cols="term", num_partitions=num_partitions,
+    )

@@ -284,3 +284,32 @@ def test_dedup_executes_upstream_once():
         assert len(out) == len(TEXTS)
         execs = ray.get(counter.get.remote())
         assert execs == nblocks, (fn.__name__, execs)
+
+
+def test_tfidf_top_terms_matches_bruteforce():
+    """tfidf_top_terms vs a plain-python oracle: same tokenizer, same
+    smoothed idf, same (score desc, term asc) tie-break."""
+    import math
+    import re
+    from collections import Counter
+
+    from fozziejoin_ray.pipelines.text import tfidf_top_terms
+
+    out = tfidf_top_terms(docs_ds(), "text", "doc_id", k=3, num_partitions=4).take_all()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], round(r["score"], 9)) for r in out}
+
+    tok = lambda s: re.findall(r"[0-9a-z_]+", (s or "").lower())
+    tfs = {f"d{i}": Counter(tok(t)) for i, t in enumerate(TEXTS)}
+    df = Counter(term for c in tfs.values() for term in c)
+    n = len(TEXTS)
+    exp = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            ((tf * (math.log((n + 1) / (df[term] + 1)) + 1.0), term, tf) for term, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for rank, (score, term, tf) in enumerate(scored, 1):
+            exp[(d, rank)] = (term, tf, df[term], round(score, 9))
+    assert got == exp
+    # every doc with tokens appears with exactly min(3, n_terms) rows
+    assert len(got) == len(exp)
