@@ -269,6 +269,71 @@ def _collect_right(right: rd.Dataset, cols: list[str]) -> pa.Table:
     return pa.concat_tables(tables)
 
 
+def build_edges_lsh(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: list[tuple[str, str]],
+    method: str,
+    max_distance: float,
+    q: int,
+    max_prefix: int,
+    prefix_weight: float,
+    lid: str,
+    rid: str,
+    *,
+    num_partitions: int = 32,
+    num_perm: int = 64,
+    bands: int = 64,
+    shingle_k: int = 2,
+) -> rd.Dataset:
+    """Two-table LSH-blocked edges (see fuzzy_string_join strategy='lsh').
+    Both sides emit banded-MinHash buckets over their key's shingles; the
+    within-bucket left x right cross products are verified with the exact
+    string kernel; edges that met in several bands dedup once. jw rides
+    the recall-lossless SWAR char-bound prefilter.
+
+    Default 64 bands x 1 row: a pair is missed only if NO single minhash
+    agrees — miss probability (1-j)^64, i.e. < 1e-9 even at shingle
+    jaccard 0.3 (short keys within small edit distances sit well above
+    that). One-row bands admit more junk candidates than multi-row
+    bands, but the prefilter + vectorized kernel make verification the
+    cheap side of the trade at join selectivities."""
+    from ..kernels.strdist import score_pairs
+    from ..pipelines.dedup import lsh_fused_edges
+    from ..pipelines.linkage import JaroCharBoundFilter
+
+    lkey, rkey = by[0]
+
+    def score_fn(a_list, b_list):
+        d = score_pairs(
+            method, list(a_list), list(b_list),
+            q=q, max_prefix=max_prefix, prefix_weight=prefix_weight,
+        )
+        keep = d <= max_distance
+        return keep, d[keep]
+
+    scored = lsh_fused_edges(
+        left.select_columns([lid, lkey]),
+        lkey,
+        lid,
+        score_fn,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        num_partitions=num_partitions,
+        prefilter=(
+            JaroCharBoundFilter(max_distance) if method == "jaro_winkler" else None
+        ),
+        right=right.select_columns([rid, rkey]),
+        right_text_col=rkey,
+        right_id_col=rid,
+    )
+    return scored.map_batches(
+        lambda t: pa.table({LID: t["a"], RID: t["b"], "__fj_d0": t["score"]}),
+        batch_format="pyarrow",
+    )
+
+
 def build_edges_broadcast(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -369,6 +434,20 @@ def fuzzy_string_join(
             prefix_weight,
             lid,
             rid,
+        )
+    elif strategy == "lsh":
+        # Two-huge-tables path for all-pairs metrics (jw, or any method
+        # when the exact strategy's candidate space is prohibitive):
+        # banded-MinHash buckets over key shingles generate candidates,
+        # the exact kernel verifies dist <= max_distance. APPROXIMATE —
+        # a matching pair is missed only if no band agrees (vanishing
+        # for the high shingle overlap small string distances imply);
+        # every emitted edge is exact (kernel-verified). Single-key only.
+        if len(by) != 1:
+            raise ValueError("strategy='lsh' supports exactly one by key pair")
+        edges = build_edges_lsh(
+            left, right, by, method, max_distance, q, max_prefix, prefix_weight, lid, rid,
+            num_partitions=num_partitions,
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")

@@ -1049,6 +1049,53 @@ def ngram_jaccard_dedup(
     return _dup_groups(ds, verified, id_col, num_partitions, id_type)
 
 
+def _cross_pairs_by_bucket(
+    bucket: np.ndarray,
+    side: np.ndarray,
+    *,
+    max_bucket: int = 4096,
+    sketch: np.ndarray | None = None,
+    keep_fn=None,
+    chunk_pairs: int = 262_144,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-table analog of :func:`_triu_pairs_by_bucket`: within every
+    bucket, all (side-0 position, side-1 position) pairs, vectorized —
+    sort once by (bucket, side), count each side per bucket with one
+    cumsum, expand with the shared variable-size cross product. Buckets
+    with a side larger than ``max_bucket`` are dropped (the stop-word
+    cap). ``sketch``/``keep_fn`` fuse a recall-lossless pair filter into
+    chunked expansion slabs."""
+    n = len(bucket)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    from ..blocking.strategies import _cross_expand
+
+    order = np.lexsort((side, bucket))
+    bs, ss = bucket[order], side[order]
+    starts = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+    ends = np.r_[starts[1:], n]
+    cs = np.r_[0, np.cumsum(ss == 0)]
+    l_cnt = cs[ends] - cs[starts]
+    r_cnt = (ends - starts) - l_cnt
+    kept = (l_cnt >= 1) & (r_cnt >= 1) & (l_cnt <= max_bucket) & (r_cnt <= max_bucket)
+    rep, al, bl = _cross_expand(l_cnt[kept], r_cnt[kept])
+    if not len(rep):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ks, kl = starts[kept], l_cnt[kept]
+    ai = order[ks[rep] + al]
+    bi = order[ks[rep] + kl[rep] + bl]
+    if keep_fn is None or sketch is None:
+        return ai, bi
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for c0 in range(0, len(ai), chunk_pairs):
+        ac, bc = ai[c0 : c0 + chunk_pairs], bi[c0 : c0 + chunk_pairs]
+        m = keep_fn(sketch[ac], sketch[bc])
+        out_a.append(ac[m])
+        out_b.append(bc[m])
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def lsh_fused_edges(
     ds: rd.Dataset,
     text_col: str,
@@ -1062,6 +1109,9 @@ def lsh_fused_edges(
     num_partitions: int = 64,
     max_bucket: int = 4096,
     prefilter=None,
+    right: rd.Dataset | None = None,
+    right_text_col: str | None = None,
+    right_id_col: str | None = None,
 ) -> rd.Dataset:
     """Fused LSH candidate generation + verification -> (a, b, score),
     each surviving pair exactly once with a < b.
@@ -1093,8 +1143,18 @@ def lsh_fused_edges(
     ``keep(SA, SB) -> bool mask`` (SA/SB gathered sketch rows). It cuts
     the expensive verification volume (measured ~10x for the jaro bound
     on the bench corpus) at the cost of ``8*width`` bytes per emission.
+
+    ``right`` switches to TWO-TABLE mode (the scale path for joining two
+    huge tables under an all-pairs metric like jw): both sides emit into
+    the same band buckets tagged with a side bit, candidates are the
+    within-bucket left x right cross products, and edges come back as
+    (a = left id, b = right id, score) — no canonical swap.
     """
     import pandas as pd
+
+    two_table = right is not None
+    rtc = right_text_col or text_col
+    ric = right_id_col or id_col
 
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
@@ -1102,38 +1162,47 @@ def lsh_fused_edges(
 
     skw = int(prefilter.width) if prefilter is not None else 0
 
-    def buckets(t: pa.Table) -> pa.Table:
-        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
-        tc = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
-        kv = tc.to_numpy(zero_copy_only=False)
-        vrows = np.nonzero(
-            np.fromiter((v is not None for v in kv), bool, count=len(kv))
-        )[0]
-        if not len(vrows):
+    def make_buckets(side_num: int, tcol: str, icol: str):
+        def buckets(t: pa.Table) -> pa.Table:
+            idc = t[icol].combine_chunks() if isinstance(t[icol], pa.ChunkedArray) else t[icol]
+            tc = t[tcol].combine_chunks() if isinstance(t[tcol], pa.ChunkedArray) else t[tcol]
+            kv = tc.to_numpy(zero_copy_only=False)
+            vrows = np.nonzero(
+                np.fromiter((v is not None for v in kv), bool, count=len(kv))
+            )[0]
+            if not len(vrows):
+                cols = {
+                    "__bucket": pa.array([], pa.uint64()),
+                    id_col: pa.array([], idc.type),
+                    text_col: pa.array([], pa.string()),
+                    "__lsh_side": pa.array([], pa.int8()),
+                }
+                if prefilter is not None:
+                    cols["__sk"] = pa.array([], pa.list_(pa.uint64(), skw))
+                return pa.table(cols)
+            sh = [char_shingles(kv[i], shingle_k) for i in vrows]
+            SIG = minhash_signatures_batch(sh, ma, mb)
+            BH = _band_hashes(SIG, bands)  # (m, bands) uint32
+            bucket = (
+                (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(32))
+                | BH.astype(np.uint64)
+            ).ravel()  # row-major: per source row, bands consecutive
+            take = pa.array(np.repeat(vrows, bands))
             cols = {
-                "__bucket": pa.array([], pa.uint64()),
-                id_col: pa.array([], idc.type),
-                text_col: pa.array([], pa.string()),
+                "__bucket": pa.array(bucket),
+                id_col: idc.take(take),
+                text_col: tc.take(take),
+                "__lsh_side": pa.array(np.full(len(bucket), side_num, np.int8)),
             }
             if prefilter is not None:
-                cols["__sk"] = pa.array([], pa.list_(pa.uint64(), skw))
+                SK = prefilter.sketch([kv[i] for i in vrows], shingles=sh)  # (m, width) uint64
+                rep = np.repeat(SK, bands, axis=0)
+                cols["__sk"] = pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep.ravel(), pa.uint64()), skw
+                )
             return pa.table(cols)
-        sh = [char_shingles(kv[i], shingle_k) for i in vrows]
-        SIG = minhash_signatures_batch(sh, ma, mb)
-        BH = _band_hashes(SIG, bands)  # (m, bands) uint32
-        bucket = (
-            (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(32))
-            | BH.astype(np.uint64)
-        ).ravel()  # row-major: per source row, bands consecutive
-        take = pa.array(np.repeat(vrows, bands))
-        cols = {"__bucket": pa.array(bucket), id_col: idc.take(take), text_col: tc.take(take)}
-        if prefilter is not None:
-            SK = prefilter.sketch([kv[i] for i in vrows], shingles=sh)  # (m, width) uint64
-            rep = np.repeat(SK, bands, axis=0)
-            cols["__sk"] = pa.FixedSizeListArray.from_arrays(
-                pa.array(rep.ravel(), pa.uint64()), skw
-            )
-        return pa.table(cols)
+
+        return buckets
 
     def add_bp(t: pa.Table) -> pa.Table:
         col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
@@ -1154,9 +1223,17 @@ def lsh_fused_edges(
         bucket = (
             t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
         ).to_numpy(zero_copy_only=False)
+        S = None
         if prefilter is not None:
             skarr = t["__sk"].combine_chunks() if isinstance(t["__sk"], pa.ChunkedArray) else t["__sk"]
             S = skarr.flatten().to_numpy(zero_copy_only=False).reshape(-1, skw)
+        if two_table:
+            side = t["__lsh_side"].to_numpy(zero_copy_only=False)
+            ai, bi = _cross_pairs_by_bucket(
+                bucket, side, max_bucket=max_bucket, sketch=S,
+                keep_fn=prefilter.keep if prefilter is not None else None,
+            )
+        elif prefilter is not None:
             ai, bi = _triu_pairs_by_bucket(
                 bucket, max_bucket=max_bucket, sketch=S, keep_fn=prefilter.keep
             )
@@ -1175,8 +1252,11 @@ def lsh_fused_edges(
         keep, scores = score_fn(kv[ai], kv[bi])
         ra = ids[ai[keep]]
         rb = ids[bi[keep]]
-        src = np.where(ra < rb, ra, rb)
-        dst = np.where(ra < rb, rb, ra)
+        if two_table:
+            src, dst = ra, rb  # (left id, right id): no canonical swap
+        else:
+            src = np.where(ra < rb, ra, rb)
+            dst = np.where(ra < rb, rb, ra)
         return pa.table(
             {
                 "a": pa.array(src, idt),
@@ -1185,9 +1265,13 @@ def lsh_fused_edges(
             }
         )
 
+    emitted = ds.map_batches(make_buckets(0, text_col, id_col), batch_format="pyarrow")
+    if two_table:
+        emitted = emitted.union(
+            right.map_batches(make_buckets(1, rtc, ric), batch_format="pyarrow")
+        )
     scored = (
-        ds.map_batches(buckets, batch_format="pyarrow")
-        .map_batches(add_bp, batch_format="pyarrow")
+        emitted.map_batches(add_bp, batch_format="pyarrow")
         .groupby("__bp")
         .map_groups(score_part, batch_format="pyarrow")
     )

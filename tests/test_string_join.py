@@ -426,3 +426,38 @@ def test_validate_ids_catches_duplicates():
         left_id="i", right_id="j", validate_ids=True,
     ).take_all()
     assert len(out) == 1
+
+
+def test_lsh_two_table_strategy():
+    """strategy='lsh' (two huge tables under an all-pairs metric):
+    precision is exact (every edge kernel-verified), recall is
+    approximate — assert edge-subset plus a high recall floor, and that
+    every returned distance matches the broadcast path's."""
+    L, R = _mutation_corpus()
+    l = rd.from_arrow(pa.table({"lid": list(range(len(L))), "wl": L}))
+    r = rd.from_arrow(pa.table({"rid": list(range(len(R))), "wr": R}))
+    kw = dict(
+        by={"wl": "wr"}, method="jw", max_distance=0.15, how="inner",
+        distance_col="d", left_id="lid", right_id="rid",
+    )
+    exact = {
+        (d["lid"], d["rid"]): round(d["d"], 12)
+        for d in fuzzy_string_join(l, r, strategy="broadcast", **kw).take_all()
+    }
+    lsh = {
+        (d["lid"], d["rid"]): round(d["d"], 12)
+        for d in fuzzy_string_join(l, r, strategy="lsh", **kw).take_all()
+    }
+    assert set(lsh) <= set(exact)  # precision 1: no false edge possible
+    assert all(lsh[k] == exact[k] for k in lsh)  # identical distances
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.98, (len(lsh), len(exact))
+
+
+def test_lsh_strategy_rejects_multikey():
+    l = rd.from_arrow(pa.table({"a": ["x"], "b": ["y"]}))
+    with pytest.raises(ValueError, match="lsh"):
+        fuzzy_string_join(
+            l, l, by=[("a", "a"), ("b", "b")], method="jw",
+            max_distance=0.2, strategy="lsh",
+        )
