@@ -27,14 +27,11 @@ Matching semantics (shared with the reference):
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..kernels.soundex import soundex_na_dual
 from ..kernels.strdist import get_qgrams, jaccard_set_batch, score_pairs
 from ..semantics import canon_method, check_mode, distance_col_names
 from .modes import assemble, normalize_by
@@ -55,12 +52,28 @@ def dist_names(k: int) -> list[str]:
     return [f"__fj_d{i}" for i in range(k)]
 
 
+def group_positions(codes: np.ndarray, n_uniq: int):
+    """Row positions per factorized code: (sorted positions, starts,
+    counts) so group k's rows are order[starts[k] : starts[k]+counts[k]].
+    Codes of -1 (nulls) sort first and are skipped by the start offsets."""
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    rng = np.arange(n_uniq, dtype=np.int64)
+    starts = np.searchsorted(sorted_codes, rng, side="left")
+    counts = np.searchsorted(sorted_codes, rng, side="right") - starts
+    return order, starts, counts
+
+
 class RightStringIndex:
     """Dedup'd right-side key index + method-specific candidate structure.
 
     Built on the driver from the (small) right table, broadcast once via
-    ``ray.put``, shared read-only by every scorer actor.
-    """
+    ``ray.put``, shared read-only by every scorer actor. Fully
+    vectorized: uniques come from one factorize, row fanout lists are
+    flat (order, starts, counts) arrays, and candidate probing is array
+    ops per method (length buckets / inverted-gram bucket cross /
+    soundex code buckets / full cross) — no per-value Python in the
+    scorer's hot path."""
 
     def __init__(
         self,
@@ -72,6 +85,8 @@ class RightStringIndex:
         q: int,
         rid_type: "pa.DataType | None" = None,
     ):
+        import pandas as pd
+
         self.method = canon_method(method)
         self.max_distance = max_distance
         self.q = q
@@ -79,67 +94,149 @@ class RightStringIndex:
         self.rid_type = rid_type  # arrow type: empty batches must emit typed ids
         self.extra = extra
 
-        uval_rows: dict[str, list[int]] = defaultdict(list)
-        for i, v in enumerate(key_values):
-            if v is not None:
-                uval_rows[v].append(i)
-        self.uvals: list[str] = list(uval_rows)
-        self.uval_rows: list[np.ndarray] = [
-            np.asarray(uval_rows[v], dtype=np.int64) for v in self.uvals
-        ]
+        codes, uniq = pd.factorize(np.asarray(key_values, dtype=object))
+        self.uvals: np.ndarray = np.asarray(uniq, dtype=object)
+        self.row_order, self.row_starts, self.row_counts = group_positions(
+            codes.astype(np.int64), len(self.uvals)
+        )
 
         m = self.method
+        n_u = len(self.uvals)
         if m in ("levenshtein", "osa", "damerau_levensthein", "lcs", "hamming"):
             self.window = 0 if m == "hamming" else int(max_distance)
-            self.by_len: dict[int, list[int]] = defaultdict(list)
-            for i, v in enumerate(self.uvals):
-                self.by_len[len(v)].append(i)
+            lens = pd.Series(self.uvals, dtype=object).str.len().to_numpy(np.int64) if n_u else np.empty(0, np.int64)
+            lcodes, self.len_vals = pd.factorize(lens)
+            self.len_order, self.len_starts, self.len_counts = group_positions(
+                lcodes.astype(np.int64), len(self.len_vals)
+            )
+            self.len_index = pd.Index(self.len_vals)
         elif m in ("qgram", "cosine", "jaccard"):
-            self.gram_index: dict[str, list[int]] = defaultdict(list)
-            self.small: list[int] = []
             self.allpairs = m in ("cosine", "jaccard") and max_distance >= 1.0
+            gv: list[int] = []
+            gg: list[str] = []
+            small: list[int] = []
             for i, v in enumerate(self.uvals):
                 prof = get_qgrams(v, q)
                 for g in prof:
-                    self.gram_index[g].append(i)
+                    gv.append(i)
+                    gg.append(g)
                 if m == "qgram" and sum(prof.values()) <= max_distance:
-                    self.small.append(i)
+                    small.append(i)
+            gcodes, gram_vocab = pd.factorize(np.asarray(gg, dtype=object))
+            self.gram_vocab = pd.Index(gram_vocab)
+            self.gram_uidx = np.asarray(gv, np.int64)
+            self.gram_order, self.gram_starts, self.gram_counts = group_positions(
+                gcodes.astype(np.int64), len(gram_vocab)
+            )
+            self.small = np.asarray(small, np.int64)
         elif m == "soundex":
-            self.by_code: dict[str, list[int]] = defaultdict(list)
-            for i, v in enumerate(self.uvals):
-                primary, alt = soundex_na_dual(v)
-                codes = {primary} if alt is None else {primary, alt}
-                for c in codes:
-                    self.by_code[c].append(i)
+            from ..blocking.strategies import SoundexBlocks
+
+            p, a = SoundexBlocks._codes(self.uvals) if n_u else (
+                np.empty(0, "U16"), np.empty(0, "U16")
+            )
+            has_alt = (a != "") & (a != p)
+            flat_codes = np.concatenate([p, a[has_alt]])
+            flat_uidx = np.concatenate(
+                [np.arange(n_u, dtype=np.int64), np.nonzero(has_alt)[0]]
+            )
+            ccodes, code_vocab = pd.factorize(flat_codes)
+            self.code_vocab = pd.Index(code_vocab)
+            self.code_uidx = flat_uidx
+            self.code_order, self.code_starts, self.code_counts = group_positions(
+                ccodes.astype(np.int64), len(code_vocab)
+            )
         # jaro_winkler: full scan of self.uvals (reference scans all pairs,
         # jaro_winkler.rs:26-33)
 
-    def candidates(self, lval: str) -> list[int]:
+    def candidate_pairs(self, lu: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(li, ri): unique-value candidate pairs — li into ``lu`` (the
+        batch's distinct left values), ri into ``self.uvals`` — as array
+        ops; each pair at most once."""
+        import pandas as pd
+
+        from ..blocking.strategies import _cross_expand, _full_cross
+
         m = self.method
+        n_r = len(self.uvals)
+        n_l = len(lu)
+        if n_l == 0 or n_r == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         if m in ("levenshtein", "osa", "damerau_levensthein", "lcs", "hamming"):
-            l = len(lval)
-            out: list[int] = []
-            for ln in range(max(0, l - self.window), l + self.window + 1):
-                out.extend(self.by_len.get(ln, ()))
-            return out
+            lens = pd.Series(lu, dtype=object).str.len().to_numpy(np.int64)
+            lc, l_lens = pd.factorize(lens)
+            lorder, lstarts, lcounts = group_positions(lc.astype(np.int64), len(l_lens))
+            li_parts: list[np.ndarray] = []
+            ri_parts: list[np.ndarray] = []
+            for off in range(-self.window, self.window + 1):
+                pos = self.len_index.get_indexer(l_lens + off)
+                hit = np.nonzero(pos >= 0)[0]
+                if not len(hit):
+                    continue
+                rg = pos[hit]
+                rep, al, bl = _cross_expand(lcounts[hit], self.len_counts[rg])
+                if not len(rep):
+                    continue
+                li_parts.append(lorder[lstarts[hit][rep] + al])
+                ri_parts.append(self.len_order[self.len_starts[rg][rep] + bl])
+            if not li_parts:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            return np.concatenate(li_parts), np.concatenate(ri_parts)
         if m in ("qgram", "cosine", "jaccard"):
             if self.allpairs:
-                return list(range(len(self.uvals)))
-            prof = get_qgrams(lval, self.q)
-            seen: set[int] = set()
-            for g in prof:
-                seen.update(self.gram_index.get(g, ()))
-            if m == "qgram":
-                seen.update(self.small)
-            return sorted(seen)
+                return _full_cross(n_l, n_r)
+            lv: list[int] = []
+            lg: list[str] = []
+            for i, v in enumerate(lu):
+                for g in get_qgrams(v, self.q):
+                    lv.append(i)
+                    lg.append(g)
+            pairs_parts = []
+            if lg:
+                gcode = self.gram_vocab.get_indexer(np.asarray(lg, dtype=object))
+                ok = gcode >= 0
+                lvi = np.asarray(lv, np.int64)[ok]
+                gc = gcode[ok]
+                order = np.argsort(gc, kind="stable")
+                gcs, lvs = gc[order], lvi[order]
+                ucodes, ustarts, ucounts = (
+                    np.unique(gcs, return_index=True, return_counts=True)
+                )
+                rep, al, bl = _cross_expand(ucounts, self.gram_counts[ucodes])
+                if len(rep):
+                    li = lvs[ustarts[rep] + al]
+                    ri = self.gram_uidx[
+                        self.gram_order[self.gram_starts[ucodes][rep] + bl]
+                    ]
+                    pairs_parts.append(li * n_r + ri)
+            if m == "qgram" and len(self.small):
+                li, sj = _full_cross(n_l, len(self.small))
+                pairs_parts.append(li * n_r + self.small[sj])
+            if not pairs_parts:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            keys = np.unique(np.concatenate(pairs_parts))
+            return keys // n_r, keys % n_r
         if m == "soundex":
-            primary, alt = soundex_na_dual(lval)
-            codes = {primary} if alt is None else {primary, alt}
-            seen = set()
-            for c in codes:
-                seen.update(self.by_code.get(c, ()))
-            return sorted(seen)
-        return list(range(len(self.uvals)))  # jaro_winkler
+            from ..blocking.strategies import SoundexBlocks
+
+            p, a = SoundexBlocks._codes(lu)
+            has_alt = (a != "") & (a != p)
+            flat = np.concatenate([p, a[has_alt]])
+            fui = np.concatenate([np.arange(n_l, dtype=np.int64), np.nonzero(has_alt)[0]])
+            ccode = self.code_vocab.get_indexer(flat)
+            ok = ccode >= 0
+            cc, ui = ccode[ok], fui[ok]
+            order = np.argsort(cc, kind="stable")
+            ccs, uis = cc[order], ui[order]
+            ucodes, ustarts, ucounts = np.unique(ccs, return_index=True, return_counts=True)
+            rep, al, bl = _cross_expand(ucounts, self.code_counts[ucodes])
+            if not len(rep):
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            li = uis[ustarts[rep] + al]
+            ri = self.code_uidx[self.code_order[self.code_starts[ucodes][rep] + bl]]
+            keys = np.unique(li * n_r + ri)
+            return keys // n_r, keys % n_r
+        return _full_cross(n_l, n_r)  # jaro_winkler
 
 
 class BroadcastStringScorer:
@@ -153,6 +250,10 @@ class BroadcastStringScorer:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..blocking.strategies import _cross_expand
+
         cfg = self.cfg
         idx = self.idx
         by = cfg["by"]
@@ -163,32 +264,21 @@ class BroadcastStringScorer:
         lvals = batch.column(lkey0).to_numpy(zero_copy_only=False)
         lids = batch.column(cfg["lid"]).to_numpy(zero_copy_only=False)
 
+        empty = self._empty_result(batch, cfg)
         # batch-level value dedup (reference dedups the whole frame;
         # same result, scoring cost amortized per batch here)
-        lu_rows: dict[str, list[int]] = defaultdict(list)
-        for i, v in enumerate(lvals):
-            if v is not None:
-                lu_rows[v].append(i)
+        lcodes, lu = pd.factorize(lvals)
+        lu = np.asarray(lu, dtype=object)
+        lorder, lstarts, lcounts = group_positions(lcodes.astype(np.int64), len(lu))
 
-        pair_l: list[str] = []
-        pair_r: list[str] = []
-        pair_lu: list[str] = []
-        pair_ru: list[int] = []
-        for lval in lu_rows:
-            for rui in idx.candidates(lval):
-                pair_l.append(lval)
-                pair_r.append(idx.uvals[rui])
-                pair_lu.append(lval)
-                pair_ru.append(rui)
-
-        empty = self._empty_result(batch, cfg)
-        if not pair_l:
+        li, ri = idx.candidate_pairs(lu)
+        if not len(li):
             return empty
 
         d0 = score_pairs(
             method,
-            pair_l,
-            pair_r,
+            list(lu[li]),
+            list(idx.uvals[ri]),
             q=idx.q,
             max_prefix=cfg["max_prefix"],
             prefix_weight=cfg["prefix_weight"],
@@ -196,38 +286,29 @@ class BroadcastStringScorer:
         keep = d0 <= maxd
         if not keep.any():
             return empty
+        li, ri, d0 = li[keep], ri[keep], d0[keep]
 
-        # fan out surviving unique-value pairs to row pairs
-        lrow_parts: list[np.ndarray] = []
-        rrow_parts: list[np.ndarray] = []
-        d0_parts: list[np.ndarray] = []
-        for k in np.nonzero(keep)[0]:
-            lr = np.asarray(lu_rows[pair_lu[k]], dtype=np.int64)
-            rr = idx.uval_rows[pair_ru[k]]
-            nl, nr = len(lr), len(rr)
-            lrow_parts.append(np.repeat(lr, nr))
-            rrow_parts.append(np.tile(rr, nl))
-            d0_parts.append(np.full(nl * nr, d0[k]))
-        lrow = np.concatenate(lrow_parts)
-        rrow = np.concatenate(rrow_parts)
-        dists = [np.concatenate(d0_parts)]
+        # fan out surviving unique-value pairs to row pairs: one
+        # variable-size cross-product expansion
+        rep, al, bl = _cross_expand(lcounts[li], idx.row_counts[ri])
+        if not len(rep):
+            return empty
+        lrow = lorder[lstarts[li][rep] + al]
+        rrow = idx.row_order[idx.row_starts[ri][rep] + bl]
+        dists = [d0[rep]]
 
         # multi-key AND refinement (string/mod.rs:95-127)
         for lkey, rkey in by[1:]:
             lv = batch.column(lkey).to_numpy(zero_copy_only=False)[lrow]
             rv = idx.extra[rkey][rrow]
-            ok = np.fromiter(
-                ((a is not None and b is not None) for a, b in zip(lv, rv)),
-                bool,
-                count=len(lv),
-            )
+            ok = ~(pd.isna(lv) | pd.isna(rv))
             dk = np.full(len(lv), np.inf)
             if ok.any():
                 ii = np.nonzero(ok)[0]
                 dk[ii] = refine_score(
                     method,
-                    [lv[i] for i in ii],
-                    [rv[i] for i in ii],
+                    list(lv[ii]),
+                    list(rv[ii]),
                     q=idx.q,
                     max_prefix=cfg["max_prefix"],
                     prefix_weight=cfg["prefix_weight"],
