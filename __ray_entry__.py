@@ -532,6 +532,61 @@ def _tfidf_query(sf_dir: str):
     return _round_col(out, "score", 6)
 
 
+_STRATA = {"en": 0.8, "de": 0.5, "fr": 0.25}
+
+
+def _stratified_sample_query(sf_dir: str):
+    """Deterministic per-language downsampling: 80% of en, 50% of de,
+    25% of fr, 10% of everything else — a pure hash filter, no shuffle."""
+    from fozziejoin_ray.pipelines.curation import stratified_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(docs, "doc_id", "lang", _STRATA, default=0.1, salt="r3")
+
+
+def _pii_augment(t: pa.Table) -> pa.Table:
+    """Inject deterministic PII spans (email/phone/ip/ssn) derived from
+    doc_id so the scrubber has real work on the synthetic corpus; the
+    oracle applies the identical augmentation in SQL."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    aug = pc.binary_join_element_wise(
+        pc.fill_null(t["text"], ""),
+        " Contact john.doe",
+        pc.cast(t["doc_id"], pa.string()),
+        "@mail.example.com or call 555-123-4567; ip 192.168.",
+        pa.array((ids % 256).astype(str)),
+        ".42 ssn 123-45-6789.",
+        "",
+    )
+    return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+
+_PII_AUG_SQL = (
+    "COALESCE(text, '') || ' Contact john.doe' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com or call 555-123-4567; ip 192.168.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.42 ssn 123-45-6789.'"
+)
+
+
+def _pii_scrub_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.curation import pii_scrub
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _pii_augment, batch_format="pyarrow"
+    )
+    return pii_scrub(docs, "text").select_columns(["doc_id", "text_scrubbed", "n_pii"])
+
+
+def _repetition_query(sf_dir: str):
+    from fozziejoin_ray.pipelines.curation import repetition_score
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = repetition_score(docs, "text", "doc_id")
+    for c in ("dup_word_frac", "top_word_frac", "dup_bigram_frac"):
+        out = _round_col(out, c)
+    return out
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -702,6 +757,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _lang_id_query,
         "doc_fingerprint": _fingerprint_query,
         "tfidf_top_terms": _tfidf_query,
+        # curation
+        "stratified_sample": _stratified_sample_query,
+        "pii_scrub": _pii_scrub_query,
+        "repetition_score": _repetition_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -834,6 +893,10 @@ def _jaccard_cc_sql(threshold: float) -> str:
             FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id"""
 
 
+from fozziejoin_ray.pipelines.curation import pii_scrub_sql as _pii_scrub_sql
+from fozziejoin_ray.pipelines.curation import (
+    stratified_sample_sql_where as _stratified_sample_sql_where,
+)
 from fozziejoin_ray.pipelines.split import split_sql_expr as _split_sql_expr
 
 _HASH_SPLIT_SQL = (
@@ -1141,6 +1204,44 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT doc_id, term, tf, df, ROUND(score, 6) AS score, rank
             FROM r WHERE rank <= 5""",
+        # same hash-bucket formula as hash_split (pipelines/split.py),
+        # per-group thresholds — pipelines/curation.py:stratified_sample
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + _stratified_sample_sql_where("doc_id", "lang", _STRATA, default=0.1, salt="r3")
+        ),
+        # identical augmentation + ordered RE2 replacements —
+        # pipelines/curation.py:pii_scrub (counts taken on the
+        # progressively-scrubbed text, exactly like the engine)
+        "pii_scrub": (
+            lambda exprs: f"""
+            WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents)
+            SELECT doc_id, {exprs[0]} AS text_scrubbed, {exprs[1]} AS n_pii FROM a"""
+        )(_pii_scrub_sql("t0")),
+        # Gopher-style repetition fractions over the shared ASCII token
+        # class — pipelines/curation.py:repetition_score
+        "repetition_score": r"""
+            WITH tl AS (
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ts
+              FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(ts) AS tok FROM tl),
+            wc AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM toks WHERE tok != '' GROUP BY doc_id, tok),
+            ws AS (SELECT doc_id, SUM(c) AS nw, COUNT(*) AS dw, MAX(c) AS mx FROM wc GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS b
+              FROM tl WHERE len(ts) > 1
+            ),
+            bs AS (SELECT doc_id, COUNT(*)::DOUBLE AS nb, COUNT(DISTINCT b)::DOUBLE AS db
+                   FROM bg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(ws.nw, 0) AS n_words,
+                   ROUND(COALESCE(1.0 - ws.dw / ws.nw::DOUBLE, 0.0), 6) AS dup_word_frac,
+                   ROUND(COALESCE(ws.mx / ws.nw::DOUBLE, 0.0), 6) AS top_word_frac,
+                   ROUND(COALESCE(1.0 - bs.db / bs.nb, 0.0), 6) AS dup_bigram_frac
+            FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id
+                             LEFT JOIN bs ON d.doc_id = bs.doc_id""",
         # exact n-gram-Jaccard dup classes: distinct char 5-grams stand in
         # for pipelines/dedup.py:char_shingles's distinct 64-bit hashes
         # (injective on this corpus), recursive-CTE connected components

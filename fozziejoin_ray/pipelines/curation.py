@@ -1,0 +1,218 @@
+"""Curation operators for training-data pipelines: deterministic
+stratified sampling, PII scrubbing, and repetition scoring.
+
+No reference analog — these extend the engine for LLM-data curation
+(the survey's extension inventory). All three are stateless per-batch
+``map_batches`` transforms: zero shuffles, scale-free, and every
+formula is SQL-replicable so the driver oracle verifies them exactly.
+
+- ``stratified_sample`` shares the polynomial-hash bucket space with
+  :mod:`fozziejoin_ray.pipelines.split` (same ``_bucket_of``), so a
+  row's sampling fate is a pure function of its key + salt — stable
+  across reruns, partitionings, cluster sizes and engines.
+- ``pii_scrub`` applies an ordered list of RE2 patterns (Arrow's
+  ``replace_substring_regex`` and DuckDB's ``regexp_replace`` are both
+  RE2, so engine and oracle agree byte-for-byte).
+- ``repetition_score`` computes Gopher-style repetition signals
+  (duplicate-word / top-word / duplicate-bigram fractions) from one
+  flat token stream per batch — numpy run-length math, no per-row
+  Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .split import _BUCKETS, _bucket_of, bucket_sql_expr
+
+# (name, RE2 pattern, replacement) — applied IN ORDER; order matters
+# (emails contain dots that would otherwise feed the IPv4 pattern, SSNs
+# must be consumed before the looser phone shape sees the text).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+_TOKEN_SPLIT = r"[^0-9a-z_]+"  # ASCII word class shared with text.py/oracles
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    fractions: dict,
+    *,
+    default: float = 0.0,
+    salt: str = "",
+) -> rd.Dataset:
+    """Deterministic per-group sampling: keep a row iff
+    ``bucket(key, salt) < round(fractions[group] * 10000)``.
+
+    Groups absent from ``fractions`` use ``default``. The assignment is
+    a pure function of (key, salt), so samples are reproducible and
+    consistent across engines — downsample the over-represented strata
+    of a 100 TB corpus without a shuffle or a global count.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction must be in [0, 1], got {default}")
+    thr = {g: int(round(f * _BUCKETS)) for g, f in fractions.items()}
+    thr_default = int(round(default * _BUCKETS))
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = _bucket_of(t.column(key_col).to_pylist(), salt)
+        lim = (
+            pd.Series(t.column(group_col).to_pylist())
+            .map(thr)
+            .fillna(thr_default)
+            .to_numpy(dtype=np.int64)
+        )
+        return t.filter(pa.array(b < lim))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_sql_where(
+    key_expr: str, group_expr: str, fractions: dict, *, default: float = 0.0, salt: str = ""
+) -> str:
+    """DuckDB WHERE-clause predicate selecting the SAME rows as
+    :func:`stratified_sample` — used by the driver oracle."""
+    bucket = bucket_sql_expr(key_expr, salt=salt)
+    case = f"CASE {group_expr} "
+    for g, f in fractions.items():
+        lit = f"'{g}'" if isinstance(g, str) else str(g)
+        case += f"WHEN {lit} THEN {int(round(f * _BUCKETS))} "
+    case += f"ELSE {int(round(default * _BUCKETS))} END"
+    return f"{bucket} < ({case})"
+
+
+def pii_scrub(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_scrubbed",
+    count_col: str = "n_pii",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> rd.Dataset:
+    """Replace PII-shaped spans (emails, SSNs, phone numbers, IPv4
+    addresses) with typed placeholders and count the replacements.
+
+    Appends ``out_col`` (scrubbed text) and ``count_col`` (total spans
+    replaced). Fully vectorized: one ``count_substring_regex`` + one
+    ``replace_substring_regex`` per pattern per batch, RE2 throughout.
+    Null text stays null with a count of 0.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+
+    def fn(t: pa.Table) -> pa.Table:
+        cur = t.column(text_col)
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        total = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        for _, pat, repl in pats:
+            total = pc.add(total, pc.fill_null(pc.count_substring_regex(cur, pat), 0))
+            cur = pc.replace_substring_regex(cur, pat, repl)
+        return t.append_column(out_col, cur).append_column(count_col, pc.cast(total, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pii_scrub_sql(text_expr: str, *, patterns: list[tuple[str, str, str]] | None = None) -> tuple[str, str]:
+    """(scrubbed_expr, count_expr) — DuckDB expressions computing the
+    SAME scrubbed text and replacement count as :func:`pii_scrub` over
+    ``text_expr`` (patterns applied in the same order; counts taken on
+    the progressively-scrubbed text, exactly like the engine)."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    cur = text_expr
+    counts = []
+    for _, pat, repl in pats:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    count = "COALESCE(" + " + ".join(counts) + ", 0)"
+    return cur, count
+
+
+def repetition_score(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Gopher-style repetition signals per document:
+
+    - ``n_words``: token count (lowercase ASCII ``[0-9a-z_]+`` class,
+      the same tokenizer as lang_id/tfidf and the SQL oracle);
+    - ``dup_word_frac``: ``1 - distinct_words / n_words`` (0 if empty);
+    - ``top_word_frac``: most-frequent-word share of all tokens;
+    - ``dup_bigram_frac``: ``1 - distinct_bigrams / n_bigrams``.
+
+    High values flag boilerplate / spam / degenerate generations. One
+    flat token stream per batch (Arrow regex split), then factorize +
+    composite-key run-length counts in numpy — no per-row Python.
+    """
+    import pandas as pd
+
+    def _per_parent_distinct(comp: np.ndarray, width: int, n: int):
+        """comp = parent * width + code, unsorted. Returns (distinct
+        count per parent, max run length per parent) via one sort."""
+        comp = np.sort(comp)
+        new = np.r_[True, comp[1:] != comp[:-1]]
+        idx = np.nonzero(new)[0]
+        runlen = np.diff(np.r_[idx, len(comp)])
+        run_parent = (comp[idx] // width).astype(np.int64)
+        distinct = np.bincount(run_parent, minlength=n)
+        top = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top, run_parent, runlen)
+        return distinct, top
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        txt = pc.fill_null(t.column(text_col), "")
+        toks_list = pc.split_pattern_regex(pc.utf8_lower(txt), _TOKEN_SPLIT)
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = toks_list.flatten()
+        parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)[keep]
+        parents = parents[keep].astype(np.int64)
+
+        total = np.bincount(parents, minlength=n).astype(np.float64)
+        dup_w = np.zeros(n)
+        top_w = np.zeros(n)
+        dup_b = np.zeros(n)
+        if len(toks):
+            codes, uniq = pd.factorize(toks)
+            u = max(len(uniq), 1)
+            distinct, top = _per_parent_distinct(parents * u + codes, u, n)
+            nz = total > 0
+            dup_w[nz] = 1.0 - distinct[nz] / total[nz]
+            top_w[nz] = top[nz] / total[nz]
+            # bigrams: adjacent token pairs within the same document
+            same = parents[1:] == parents[:-1]
+            if same.any():
+                bp = parents[:-1][same]
+                bcodes, buniq = pd.factorize(codes[:-1][same].astype(np.int64) * u + codes[1:][same])
+                bu = max(len(buniq), 1)
+                bdist, _ = _per_parent_distinct(bp * bu + bcodes, bu, n)
+                btot = np.bincount(bp, minlength=n).astype(np.float64)
+                bz = btot > 0
+                dup_b[bz] = 1.0 - bdist[bz] / btot[bz]
+        return pa.table(
+            {
+                id_col: idc,
+                "n_words": pa.array(total.astype(np.int64)),
+                "dup_word_frac": pa.array(dup_w, pa.float64()),
+                "top_word_frac": pa.array(top_w, pa.float64()),
+                "dup_bigram_frac": pa.array(dup_b, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -78,13 +78,10 @@ def hash_split(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def split_sql_expr(key_expr: str, ratios: dict[str, float], *, salt: str = "") -> str:
-    """The DuckDB expression computing the SAME label as
-    :func:`hash_split` for column/expression ``key_expr`` — used by the
-    driver oracle and handy for cross-engine validation."""
-    labels = list(ratios)
-    cum = np.cumsum([ratios[l] for l in labels])
-    bounds = np.minimum(np.round(cum * _BUCKETS).astype(np.int64), _BUCKETS)
+def bucket_sql_expr(key_expr: str, *, salt: str = "") -> str:
+    """DuckDB expression computing the SAME bucket in [0, 10000) as
+    :func:`_bucket_of` for column/expression ``key_expr`` — the shared
+    primitive behind the split and stratified-sample oracles."""
     # COALESCE mirrors Python str(None) == 'None'; int/string keys render
     # identically in both engines (float keys may not — use int/str keys)
     s = f"'{salt}:' || COALESCE(CAST({key_expr} AS VARCHAR), 'None')"
@@ -94,10 +91,21 @@ def split_sql_expr(key_expr: str, ratios: dict[str, float], *, salt: str = "") -
         f"(a, c) -> (a * {_BASE} + c) % 2147483647)"
     )
     hm = f"(({h}) * ({h}) + 48271 * ({h})) % 2147483647"
+    return f"(({hm}) % {_BUCKETS})"
+
+
+def split_sql_expr(key_expr: str, ratios: dict[str, float], *, salt: str = "") -> str:
+    """The DuckDB expression computing the SAME label as
+    :func:`hash_split` for column/expression ``key_expr`` — used by the
+    driver oracle and handy for cross-engine validation."""
+    labels = list(ratios)
+    cum = np.cumsum([ratios[l] for l in labels])
+    bounds = np.minimum(np.round(cum * _BUCKETS).astype(np.int64), _BUCKETS)
+    bucket = bucket_sql_expr(key_expr, salt=salt)
     expr = "CASE "
     for lab, b in zip(labels, bounds):
         if lab != labels[-1]:
-            expr += f"WHEN ({hm}) % {_BUCKETS} < {int(b)} THEN '{lab}' "
+            expr += f"WHEN {bucket} < {int(b)} THEN '{lab}' "
         else:
             expr += f"ELSE '{lab}' "
     return expr + "END"

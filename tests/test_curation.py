@@ -1,0 +1,132 @@
+"""Curation operator tests: stratified sampling (determinism, per-group
+proportions, SQL parity), PII scrubbing (each pattern, ordering, nulls),
+repetition scoring (hand-computed fractions, empty/null text)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fozziejoin_ray.pipelines.curation import (
+    pii_scrub,
+    pii_scrub_sql,
+    repetition_score,
+    stratified_sample,
+    stratified_sample_sql_where,
+)
+
+FRACS = {"en": 0.8, "de": 0.5, "fr": 0.25}
+
+
+def _docs(n=8_000, seed=3):
+    rng = np.random.default_rng(seed)
+    langs = rng.choice(["en", "de", "fr", "zz"], size=n).tolist()
+    return pa.table({"doc_id": list(range(n)), "lang": langs})
+
+
+def test_stratified_sample_deterministic_and_proportional():
+    t = _docs()
+    ds = rd.from_arrow(t)
+    out = stratified_sample(ds, "doc_id", "lang", FRACS, default=0.1, salt="s").take_all()
+    out2 = stratified_sample(ds, "doc_id", "lang", FRACS, default=0.1, salt="s").take_all()
+    assert sorted(d["doc_id"] for d in out) == sorted(d["doc_id"] for d in out2)
+    langs = t["lang"].to_pylist()
+    totals = {g: langs.count(g) for g in ("en", "de", "fr", "zz")}
+    kept = {g: sum(1 for d in out if d["lang"] == g) for g in totals}
+    for g, f in list(FRACS.items()) + [("zz", 0.1)]:
+        assert abs(kept[g] / totals[g] - f) < 0.04, (g, kept[g] / totals[g])
+
+
+def test_stratified_sample_partition_invariant_and_sql_parity():
+    t = _docs(2_000, seed=5)
+    a = stratified_sample(rd.from_arrow(t), "doc_id", "lang", FRACS, default=0.0, salt="x")
+    b = stratified_sample(
+        rd.from_arrow(t).repartition(7), "doc_id", "lang", FRACS, default=0.0, salt="x"
+    )
+    ids_a = sorted(d["doc_id"] for d in a.take_all())
+    assert ids_a == sorted(d["doc_id"] for d in b.take_all())
+    con = duckdb.connect()
+    con.register("docs", t)
+    where = stratified_sample_sql_where("doc_id", "lang", FRACS, default=0.0, salt="x")
+    sql_ids = sorted(r[0] for r in con.execute(f"SELECT doc_id FROM docs WHERE {where}").fetchall())
+    assert ids_a == sql_ids
+
+
+def test_stratified_sample_validates_fractions():
+    ds = rd.from_arrow(_docs(10))
+    with pytest.raises(ValueError):
+        stratified_sample(ds, "doc_id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(ds, "doc_id", "lang", {"en": 0.5}, default=-0.1)
+
+
+PII_TEXTS = [
+    "mail bob.smith+x@corp.example.org now",
+    "ssn is 123-45-6789 ok",
+    "call 415-555-1234 or 415.555.9876",
+    "host 10.0.255.7 responded",
+    "none here",
+    "",
+    None,
+    "combo a@b.io 1.2.3.4 999-88-7777 202-555-0147",
+]
+
+
+def test_pii_scrub_patterns_counts_and_nulls():
+    ds = rd.from_arrow(pa.table({"i": list(range(len(PII_TEXTS))), "text": PII_TEXTS}))
+    rows = sorted(pii_scrub(ds, "text").take_all(), key=lambda d: d["i"])
+    got = [(d["text_scrubbed"], d["n_pii"]) for d in rows]
+    assert got == [
+        ("mail <EMAIL> now", 1),
+        ("ssn is <SSN> ok", 1),
+        ("call <PHONE> or <PHONE>", 2),
+        ("host <IP> responded", 1),
+        ("none here", 0),
+        ("", 0),
+        (None, 0),
+        ("combo <EMAIL> <IP> <SSN> <PHONE>", 4),
+    ]
+
+
+def test_pii_scrub_sql_parity():
+    t = pa.table({"i": list(range(len(PII_TEXTS))), "text": PII_TEXTS})
+    rows = sorted(pii_scrub(rd.from_arrow(t), "text").take_all(), key=lambda d: d["i"])
+    scrub, count = pii_scrub_sql("text")
+    con = duckdb.connect()
+    con.register("docs", t)
+    sql = con.execute(
+        f"SELECT i, {scrub} AS s, {count} AS c FROM docs ORDER BY i"
+    ).fetchall()
+    assert [(r[1], r[2]) for r in sql] == [(d["text_scrubbed"], d["n_pii"]) for d in rows]
+
+
+def test_repetition_score_hand_computed():
+    texts = ["a a a b", "x y z", "", None, "go go go go"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    rows = sorted(repetition_score(ds, "text", "doc_id").take_all(), key=lambda d: d["doc_id"])
+    r0 = rows[0]  # tokens a,a,a,b; bigrams (a a),(a a),(a b)
+    assert r0["n_words"] == 4
+    assert r0["dup_word_frac"] == pytest.approx(1 - 2 / 4)
+    assert r0["top_word_frac"] == pytest.approx(3 / 4)
+    assert r0["dup_bigram_frac"] == pytest.approx(1 - 2 / 3)
+    r1 = rows[1]  # all distinct
+    assert (r1["n_words"], r1["dup_word_frac"], r1["dup_bigram_frac"]) == (3, 0.0, 0.0)
+    assert r1["top_word_frac"] == pytest.approx(1 / 3)
+    for r in rows[2:4]:  # empty + null -> all zeros
+        assert (r["n_words"], r["dup_word_frac"], r["top_word_frac"], r["dup_bigram_frac"]) == (
+            0, 0.0, 0.0, 0.0,
+        )
+    r4 = rows[4]  # go x4: one distinct word, one distinct bigram
+    assert r4["dup_word_frac"] == pytest.approx(3 / 4)
+    assert r4["top_word_frac"] == 1.0
+    assert r4["dup_bigram_frac"] == pytest.approx(2 / 3)
+
+
+def test_repetition_score_tokenizer_matches_oracle_class():
+    # punctuation/case fold into the ASCII [0-9a-z_]+ class
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["Foo, foo! FOO-bar_2"]}))
+    r = repetition_score(ds, "text", "doc_id").take_all()[0]
+    # tokens: foo foo foo bar_2 -> 4 words, 2 distinct
+    assert r["n_words"] == 4
+    assert r["dup_word_frac"] == pytest.approx(0.5)
