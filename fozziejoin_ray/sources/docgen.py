@@ -148,6 +148,69 @@ def make_documents_dataset(
     return rd.range(n_docs).map_batches(gen, batch_format="pyarrow", batch_size=8192)
 
 
+def spansify_table(t: pa.Table) -> pa.Table:
+    """Reshape a flat (doc_id, text) batch into the input_hint spans
+    schema (interleaved text+media): first-3-words head span, a
+    deterministic media span, and a rest-of-text span when non-empty.
+    Vectorized — Arrow whitespace split / list_slice / binary_join build
+    head+rest, the list<struct> column is assembled from flat numpy
+    arrays + offsets; no per-row Python. Used by the driver harness and
+    the linkage job's ``--spansify`` convenience for flat testdata."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    ids = t.column("doc_id")
+    txt = pc.utf8_trim_whitespace(pc.fill_null(t.column("text"), ""))
+    words = pc.utf8_split_whitespace(txt)
+    head = pc.binary_join(pc.list_slice(words, 0, 3), " ").to_numpy(zero_copy_only=False)
+    rest = pc.binary_join(pc.list_slice(words, 3), " ").to_numpy(zero_copy_only=False)
+    has_rest = rest != ""
+    # doc ids: ints -> d%012d, strings pass through
+    if pa.types.is_integer(ids.type):
+        out_ids = pc.binary_join_element_wise(
+            "d", pc.utf8_lpad(pc.cast(ids, pa.string()), 12, "0"), ""
+        )
+    else:
+        out_ids = pc.cast(ids, pa.string())
+    # deterministic media ref per doc id (vectorized hash)
+    h = pd.util.hash_array(
+        np.asarray(ids.to_numpy(zero_copy_only=False)), categorize=False
+    ) & np.uint64(0xFFFFFFFF)
+    mref = np.char.add("m://", np.char.mod("%08x", h.astype(np.int64)))
+    # flat span struct arrays: 2 spans per doc + 1 when rest is non-empty
+    counts = np.where(has_rest, 3, 2).astype(np.int64)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    base = offsets[:-1]
+    kind = np.empty(total, object)
+    text_f = np.full(total, "", dtype=object)
+    mref_f = np.full(total, "", dtype=object)
+    off_f = np.empty(total, np.int32)
+    kind[base] = "text"
+    text_f[base] = head
+    off_f[base] = 0
+    kind[base + 1] = "media"
+    mref_f[base + 1] = mref
+    off_f[base + 1] = 1
+    rsel = np.nonzero(has_rest)[0]
+    kind[base[rsel] + 2] = "text"
+    text_f[base[rsel] + 2] = rest[rsel]
+    off_f[base[rsel] + 2] = 2
+    structs = pa.StructArray.from_arrays(
+        [
+            pa.array(kind, pa.string()),
+            pa.array(text_f, pa.string()),
+            pa.array(mref_f, pa.string()),
+            pa.array(off_f, pa.int32()),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), structs)
+    return pa.table({"doc_id": out_ids, "spans": spans})
+
+
 def spans_fingerprint(table: pa.Table) -> dict[str, int]:
     """doc_id -> stable hash of the (kind, text, media_ref, offset)
     sequence; used to assert the span-sequence invariant end-to-end."""
