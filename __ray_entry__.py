@@ -577,6 +577,15 @@ def _pii_scrub_query(sf_dir: str):
     return pii_scrub(docs, "text").select_columns(["doc_id", "text_scrubbed", "n_pii"])
 
 
+def _pack_query(sf_dir: str):
+    """Fixed-boundary sequence packing (seq_len=256) over documents in
+    doc_id order — a distributed prefix sum with a window-function oracle."""
+    from fozziejoin_ray.pipelines.pack import pack_sequences
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(docs, "text", "doc_id", seq_len=256, num_buckets=16)
+
+
 def _repetition_query(sf_dir: str):
     from fozziejoin_ray.pipelines.curation import repetition_score
 
@@ -698,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _stratified_sample_query,
         "pii_scrub": _pii_scrub_query,
         "repetition_score": _repetition_query,
+        "pack_sequences": _pack_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -831,6 +841,7 @@ def _jaccard_cc_sql(threshold: float) -> str:
 
 
 from fozziejoin_ray.pipelines.curation import pii_scrub_sql as _pii_scrub_sql
+from fozziejoin_ray.pipelines.pack import pack_sequences_sql as _pack_sequences_sql
 from fozziejoin_ray.pipelines.curation import (
     stratified_sample_sql_where as _stratified_sample_sql_where,
 )
@@ -1155,6 +1166,9 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents)
             SELECT doc_id, {exprs[0]} AS text_scrubbed, {exprs[1]} AS n_pii FROM a"""
         )(_pii_scrub_sql("t0")),
+        # one window function mirrors the distributed prefix sum —
+        # pipelines/pack.py:pack_sequences
+        "pack_sequences": _pack_sequences_sql("documents", "text", "doc_id", 256),
         # Gopher-style repetition fractions over the shared ASCII token
         # class — pipelines/curation.py:repetition_score
         "repetition_score": r"""
