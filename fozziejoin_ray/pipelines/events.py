@@ -133,15 +133,28 @@ def session_stats(
                 }
             )
         df, seq = _flags_and_seq(df, user_col, ts_col, gus)
-        df = df.copy()
-        df["session_seq"] = seq
-        g = df.groupby([user_col, "session_seq"], sort=False)[ts_col]
-        out = g.agg(n_events="size", ts_first="min", ts_last="max").reset_index()
-        out["n_events"] = out["n_events"].astype(np.int64)
-        out["duration_us"] = (
-            out["ts_last"].astype("int64") - out["ts_first"].astype("int64")
-        ).astype(np.int64)
-        return out
+        # rows are (user, ts)-sorted and seq is monotone per user, so
+        # sessions are contiguous runs — run-length math replaces a
+        # second pandas groupby/sort (min/max of a sorted run are its
+        # endpoints)
+        users = df[user_col].to_numpy()
+        ts_us = df[ts_col].astype("int64").to_numpy()
+        n = len(df)
+        new = np.r_[True, (users[1:] != users[:-1]) | (seq[1:] != seq[:-1])]
+        idx = np.nonzero(new)[0]
+        last = np.r_[idx[1:], n] - 1
+        first_us = ts_us[idx]
+        last_us = ts_us[last]
+        return pd.DataFrame(
+            {
+                user_col: users[idx],
+                "session_seq": seq[idx],
+                "n_events": np.diff(np.r_[idx, n]).astype(np.int64),
+                "ts_first": first_us.astype("datetime64[us]"),
+                "ts_last": last_us.astype("datetime64[us]"),
+                "duration_us": (last_us - first_us).astype(np.int64),
+            }
+        )
 
     return (
         events.select_columns([user_col, ts_col])
