@@ -559,6 +559,71 @@ def jaccard_set_batch(a: list[str], b: list[str], q: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# cheap recall-lossless lower bound for the edit-distance family
+
+_BAG_BUCKETS = 32
+
+
+def _char_bucket_counts(uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(counts, lens): per distinct string, its codepoints hashed into
+    ``_BAG_BUCKETS`` counting buckets (int16 matrix), plus char lengths.
+    One flat pass over all characters — no per-value Python beyond the
+    length fill."""
+    n = len(uniq)
+    lens = np.fromiter((len(s) for s in uniq), np.int64, count=n)
+    flat = np.frombuffer("".join(uniq).encode("utf-32-le"), np.uint32)
+    vi = np.repeat(np.arange(n, dtype=np.int64), lens)
+    b = ((flat.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(
+        _BAG_BUCKETS
+    )
+    # int16 keeps the per-pair gather small; a bucket count can only
+    # approach the string length, so upcast when keys are pathological
+    dt = np.int16 if (not n or lens.max() < 16384) else np.int32
+    C = (
+        np.bincount(vi * _BAG_BUCKETS + b.astype(np.int64), minlength=n * _BAG_BUCKETS)
+        .reshape(n, _BAG_BUCKETS)
+        .astype(dt)
+    )
+    return C, lens
+
+
+def edit_bag_bound(
+    uniq_a: np.ndarray,
+    uniq_b: np.ndarray | None,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    *,
+    lcs: bool = False,
+) -> np.ndarray:
+    """Per-pair lower bound on the unit-cost edit distances, from
+    bucketed character counts. Recall-lossless: bucketing only merges
+    characters, so the bucket L1 underestimates the true multiset L1,
+    and every edit operation changes the multiset excess of each side by
+    at most one, giving ``dist >= bag = (L1 + |len_a - len_b|) / 2``
+    (valid for levenshtein / osa / damerau_levensthein / hamming — a
+    transposition doesn't change the multiset at all). For LCS distance
+    (indel-only, each op changes L1 by exactly one) the stronger
+    ``dist >= L1`` holds; pass ``lcs=True``.
+
+    ``uniq_b=None`` means a self-join (``ib`` indexes ``uniq_a``).
+    Callers drop pairs whose bound exceeds ``max_distance`` BEFORE the
+    exact kernel — no true match is ever dropped."""
+    Ca, la = _char_bucket_counts(uniq_a)
+    Cb, lb = (Ca, la) if uniq_b is None else _char_bucket_counts(uniq_b)
+    n = len(ia)
+    out = np.empty(n, np.int64)
+    chunk = 1 << 20
+    for lo in range(0, n, chunk):
+        s = slice(lo, min(lo + chunk, n))
+        l1 = np.abs(Ca[ia[s]] - Cb[ib[s]]).sum(axis=1, dtype=np.int64)
+        if lcs:
+            out[s] = l1
+        else:
+            out[s] = (l1 + np.abs(la[ia[s]] - lb[ib[s]])) >> 1
+    return out
+
+
+# ---------------------------------------------------------------------------
 # public entry
 
 

@@ -125,3 +125,30 @@ def test_soundex_dual_prefix():
 def test_bad_method():
     with pytest.raises(ValueError):
         score_pairs("nope", ["a"], ["b"])
+
+
+def test_edit_bag_bound_is_sound_lower_bound():
+    """Fuzz: the bucketed bag bound never exceeds the exact distance for
+    any method it prefilters (blocked.py drops pairs with bound > maxd,
+    so bound <= dist is the recall-lossless invariant)."""
+    import random
+
+    import numpy as np
+
+    from fozziejoin_ray.kernels.strdist import edit_bag_bound
+
+    rng = random.Random(7)
+    alpha = "abcdefghé中 "  # small alphabet -> many near-anagrams
+    vals = [
+        "".join(rng.choices(alpha, k=rng.randint(0, 10))) for _ in range(300)
+    ]
+    uniq = np.array(list(dict.fromkeys(vals)), dtype=object)
+    n = len(uniq)
+    g = np.random.default_rng(7)
+    ia = g.integers(0, n, 5000)
+    ib = g.integers(0, n, 5000)
+    for method in ("lv", "osa", "dl", "hamming", "lcs"):
+        lb = edit_bag_bound(uniq, None, ia, ib, lcs=(method == "lcs"))
+        d = score_pairs(method, list(uniq[ia]), list(uniq[ib]))
+        finite = np.isfinite(d)
+        assert (lb[finite] <= d[finite] + 1e-9).all(), method
