@@ -21,8 +21,11 @@ Python per row or per pair:
 
 Generalizes the reference's in-memory candidate generation:
 
-- length window for edit distances (|len(a)-len(b)| <= d lower bound),
-  cf. /root/reference/src/rust/src/string/edit/mod.rs:35-48;
+- deletion-neighborhood (FastSS) blocks for edit distances at integer
+  thresholds <= 2 — candidates are variant collisions (near-linear)
+  instead of the length window's quadratic cross;
+- length window for edit distances above that (|len(a)-len(b)| <= d
+  lower bound), cf. /root/reference/src/rust/src/string/edit/mod.rs:35-48;
 - shared-q-gram inverted index for q-gram-family distances,
   cf. /root/reference/src/rust/src/string/ngram/jaccard.rs:118-158
   (extended here with the short-string block that the reference's
@@ -33,6 +36,10 @@ Generalizes the reference's in-memory candidate generation:
 
 Completeness notes per method (inclusive threshold ``dist <= maxd``):
 
+- lv/osa/dl/lcs/hamming at integer maxd <= 2: if dist <= d, deleting
+  the <= d unaligned characters of each side reaches a common string,
+  so the <= d-deletion neighborhoods intersect (see
+  :class:`DeletionBlocks`).
 - lv/osa/dl/lcs: dist >= |len(a)-len(b)|, so a length window of
   ``floor(maxd)`` is recall-complete. hamming: unequal lengths never
   match -> window 0.
@@ -51,6 +58,9 @@ Exactly-once rules (all enforced inside ``candidates``):
 - LengthWindow: rights emit only their home length block, so a
   two-table pair meets once by construction; a self-join pair is scored
   only in block L{min(len_a, len_b)}.
+- DeletionBlocks: scored only in the smallest shared variant's block;
+  X-blocks (long values) follow the LengthWindow rule and additionally
+  require the longer side to exceed ``lcap``.
 - GramBlocks: a pair sharing k grams meets in k blocks and is scored
   only in the block of its SMALLEST shared gram (codepoint order); the
   ``__small__`` block scores only pairs sharing NO gram.
@@ -198,6 +208,159 @@ class LengthWindow:
         ia = [a_idx[ia1], np.repeat(a_idx, len(b_idx))]
         ib = [a_idx[ib1], np.tile(b_idx, len(a_idx))]
         return np.concatenate(ia), np.concatenate(ib)
+
+
+def _deletion_variants(v: str, d: int) -> tuple[str, ...]:
+    """All distinct strings reachable from ``v`` by deleting up to ``d``
+    characters (including ``v`` itself), sorted. FastSS neighborhood
+    (Bocek et al., 2007)."""
+    out = {v}
+    frontier = {v}
+    for _ in range(d):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return tuple(sorted(out))
+
+
+_cached_delvars = lru_cache(maxsize=262144)(_deletion_variants)
+
+# deletion-neighborhood size is ~C(len, d); beyond these lengths the
+# emission volume outgrows the saved comparisons and values route to the
+# long-value length-window family instead
+_DELETION_LCAP = {0: 4096, 1: 64, 2: 24}
+
+
+class DeletionBlocks:
+    """FastSS deletion-neighborhood blocking for the edit-distance family
+    at small integer thresholds: one block per deletion variant.
+
+    Completeness: if ``dist(a, b) <= d`` for lv/osa/dl/hamming/lcs, an
+    optimal edit script aligns all but <= d characters of each side, so
+    deleting the unaligned characters reaches a COMMON string with <= d
+    deletions from each — a shared variant block. (Transpositions delete
+    one of the two swapped characters from each side.) Unlike the length
+    window — quadratic in the values per length — candidate pairs here
+    are only variant collisions, i.e. near-matches plus a vanishing
+    collision rate.
+
+    Exactly-once: a pair sharing k variants is scored only in its
+    lexicographically smallest shared variant's block.
+
+    Values longer than ``lcap`` (where the ~C(len, d) neighborhood
+    outgrows the quadratic saving) fall back to a length-window family
+    under ``X{len}`` keys; values with ``len > lcap - d`` emit there too
+    so long-short pairs still meet, and an X-block scores only pairs
+    whose LONGER side exceeds ``lcap`` (both-short pairs belong to the
+    variant blocks)."""
+
+    def __init__(self, max_distance: float, lcap: int | None = None):
+        self.d = int(max_distance)
+        self.lcap = _DELETION_LCAP[self.d] if lcap is None else lcap
+
+    @staticmethod
+    def _lens(values: np.ndarray) -> np.ndarray:
+        import pandas as pd
+
+        return pd.Series(values, dtype=object).str.len().to_numpy(dtype=np.int64)
+
+    def _flat_variants(self, values: np.ndarray, below: str | None):
+        """(value_idx, variant) flat arrays, optionally restricted to
+        variants < ``below``; per-value generation is lru-cached."""
+        vi: list[int] = []
+        vr: list[str] = []
+        d = self.d
+        for i, v in enumerate(values):
+            if len(v) > self.lcap:
+                continue
+            for x in _cached_delvars(v, d):
+                if below is None or x < below:
+                    vi.append(i)
+                    vr.append(x)
+        return np.asarray(vi, dtype=np.int64), np.asarray(vr, dtype=object)
+
+    def emit_unique(self, uniq: np.ndarray, side: str):
+        lens = self._lens(uniq)
+        vi, vr = self._flat_variants(uniq, None)
+        keys = (
+            np.char.add("D", vr.astype("U")).astype(object)
+            if len(vr)
+            else np.empty(0, dtype=object)
+        )
+        # long-value family (len > lcap - d so boundary pairs meet)
+        lidx = np.nonzero(lens > self.lcap - self.d)[0]
+        if len(lidx):
+            ll = lens[lidx]
+            if side == "right":
+                lvi, lkeys = lidx, _str_keys("X", ll).astype(object)
+            else:
+                offs = (
+                    np.arange(-self.d, self.d + 1, dtype=np.int64)
+                    if side == "left"
+                    else np.arange(-self.d, 1, dtype=np.int64)  # self: [len-d, len]
+                )
+                w = len(offs)
+                grid = ll[:, None] + offs[None, :]
+                lvi = np.repeat(lidx, w)
+                flat = grid.ravel()
+                ok = flat >= 0
+                lvi, lkeys = lvi[ok], _str_keys("X", flat[ok]).astype(object)
+            vi = np.concatenate([vi, lvi])
+            keys = np.concatenate([keys, lkeys])
+        return vi, keys
+
+    def _x_candidates(self, ul: np.ndarray, ur, bk: str, selfjoin: bool):
+        m = int(bk[1:])
+        ll = self._lens(ul)
+        if not selfjoin:
+            ia, ib = _full_cross(len(ul), len(ur))
+            if not len(ia):
+                return ia, ib
+            lr = self._lens(ur)
+            keep = np.maximum(ll[ia], lr[ib]) > self.lcap
+            return ia[keep], ib[keep]
+        # self-join: scored at block min(len_a, len_b); longer side > lcap
+        a_idx = np.nonzero(ll == m)[0]
+        b_idx = np.nonzero((ll > m) & (ll <= m + self.d))[0]
+        ia1, ib1 = _triu_with_diag(len(a_idx))
+        ia = np.concatenate([a_idx[ia1], np.repeat(a_idx, len(b_idx))])
+        ib = np.concatenate([a_idx[ib1], np.tile(b_idx, len(a_idx))])
+        if not len(ia):
+            return ia, ib
+        keep = np.maximum(ll[ia], ll[ib]) > self.lcap
+        return ia[keep], ib[keep]
+
+    def candidates(self, ul: np.ndarray, ur, bk: str, selfjoin: bool):
+        import pandas as pd
+
+        if bk.startswith("X"):
+            return self._x_candidates(ul, ur, bk, selfjoin)
+        v = bk[1:]
+        nl = len(ul)
+        nr = nl if selfjoin else len(ur)
+        ia, ib = _triu_with_diag(nl) if selfjoin else _full_cross(nl, nr)
+        if not len(ia):
+            return ia, ib
+        # disqualify pairs sharing a variant smaller than v: they score
+        # in that variant's block instead
+        lvi, lvr = self._flat_variants(ul, v)
+        rvi, rvr = (lvi, lvr) if selfjoin else self._flat_variants(ur, v)
+        if not len(lvi) or not len(rvi):
+            return ia, ib
+        codes, _ = pd.factorize(np.concatenate([lvr, rvr]))
+        lc, rc = codes[: len(lvr)], codes[len(lvr) :]
+        da, db = _bucket_cross(lc, lvi, rc, rvi)
+        if not len(da):
+            return ia, ib
+        if selfjoin:
+            dkeys = np.minimum(da, db) * nr + np.maximum(da, db)
+        else:
+            dkeys = da * nr + db
+        mask = ~np.isin(ia * nr + ib, np.unique(dkeys))
+        return ia[mask], ib[mask]
 
 
 class GramBlocks:
@@ -387,10 +550,14 @@ def strategy_for(
     allpairs_salts: tuple[int, int] = (1, 1),
 ):
     method = canon_method(method)
-    if method in ("levenshtein", "osa", "damerau_levensthein", "lcs"):
+    if method in ("levenshtein", "osa", "damerau_levensthein", "lcs", "hamming"):
+        # edit distances are integers, so dist <= maxd iff dist <= floor(maxd)
+        d = int(max_distance)
+        if d in _DELETION_LCAP:
+            return DeletionBlocks(d)
+        if method == "hamming":
+            return LengthWindow(max_distance, exact=True)
         return LengthWindow(max_distance)
-    if method == "hamming":
-        return LengthWindow(max_distance, exact=True)
     if method == "qgram":
         return GramBlocks(q, max_distance, with_small=True)
     if method in ("cosine", "jaccard"):

@@ -50,6 +50,9 @@ ID = "__fj_id"
 
 # methods with a sound bag-distance (char-multiset) lower bound
 _BAG_METHODS = {"levenshtein", "osa", "damerau_levensthein", "hamming", "lcs"}
+# methods where equal values imply distance exactly 0 (cosine's
+# both-empty -> 1.0 reference quirk keeps it out)
+_EQ_ZERO_METHODS = _BAG_METHODS | {"jaro_winkler", "qgram", "jaccard", "soundex"}
 
 
 def _cmp_ids(ids: np.ndarray) -> np.ndarray:
@@ -61,8 +64,13 @@ def _cmp_ids(ids: np.ndarray) -> np.ndarray:
 
 
 def _salted_keys(bk: str, a: np.ndarray, b: np.ndarray, tri_sl: int | None = None):
-    """Vectorized '{bk}#{a}_{b}' (grid) or '{bk}#T{sl}:{a}_{b}' (triangle)."""
-    prefix = f"{bk}#T{tri_sl}:" if tri_sl is not None else f"{bk}#"
+    """Vectorized '{bk}\\x1f{a}_{b}' (grid) or '{bk}\\x1fT{sl}:{a}_{b}'
+    (triangle). The delimiter is the unit separator, which cannot appear
+    in the numeric/length keys and is vanishingly rare in gram/variant
+    text keys (a text key CONTAINING it would only mis-split if it were
+    also salted; \\x1f never appears in the generated salt suffix, so
+    the first-occurrence split stays correct either way)."""
+    prefix = f"{bk}\x1fT{tri_sl}:" if tri_sl is not None else f"{bk}\x1f"
     return np.char.add(
         np.char.add(np.char.add(prefix, a.astype("U")), "_"), b.astype("U")
     ).astype(object)
@@ -150,7 +158,7 @@ def _emit_batches(strategy, side: str, id_col: str, key_cols: list[str], salts: 
 
 
 def _base_bk(bk: str) -> str:
-    return bk.split("#", 1)[0]
+    return bk.split("\x1f", 1)[0]
 
 
 def _plan_salts(
@@ -244,8 +252,8 @@ def _make_group_scorer(cfg: dict):
         # id pairs whose salt pair names THIS sub-block (same-salt pairs on
         # the diagonal), mirroring AllPairs.candidates at the id level.
         salt_spec = None
-        if selfjoin and "#T" in full_bk:
-            spec = full_bk.split("#T", 1)[1]
+        if selfjoin and "\x1fT" in full_bk:
+            spec = full_bk.split("\x1fT", 1)[1]
             slt, rest = spec.split(":", 1)
             bi, bj = (int(x) for x in rest.split("_"))
             id_salt = (id_salt_hash(ids) % int(slt)).astype(np.int64)
@@ -295,10 +303,30 @@ def _make_group_scorer(cfg: dict):
             if not len(ia):
                 return empty(t)
 
-        d0 = score_pairs(
-            method, list(lu[ia]), list(ru[ib]),
-            q=q, max_prefix=max_prefix, prefix_weight=prefix_weight,
-        )
+        # exact-equality short-circuit (reference: edit/levenshtein.rs:78-85):
+        # equal values have distance 0 for these methods, so the kernel
+        # only sees unequal pairs — crucial for deletion-variant blocks,
+        # where most blocks are singletons whose only candidate is the
+        # identity pair. (cosine excluded: both-empty is 1.0 by the
+        # reference's quirk.)
+        if method in _EQ_ZERO_METHODS:
+            if selfjoin:
+                eq = ia == ib
+            else:
+                allv, _ = pd.factorize(np.concatenate([lu, ru]))
+                eq = allv[ia] == allv[len(lu) + ib]
+            d0 = np.zeros(len(ia), np.float64)
+            ne = np.nonzero(~eq)[0]
+            if len(ne):
+                d0[ne] = score_pairs(
+                    method, list(lu[ia[ne]]), list(ru[ib[ne]]),
+                    q=q, max_prefix=max_prefix, prefix_weight=prefix_weight,
+                )
+        else:
+            d0 = score_pairs(
+                method, list(lu[ia]), list(ru[ib]),
+                q=q, max_prefix=max_prefix, prefix_weight=prefix_weight,
+            )
         keep = d0 <= maxd
         ia, ib, d0 = ia[keep], ib[keep], d0[keep]
         if not len(ia):

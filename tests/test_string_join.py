@@ -461,3 +461,84 @@ def test_lsh_strategy_rejects_multikey():
             l, l, by=[("a", "a"), ("b", "b")], method="jw",
             max_distance=0.2, strategy="lsh",
         )
+
+
+class TestDeletionBlocks:
+    """The FastSS deletion-neighborhood strategy (edit family, integer
+    max_distance <= 2) must reproduce the broadcast edge set exactly —
+    including unicode keys, empty strings, duplicate rows, values
+    straddling the long-value lcap boundary, and hot-block salting."""
+
+    @staticmethod
+    def _run(l, r, method, maxd, strategy, budget=None):
+        kw = {}
+        out = fuzzy_string_join(
+            l, r, by={"wl": "wr"}, method=method, max_distance=maxd,
+            how="inner", distance_col="d", left_id="lid", right_id="rid",
+            strategy=strategy, **kw,
+        )
+        return sorted((d["lid"], d["rid"], round(d["d"], 12)) for d in out.take_all())
+
+    @pytest.mark.parametrize("method,maxd", [("lv", 2), ("dl", 2), ("osa", 2), ("lv", 0)])
+    def test_equals_broadcast_d2_unicode(self, method, maxd):
+        base = ["café", "cafe", "caffe", "", "a", "ab", "中文字", "中文", "naïve", "naive"]
+        L = base + [w + "x" for w in base]
+        R = base + [w[1:] for w in base if w]
+        l = rd.from_arrow(pa.table({"lid": list(range(len(L))), "wl": L}))
+        r = rd.from_arrow(pa.table({"rid": list(range(len(R))), "wr": R}))
+        bc = self._run(l, r, method, maxd, "broadcast")
+        bl = self._run(l, r, method, maxd, "blocked")
+        assert bl == bc and len(bc) > 0
+
+    def test_long_value_lcap_boundary(self):
+        # strings around lcap=64 for d=1: short-short, short-long and
+        # long-long pairs must each meet exactly once
+        s63 = "a" * 63
+        s64 = "a" * 64
+        s65 = "a" * 65
+        s66 = "b" + "a" * 65
+        L = [s63, s64, s65, s66, s64 + "q"]
+        R = [s63, s64, s65, s65 + "z", s66]
+        l = rd.from_arrow(pa.table({"lid": list(range(len(L))), "wl": L}))
+        r = rd.from_arrow(pa.table({"rid": list(range(len(R))), "wr": R}))
+        bc = self._run(l, r, "lv", 1, "broadcast")
+        bl = self._run(l, r, "lv", 1, "blocked")
+        assert bl == bc and len(bc) > 0
+
+    def test_hot_block_salting_two_table(self):
+        from fozziejoin_ray.joins.blocked import build_edges_blocked
+
+        L = ["hello"] * 120 + ["hallo", "hell", "hullo", "world"]
+        R = ["hello"] * 110 + ["jello", "hella", "word"]
+        l = rd.from_arrow(pa.table({"lid": list(range(len(L))), "wl": L}))
+        r = rd.from_arrow(pa.table({"rid": list(range(len(R))), "wr": R}))
+
+        def edges(budget):
+            e = build_edges_blocked(
+                l, r, [("wl", "wr")], "levenshtein", 1.0, 2, 0, 0.0,
+                "lid", "rid", pair_budget=budget,
+            )
+            return sorted((d["__fj_lid"], d["__fj_rid"], d["__fj_d0"]) for d in e.take_all())
+
+        unsalted = edges(None)
+        salted = edges(300)
+        assert salted == unsalted and len(unsalted) >= 120 * 110
+
+    def test_hot_block_salting_selfjoin_triangle(self):
+        from fozziejoin_ray.joins.blocked import build_edges_blocked
+
+        vals = ["spam"] * 130 + ["spim", "sam", "spams", "eggs"]
+        l = rd.from_arrow(pa.table({"lid": list(range(len(vals))), "wl": vals}))
+
+        def edges(budget):
+            e = build_edges_blocked(
+                l, None, [("wl", "wl")], "levenshtein", 1.0, 2, 0, 0.0,
+                "lid", None, pair_budget=budget,
+            )
+            return sorted((d["__fj_lid"], d["__fj_rid"], d["__fj_d0"]) for d in e.take_all())
+
+        unsalted = edges(None)
+        salted = edges(300)
+        assert salted == unsalted
+        # 130 duplicate ids -> C(130,2) identity edges at distance 0
+        assert sum(1 for _, _, d in unsalted if d == 0.0) >= 130 * 129 // 2
