@@ -586,6 +586,22 @@ def _pack_query(sf_dir: str):
     return pack_sequences(docs, "text", "doc_id", seq_len=256, num_buckets=16)
 
 
+def _decontam_query(sf_dir: str):
+    """GPT-3-style benchmark decontamination: every 20th document plays
+    the benchmark; docs sharing any 4-word gram with it are flagged."""
+    from fozziejoin_ray.pipelines.curation import decontaminate
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    out = decontaminate(docs, bench, text_col="text", n=4, mode="flag")
+    return out.select_columns(["doc_id", "n_hits", "contaminated"])
+
+
 def _repetition_query(sf_dir: str):
     from fozziejoin_ray.pipelines.curation import repetition_score
 
@@ -707,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _stratified_sample_query,
         "pii_scrub": _pii_scrub_query,
         "repetition_score": _repetition_query,
+        "decontaminate": _decontam_query,
         "pack_sequences": _pack_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
@@ -1193,6 +1210,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(1.0 - bs.db / bs.nb, 0.0), 6) AS dup_bigram_frac
             FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id
                              LEFT JOIN bs ON d.doc_id = bs.doc_id""",
+        # benchmark decontamination: distinct 4-word-gram overlap with
+        # the doc_id % 20 == 0 benchmark slice, same ASCII tokenizer —
+        # pipelines/curation.py:decontaminate
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(ws[i : i + 3], ' ') AS g
+              FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+              FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
         # exact n-gram-Jaccard dup classes: distinct char 5-grams stand in
         # for pipelines/dedup.py:char_shingles's distinct 64-bit hashes
         # (injective on this corpus), recursive-CTE connected components

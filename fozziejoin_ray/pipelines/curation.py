@@ -1,10 +1,14 @@
 """Curation operators for training-data pipelines: deterministic
-stratified sampling, PII scrubbing, and repetition scoring.
+stratified sampling, PII scrubbing, repetition scoring, and benchmark
+decontamination.
 
 No reference analog — these extend the engine for LLM-data curation
-(the survey's extension inventory). All three are stateless per-batch
-``map_batches`` transforms: zero shuffles, scale-free, and every
-formula is SQL-replicable so the driver oracle verifies them exactly.
+(the survey's extension inventory). The first three are stateless
+per-batch ``map_batches`` transforms: zero shuffles, scale-free, and
+every formula is SQL-replicable so the driver oracle verifies them
+exactly. ``decontaminate`` broadcasts the benchmark's n-gram set once
+(``ray.put`` + actor-pool ``__init__``) and stays a per-batch map over
+the corpus side.
 
 - ``stratified_sample`` shares the polynomial-hash bucket space with
   :mod:`fozziejoin_ray.pipelines.split` (same ``_bucket_of``), so a
@@ -216,3 +220,128 @@ def repetition_score(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def _doc_grams(t: pa.Table, text_col: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(parent_row, gram) flat arrays: every word n-gram of every row,
+    space-joined, over the shared lowercase ASCII tokenizer. Vectorized:
+    one Arrow regex split, then ``np.char.add`` chains over the flat
+    token stream — no per-row Python."""
+    txt = pc.fill_null(t.column(text_col), "")
+    toks_list = pc.split_pattern_regex(pc.utf8_lower(txt), _TOKEN_SPLIT)
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.to_numpy(zero_copy_only=False)[keep]
+    parents = parents[keep].astype(np.int64)
+    if len(toks) < n:
+        return np.empty(0, np.int64), np.empty(0, dtype=object)
+    # a window is a gram iff its first and last token share a row
+    valid = parents[: len(parents) - n + 1] == parents[n - 1 :]
+    U = toks.astype("U")
+    g = U[: len(U) - n + 1]
+    for i in range(1, n):
+        g = np.char.add(np.char.add(g, " "), U[i : len(U) - n + 1 + i])
+    return parents[: len(parents) - n + 1][valid], g[valid].astype(object)
+
+
+def _distinct_parent_grams(parents: np.ndarray, grams: np.ndarray):
+    """Distinct (parent, gram) pairs via factorize + composite unique."""
+    import pandas as pd
+
+    codes, uniq = pd.factorize(grams)
+    u = max(len(uniq), 1)
+    comp = np.unique(parents * u + codes)
+    return (comp // u).astype(np.int64), np.asarray(uniq, dtype=object)[comp % u]
+
+
+class _Decontaminator:
+    """Actor-pool stage: benchmark gram set fetched from the object
+    store ONCE per actor in ``__init__``; each batch does one gram
+    extraction + one hashed string-membership probe."""
+
+    def __init__(self, bench_ref, cfg: dict):
+        import pandas as pd
+
+        import ray
+
+        self.bench = pd.Index(ray.get(bench_ref))
+        self.cfg = cfg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        parents, grams = _doc_grams(t, cfg["text_col"], cfg["n"])
+        n_hits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(grams):
+            dp, dg = _distinct_parent_grams(parents, grams)
+            hit = self.bench.get_indexer(dg) >= 0
+            if hit.any():
+                n_hits += np.bincount(dp[hit], minlength=t.num_rows)
+        if cfg["mode"] == "drop":
+            return t.filter(pa.array(n_hits == 0))
+        return t.append_column("n_hits", pa.array(n_hits)).append_column(
+            "contaminated", pa.array(n_hits > 0)
+        )
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    benchmark: rd.Dataset,
+    *,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    mode: str = "flag",
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Benchmark decontamination by word n-gram overlap (the GPT-3 /
+    Pile recipe: a training document that shares any length-``n`` word
+    gram with an evaluation benchmark is contaminated).
+
+    ``mode="flag"`` appends ``n_hits`` (count of DISTINCT contaminated
+    grams in the document) and ``contaminated``; ``mode="drop"`` filters
+    contaminated documents out, keeping the input schema.
+
+    Scale shape: the benchmark side is reduced to its DISTINCT gram set
+    by a distributed ``map_batches`` pass (only gram strings reach the
+    driver), broadcast once with ``ray.put``, and opened once per actor
+    — the corpus side streams through a stateful ``map_batches`` with no
+    shuffle. A benchmark too large to broadcast would swap the
+    membership probe for a hash-partitioned semi-join on the gram
+    column; benchmarks are eval sets, so broadcast is the 100 TB case.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bcol = text_col if bench_text_col is None else bench_text_col
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        _, g = _doc_grams(t, bcol, n)
+        return pa.table({"g": pa.array(np.unique(g), pa.string())})
+
+    parts = [
+        b["g"].to_numpy(zero_copy_only=False)
+        for b in benchmark.select_columns([bcol]).map_batches(
+            bench_grams, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+
+    import ray
+
+    bref = ray.put(bench.astype(object))
+    cfg = {"text_col": text_col, "n": n, "mode": mode}
+    return docs.map_batches(
+        _Decontaminator,
+        fn_constructor_args=(bref, cfg),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

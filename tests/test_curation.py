@@ -130,3 +130,45 @@ def test_repetition_score_tokenizer_matches_oracle_class():
     # tokens: foo foo foo bar_2 -> 4 words, 2 distinct
     assert r["n_words"] == 4
     assert r["dup_word_frac"] == pytest.approx(0.5)
+
+
+def test_decontaminate_flag_and_drop():
+    from fozziejoin_ray.pipelines.curation import decontaminate
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",   # contains bench gram
+        "a completely different document entirely here",
+        "quick brown fox jumps twice quick brown fox jumps",  # same gram twice -> distinct count 1
+        "",
+        None,
+    ]
+    bench = ["we saw the quick brown fox jumps away", "unrelated benchmark text"]
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(len(corpus))), "text": corpus}))
+    b = rd.from_arrow(pa.table({"text": bench}))
+
+    out = sorted(
+        decontaminate(docs, b, text_col="text", n=4, mode="flag").take_all(),
+        key=lambda d: d["doc_id"],
+    )
+    # doc0 shares "the quick brown fox" AND "quick brown fox jumps";
+    # doc2 contains "quick brown fox jumps" twice -> distinct count 1
+    assert [(d["n_hits"], d["contaminated"]) for d in out] == [
+        (2, True), (0, False), (1, True), (0, False), (0, False),
+    ]
+
+    kept = decontaminate(docs, b, text_col="text", n=4, mode="drop").take_all()
+    assert sorted(d["doc_id"] for d in kept) == [1, 3, 4]
+    assert set(kept[0].keys()) == {"doc_id", "text"}  # input schema preserved
+
+
+def test_decontaminate_empty_benchmark_and_validation():
+    from fozziejoin_ray.pipelines.curation import decontaminate
+
+    docs = rd.from_arrow(pa.table({"doc_id": [1], "text": ["some words here okay"]}))
+    empty_b = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = decontaminate(docs, empty_b, n=2).take_all()
+    assert out[0]["n_hits"] == 0 and not out[0]["contaminated"]
+    with pytest.raises(ValueError):
+        decontaminate(docs, empty_b, mode="nope")
+    with pytest.raises(ValueError):
+        decontaminate(docs, empty_b, n=0)
