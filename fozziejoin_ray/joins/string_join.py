@@ -110,6 +110,10 @@ class RightStringIndex:
                 lcodes.astype(np.int64), len(self.len_vals)
             )
             self.len_index = pd.Index(self.len_vals)
+            # bag-bound prefilter state: built once, shipped with the index
+            from ..kernels.strdist import _char_bucket_counts
+
+            self.bag_C, self.bag_lens = _char_bucket_counts(self.uvals)
         elif m in ("qgram", "cosine", "jaccard"):
             self.allpairs = m in ("cosine", "jaccard") and max_distance >= 1.0
             gv: list[int] = []
@@ -274,6 +278,23 @@ class BroadcastStringScorer:
         li, ri = idx.candidate_pairs(lu)
         if not len(li):
             return empty
+
+        # recall-lossless bag-distance prefilter for the edit family:
+        # kills most length-window candidates at ~1/3 the kernel's cost
+        # (right-side counts precomputed on the broadcast index)
+        if len(li) >= 4096 and getattr(idx, "bag_C", None) is not None and method in (
+            "levenshtein", "osa", "damerau_levensthein", "lcs", "hamming"
+        ):
+            from ..kernels.strdist import _char_bucket_counts, edit_bag_bound_counts
+
+            Cl, ll = _char_bucket_counts(lu)
+            lbnd = edit_bag_bound_counts(
+                Cl, ll, idx.bag_C, idx.bag_lens, li, ri, lcs=(method == "lcs")
+            )
+            pre = lbnd <= maxd
+            li, ri = li[pre], ri[pre]
+            if not len(li):
+                return empty
 
         d0 = score_pairs(
             method,

@@ -610,6 +610,21 @@ def edit_bag_bound(
     exact kernel — no true match is ever dropped."""
     Ca, la = _char_bucket_counts(uniq_a)
     Cb, lb = (Ca, la) if uniq_b is None else _char_bucket_counts(uniq_b)
+    return edit_bag_bound_counts(Ca, la, Cb, lb, ia, ib, lcs=lcs)
+
+
+def edit_bag_bound_counts(
+    Ca: np.ndarray,
+    la: np.ndarray,
+    Cb: np.ndarray,
+    lb: np.ndarray,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    *,
+    lcs: bool = False,
+) -> np.ndarray:
+    """:func:`edit_bag_bound` on precomputed count matrices — callers
+    holding one side fixed (a broadcast index) build its matrix once."""
     n = len(ia)
     out = np.empty(n, np.int64)
     chunk = 1 << 20
