@@ -28,6 +28,12 @@ This generalizes the reference's in-memory candidate maps
 (/root/reference/src/rust/src/string/edit/mod.rs:32-51 and
 ngram/jaccard.rs:118-158) to an all-to-all exchange with explicit skew
 handling, which the reference — single-process rayon — never needed.
+
+Key values may contain ANY character except embedded NUL ('\\x00'):
+numpy's fixed-width unicode arrays (used for vectorized key
+construction) treat NULs as padding and silently drop them. The
+reference's own data model shares the restriction — R character vectors
+cannot hold embedded NULs at all.
 """
 
 from __future__ import annotations
@@ -64,15 +70,19 @@ def _cmp_ids(ids: np.ndarray) -> np.ndarray:
 
 
 def _salted_keys(bk: str, a: np.ndarray, b: np.ndarray, tri_sl: int | None = None):
-    """Vectorized '{bk}\\x1f{a}_{b}' (grid) or '{bk}\\x1fT{sl}:{a}_{b}'
-    (triangle). The delimiter is the unit separator, which cannot appear
-    in the numeric/length keys and is vanishingly rare in gram/variant
-    text keys (a text key CONTAINING it would only mis-split if it were
-    also salted; \\x1f never appears in the generated salt suffix, so
-    the first-occurrence split stays correct either way)."""
-    prefix = f"{bk}\x1fT{tri_sl}:" if tri_sl is not None else f"{bk}\x1f"
+    """Vectorized '\\x01{a}_{b};{bk}' (grid) or '\\x01T{sl}:{a}_{b};{bk}'
+    (triangle). The salt HEADER comes first, marked by an SOH sentinel no
+    strategy's keys start with (all begin with an ASCII letter; NUL would
+    be stripped as padding by numpy's fixed-width unicode arrays) and
+    closed by the first ';' — the header
+    itself is machine-generated (digits/T/:/_ only), so that ';' is
+    unambiguous and the base key's CONTENT (gram/variant text, which may
+    contain any character) is never parsed for delimiters."""
+    head = f"\x01T{tri_sl}:" if tri_sl is not None else "\x01"
+    suffix = ";" + bk
     return np.char.add(
-        np.char.add(np.char.add(prefix, a.astype("U")), "_"), b.astype("U")
+        np.char.add(np.char.add(np.char.add(head, a.astype("U")), "_"), b.astype("U")),
+        suffix,
     ).astype(object)
 
 
@@ -158,7 +168,7 @@ def _emit_batches(strategy, side: str, id_col: str, key_cols: list[str], salts: 
 
 
 def _base_bk(bk: str) -> str:
-    return bk.split("\x1f", 1)[0]
+    return bk.split(";", 1)[1] if bk.startswith("\x01") else bk
 
 
 def _plan_salts(
@@ -252,8 +262,8 @@ def _make_group_scorer(cfg: dict):
         # id pairs whose salt pair names THIS sub-block (same-salt pairs on
         # the diagonal), mirroring AllPairs.candidates at the id level.
         salt_spec = None
-        if selfjoin and "\x1fT" in full_bk:
-            spec = full_bk.split("\x1fT", 1)[1]
+        if selfjoin and full_bk.startswith("\x01T"):
+            spec = full_bk[2:].split(";", 1)[0]
             slt, rest = spec.split(":", 1)
             bi, bj = (int(x) for x in rest.split("_"))
             id_salt = (id_salt_hash(ids) % int(slt)).astype(np.int64)
