@@ -586,6 +586,22 @@ def _pack_query(sf_dir: str):
     return pack_sequences(docs, "text", "doc_id", seq_len=256, num_buckets=16)
 
 
+_QUANTILE_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _token_quantiles_query(sf_dir: str):
+    """Exact corpus-distribution quantiles of the whitespace token
+    count — the numbers a curation pipeline cuts filter thresholds
+    from. Partial value-counts before the shuffle; only distinct
+    values reach the driver."""
+    from fozziejoin_ray.pipelines.stats import column_quantiles
+    from fozziejoin_ray.pipelines.text import token_count
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    tc = token_count(docs, "text")
+    return column_quantiles(tc, "n_tokens_ws", _QUANTILE_QS)
+
+
 def _decontam_query(sf_dir: str):
     """GPT-3-style benchmark decontamination: every 20th document plays
     the benchmark; docs sharing any 4-word gram with it are flagged."""
@@ -724,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _pii_scrub_query,
         "repetition_score": _repetition_query,
         "decontaminate": _decontam_query,
+        "token_quantiles": _token_quantiles_query,
         "pack_sequences": _pack_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
@@ -1210,6 +1227,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(1.0 - bs.db / bs.nb, 0.0), 6) AS dup_bigram_frac
             FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id
                              LEFT JOIN bs ON d.doc_id = bs.doc_id""",
+        # exact discrete quantiles of the ws-token-count distribution —
+        # quantile_disc shares the engine's ceil(q*n) rank convention —
+        # pipelines/stats.py:column_quantiles
+        "token_quantiles": """
+            WITH tc AS (
+              SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(text, '\\s+')) END AS n
+              FROM documents
+            )
+            """
+        + " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, quantile_disc(n, {q}) AS value FROM tc"
+            for q in _QUANTILE_QS
+        ),
         # benchmark decontamination: distinct 4-word-gram overlap with
         # the doc_id % 20 == 0 benchmark slice, same ASCII tokenizer —
         # pipelines/curation.py:decontaminate

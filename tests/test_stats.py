@@ -1,0 +1,57 @@
+"""column_quantiles / value_counts vs DuckDB's quantile_disc on the
+same multisets (the convention contract), plus edge cases."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fozziejoin_ray.pipelines.stats import column_quantiles, value_counts
+
+
+def _duck_quantiles(values, qs):
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": values}))
+    return [
+        con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0] for q in qs
+    ]
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [1, 2, 3, 4, 5],
+        [5, 1, 5, 1, 5, 1, 7],
+        [42],
+        list(range(100)) * 3,
+        [0, 0, 0, 1],
+    ],
+)
+def test_quantiles_match_duckdb(values):
+    qs = [0.0, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    ds = rd.from_arrow(pa.table({"x": pa.array(values, pa.int64())}))
+    got = column_quantiles(ds, "x", qs)
+    want = _duck_quantiles(pa.array(values, pa.int64()), qs)
+    assert got.column("value").to_pylist() == want
+    assert got.column("q").to_pylist() == qs
+
+
+def test_quantiles_ignore_nulls_and_validate():
+    ds = rd.from_arrow(pa.table({"x": pa.array([None, 3, None, 1, 2], pa.int64())}))
+    got = column_quantiles(ds, "x", [0.5])
+    assert got.column("value").to_pylist() == [2]
+    with pytest.raises(ValueError):
+        column_quantiles(ds, "x", [1.5])
+    empty = rd.from_arrow(pa.table({"x": pa.array([None, None], pa.int64())}))
+    with pytest.raises(ValueError):
+        column_quantiles(empty, "x", [0.5])
+
+
+def test_value_counts_merges_across_batches():
+    t = pa.table({"x": pa.array(list(range(10)) * 50, pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+    rows = sorted(
+        (r["value"], r["sum(count)"]) for r in value_counts(ds, "x").take_all()
+    )
+    assert rows == [(i, 50) for i in range(10)]
