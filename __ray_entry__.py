@@ -432,6 +432,18 @@ def _embedding_dup_bucketed_query(sf_dir: str):
     return _round_col(out, "cosine", 4)
 
 
+def _embedding_dedup_query(sf_dir: str):
+    """End-to-end embedding dedup classes via the IVF-bucketed pair
+    path (recall 1.0 at these corpora) + distributed CC; min-id labels."""
+    from fozziejoin_ray.pipelines.ann import embedding_dedup
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup(
+        emb, threshold=0.4, id_col="vec_id", strategy="bucketed",
+        n_centroids=16, assign_probes=6, num_partitions=8, dtype=np.float64,
+    )
+
+
 def _ann_topk_query(sf_dir: str):
     from fozziejoin_ray.pipelines.ann import ann_topk
 
@@ -726,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _dedup_ngram_query,
         "embedding_dup": _embedding_dup_query,
         "embedding_dup_bucketed": _embedding_dup_bucketed_query,
+        "embedding_dedup": _embedding_dedup_query,
         "ann_topk": _ann_topk_query,
         "ann_ivf": _ann_ivf_query,
         "ann_ivf_exhaustive": _ann_ivf_exhaustive_query,
@@ -1101,6 +1114,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
             FROM e a, e b
             WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4""",
+        # end-to-end dedup classes over the same exact pair set:
+        # recursive-CTE connected components with min-id labels —
+        # pipelines/ann.py:embedding_dedup
+        "embedding_dedup": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            ),
+            p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+            ),
+            ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+            reach(node, comp) AS (
+              SELECT src, src FROM ed
+              UNION
+              SELECT ed.dst, r.comp FROM reach r JOIN ed ON ed.src = r.node),
+            lbl AS (SELECT node, MIN(comp) AS lbl FROM reach GROUP BY node)
+            SELECT v.vec_id, COALESCE(l.lbl, v.vec_id) AS dup_group
+            FROM embeddings v LEFT JOIN lbl l ON l.node = v.vec_id""",
         # bucketed pair generation is precision-exact and, at 6/16 probe
         # buckets, recall-1.0 on these corpora (see the query docstring),
         # so the brute-force SQL doubles as its oracle

@@ -353,3 +353,45 @@ def embedding_dup_pairs(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def embedding_dedup(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "bucketed",
+    num_partitions: int = 32,
+    id_type=None,
+    dtype=np.float32,
+    **bucket_kw,
+) -> rd.Dataset:
+    """Embedding near-duplicate CLASSES: (id, dup_group) where dup_group
+    is the min id of the vector's connected component under
+    cosine >= threshold edges — the end-to-end form of the pair
+    operators, completing the dedup family (exact / minhash / simhash /
+    ngram-jaccard / embedding).
+
+    ``strategy="bucketed"`` (the scale path) generates pairs via the
+    IVF multi-probe builder — no driver-side O(n^2) matmul;
+    ``strategy="brute"`` broadcasts the full normalized matrix and is
+    the exact oracle path. Pairs feed the distributed
+    connected-components pass; singletons keep their own id."""
+    from .dedup import _dup_groups
+
+    if strategy not in ("bucketed", "brute"):
+        raise ValueError(f"strategy must be 'bucketed' or 'brute', got {strategy!r}")
+    # one upstream execution: the pair builder AND the final id join
+    # both read this materialized projection
+    proj = ds.select_columns([id_col, embed_col]).materialize()
+    if strategy == "bucketed":
+        pairs = embedding_dup_pairs_bucketed(
+            proj, threshold=threshold, embed_col=embed_col, id_col=id_col,
+            num_partitions=num_partitions, dtype=dtype, **bucket_kw,
+        )
+    else:
+        pairs = embedding_dup_pairs(
+            proj, threshold=threshold, embed_col=embed_col, id_col=id_col, dtype=dtype
+        )
+    return _dup_groups(proj, pairs, id_col, num_partitions, id_type)

@@ -313,3 +313,34 @@ def test_tfidf_top_terms_matches_bruteforce():
     assert got == exp
     # every doc with tokens appears with exactly min(3, n_terms) rows
     assert len(got) == len(exp)
+
+
+def test_embedding_dedup_groups():
+    """brute and bucketed strategies agree; groups are min-id labels;
+    singletons keep their own id."""
+    from fozziejoin_ray.pipelines.ann import embedding_dedup
+
+    M = _rand_embeddings()
+
+    def groups(strategy):
+        out = embedding_dedup(
+            emb_ds(M), threshold=0.9, strategy=strategy, dtype=np.float64,
+            n_centroids=4, assign_probes=4, num_partitions=4,
+        ) if strategy == "bucketed" else embedding_dedup(
+            emb_ds(M), threshold=0.9, strategy="brute", dtype=np.float64,
+            num_partitions=4,
+        )
+        return {r["vec_id"]: r["dup_group"] for r in out.take_all()}
+
+    gb = groups("brute")
+    assert len(gb) == len(M)
+    # near-dup seed pair (0, 1) groups under the min id
+    assert gb[0] == 0 and gb[1] == 0
+    for vid, lbl in gb.items():
+        assert lbl <= vid  # min-id labels
+    assert groups("bucketed") == gb
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embedding_dedup(emb_ds(M), strategy="nope")
