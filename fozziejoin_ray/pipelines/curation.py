@@ -261,17 +261,28 @@ def _distinct_parent_grams(parents: np.ndarray, grams: np.ndarray):
     return (comp // u).astype(np.int64), np.asarray(uniq, dtype=object)[comp % u]
 
 
+def _gram_hashes(grams: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash per gram string (pandas siphash with
+    its fixed key — stable across processes and machines)."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
+
+
 class _Decontaminator:
     """Actor-pool stage: benchmark gram set fetched from the object
     store ONCE per actor in ``__init__``; each batch does one gram
-    extraction + one hashed string-membership probe."""
+    extraction + one membership probe (hashed-string index, or binary
+    search over sorted uint64 gram hashes in ``hash_grams`` mode)."""
 
     def __init__(self, bench_ref, cfg: dict):
         import pandas as pd
 
         import ray
 
-        self.bench = pd.Index(ray.get(bench_ref))
+        bench = ray.get(bench_ref)
+        self.hashed = cfg.get("hash_grams", False)
+        self.bench = bench if self.hashed else pd.Index(bench)
         self.cfg = cfg
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -280,7 +291,15 @@ class _Decontaminator:
         n_hits = np.zeros(t.num_rows, dtype=np.int64)
         if len(grams):
             dp, dg = _distinct_parent_grams(parents, grams)
-            hit = self.bench.get_indexer(dg) >= 0
+            if self.hashed:
+                h = _gram_hashes(dg)
+                pos = np.searchsorted(self.bench, h)
+                pos[pos == len(self.bench)] = 0
+                hit = (
+                    self.bench[pos] == h if len(self.bench) else np.zeros(len(h), bool)
+                )
+            else:
+                hit = self.bench.get_indexer(dg) >= 0
             if hit.any():
                 n_hits += np.bincount(dp[hit], minlength=t.num_rows)
         if cfg["mode"] == "drop":
@@ -298,6 +317,7 @@ def decontaminate(
     bench_text_col: str | None = None,
     n: int = 13,
     mode: str = "flag",
+    hash_grams: bool = False,
     concurrency=(1, 8),
 ) -> rd.Dataset:
     """Benchmark decontamination by word n-gram overlap (the GPT-3 /
@@ -312,9 +332,13 @@ def decontaminate(
     by a distributed ``map_batches`` pass (only gram strings reach the
     driver), broadcast once with ``ray.put``, and opened once per actor
     — the corpus side streams through a stateful ``map_batches`` with no
-    shuffle. A benchmark too large to broadcast would swap the
-    membership probe for a hash-partitioned semi-join on the gram
-    column; benchmarks are eval sets, so broadcast is the 100 TB case.
+    shuffle. ``hash_grams=True`` broadcasts sorted 64-bit gram hashes
+    instead of the strings (~10x smaller for 13-grams; a false flag
+    needs a siphash collision, probability ~G^2/2^64) — use it when the
+    benchmark gram set strains the object store. A benchmark too large
+    even for that would swap the probe for a hash-partitioned semi-join
+    on the gram column; benchmarks are eval sets, so broadcast is the
+    100 TB case.
     """
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
@@ -333,11 +357,15 @@ def decontaminate(
         ).iter_batches(batch_size=None, batch_format="pyarrow")
     ]
     bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+    if hash_grams:
+        bench = np.unique(_gram_hashes(bench)) if len(bench) else np.empty(0, np.uint64)
+    else:
+        bench = bench.astype(object)
 
     import ray
 
-    bref = ray.put(bench.astype(object))
-    cfg = {"text_col": text_col, "n": n, "mode": mode}
+    bref = ray.put(bench)
+    cfg = {"text_col": text_col, "n": n, "mode": mode, "hash_grams": hash_grams}
     return docs.map_batches(
         _Decontaminator,
         fn_constructor_args=(bref, cfg),

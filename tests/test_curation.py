@@ -172,3 +172,25 @@ def test_decontaminate_empty_benchmark_and_validation():
         decontaminate(docs, empty_b, mode="nope")
     with pytest.raises(ValueError):
         decontaminate(docs, empty_b, n=0)
+
+
+def test_decontaminate_hash_grams_matches_exact():
+    from fozziejoin_ray.pipelines.curation import decontaminate
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "a completely different document entirely here",
+        "quick brown fox jumps twice quick brown fox jumps",
+    ] * 3
+    bench = ["we saw the quick brown fox jumps away"]
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(len(corpus))), "text": corpus}))
+    b = rd.from_arrow(pa.table({"text": bench}))
+    exact = sorted(
+        (d["doc_id"], d["n_hits"], d["contaminated"])
+        for d in decontaminate(docs, b, n=4).take_all()
+    )
+    hashed = sorted(
+        (d["doc_id"], d["n_hits"], d["contaminated"])
+        for d in decontaminate(docs, b, n=4, hash_grams=True).take_all()
+    )
+    assert hashed == exact and any(c for _, _, c in exact)
