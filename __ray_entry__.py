@@ -630,6 +630,59 @@ def _decontam_query(sf_dir: str):
     return out.select_columns(["doc_id", "n_hits", "contaminated"])
 
 
+def _gopher_query(sf_dir: str):
+    """Gopher (MassiveText) rule filter — every signal is a fixed RE2
+    count the DuckDB oracle replicates verbatim; the pass flag is
+    computed on the UNROUNDED ratios in both engines."""
+    from fozziejoin_ray.pipelines.text import gopher_rules
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_rules(docs, "text").select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "symbol_word_ratio",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "alpha_word_frac",
+            "n_stop_kinds",
+            "gopher_pass",
+        ]
+    )
+    for c in (
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+    ):
+        out = _round_col(out, c)
+    return out
+
+
+def _window_tumbling_query(sf_dir: str):
+    """6-hour tumbling windows per user over the event stream."""
+    from fozziejoin_ray.pipelines.events import window_agg
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = window_agg(ev, width=6, unit="hours", num_partitions=8)
+    for c in ("value_sum", "value_min", "value_max"):
+        out = _round_col(out, c)
+    return out
+
+
+def _window_hopping_query(sf_dir: str):
+    """6-hour windows hopping every 2 hours (each event in 3 windows)."""
+    from fozziejoin_ray.pipelines.events import window_agg
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = window_agg(ev, width=6, hop=2, unit="hours", num_partitions=8)
+    for c in ("value_sum", "value_min", "value_max"):
+        out = _round_col(out, c)
+    return out
+
+
 def _repetition_query(sf_dir: str):
     from fozziejoin_ray.pipelines.curation import repetition_score
 
@@ -755,6 +808,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontam_query,
         "token_quantiles": _token_quantiles_query,
         "pack_sequences": _pack_query,
+        "gopher_rules": _gopher_query,
+        # event windowing
+        "window_tumbling": _window_tumbling_query,
+        "window_hopping": _window_hopping_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1049,6 +1106,65 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS ts_first, MAX(ts) AS ts_last,
                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
             FROM s GROUP BY user_id, session_seq""",
+        # Gopher rule filter: every signal is the same RE2 count the
+        # engine runs (DuckDB regexp_* is RE2 too), pass computed on the
+        # unrounded ratios exactly like pipelines/text.py:gopher_rules
+        "gopher_rules": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_words,
+                     length(text) - len(regexp_extract_all(text, '\s')) AS n_wchars,
+                     len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols,
+                     1 + length(text) - length(replace(text, chr(10), '')) AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+                     len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ellipsis,
+                     len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+                     (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bbe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bthat\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bhave\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bwith\b') THEN 1 ELSE 0 END)::BIGINT AS n_stop_kinds
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_words, n_stop_kinds,
+                     CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1) AS mwl,
+                     CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1) AS swr,
+                     CAST(n_bullet AS DOUBLE) / n_lines AS blf,
+                     CAST(n_ellipsis AS DOUBLE) / n_lines AS elf,
+                     CAST(n_alpha_words AS DOUBLE) / GREATEST(n_words, 1) AS awf
+              FROM d)
+            SELECT doc_id, n_words,
+                   ROUND(mwl, 6) AS mean_word_len,
+                   ROUND(swr, 6) AS symbol_word_ratio,
+                   ROUND(blf, 6) AS bullet_line_frac,
+                   ROUND(elf, 6) AS ellipsis_line_frac,
+                   ROUND(awf, 6) AS alpha_word_frac,
+                   n_stop_kinds,
+                   (n_words BETWEEN 50 AND 100000) AND mwl BETWEEN 3 AND 10
+                     AND swr < 0.1 AND blf < 0.9 AND elf < 0.3 AND awf > 0.8
+                     AND n_stop_kinds >= 2 AS gopher_pass
+            FROM r""",
+        "window_tumbling": """
+            SELECT user_id,
+                   (epoch_us(ts) // 21600000000) * 21600000000 AS win_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 6) AS value_sum,
+                   ROUND(MIN(value), 6) AS value_min,
+                   ROUND(MAX(value), 6) AS value_max
+            FROM events GROUP BY 1, 2""",
+        "window_hopping": """
+            WITH k AS (SELECT unnest(generate_series(0, 2)) AS k),
+                 e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events)
+            SELECT user_id,
+                   ((t // 7200000000) - k) * 7200000000 AS win_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 6) AS value_sum,
+                   ROUND(MIN(value), 6) AS value_min,
+                   ROUND(MAX(value), 6) AS value_max
+            FROM e CROSS JOIN k GROUP BY 1, 2""",
         # as-of backward with 12h tolerance: argmax-by-(ts, event_id) via
         # QUALIFY mirrors the engine's largest-rid tie rule (asof.py)
         "asof_backward": """

@@ -103,6 +103,94 @@ def sessionize(
     )
 
 
+def window_agg(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: float = 1,
+    hop: float | None = None,
+    unit: str = "hours",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Tumbling / hopping window aggregation: one row per
+    (``user_col``, ``win_start``) with ``n_events`` and the
+    sum/min/max of ``value_col``. ``win_start`` is the window's start
+    as int64 epoch-microseconds (windows are epoch-aligned multiples
+    of ``hop``), so results are engine-portable and SQL-replicable.
+
+    ``hop=None`` (or ``hop == width``) gives tumbling windows; a
+    ``hop`` that divides ``width`` gives hopping windows where every
+    event lands in exactly ``width/hop`` windows.
+
+    Scale design: windows are assigned and PARTIALLY AGGREGATED inside
+    each batch (pandas groupby over the np.repeat-replicated window
+    keys — the replication collapses immediately), so the single hash
+    shuffle moves one row per (user, window, batch), not per event;
+    the per-partition merge then combines partials. Sum-of-partial-sums
+    equals any other float64 summation order only approximately —
+    callers comparing across engines should round (the driver oracle
+    rounds to 6 decimals, far coarser than the ~1e-10 noise here)."""
+    import pandas as pd
+
+    wus = _gap_us(width, unit)
+    hus = wus if hop is None else _gap_us(hop, unit)
+    if wus <= 0 or hus <= 0:
+        raise ValueError("width and hop must be positive")
+    if wus % hus:
+        raise ValueError(f"hop must divide width (width={wus}us, hop={hus}us)")
+    reps = wus // hus
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([user_col, ts_col, value_col]).to_pandas()
+        if df[ts_col].dtype != "datetime64[us]":
+            df[ts_col] = df[ts_col].astype("datetime64[us]")
+        ts_us = df[ts_col].astype("int64").to_numpy()
+        last_hop = ts_us // hus  # floor; epoch timestamps are non-negative
+        if reps == 1:  # tumbling: reps==1 forces hop == width
+            win = last_hop * wus
+            users = df[user_col].to_numpy()
+            vals = df[value_col].to_numpy()
+        else:
+            k = np.tile(np.arange(reps, dtype=np.int64), len(df))
+            win = (np.repeat(last_hop, reps) - k) * hus
+            users = np.repeat(df[user_col].to_numpy(), reps)
+            vals = np.repeat(df[value_col].to_numpy(), reps)
+        g = pd.DataFrame({user_col: users, "win_start": win, "v": vals}).groupby(
+            [user_col, "win_start"], sort=False
+        )["v"]
+        agg = g.agg(["size", "sum", "min", "max"]).reset_index()  # size == COUNT(*)
+        agg.columns = [user_col, "win_start", "n_events", "value_sum", "value_min", "value_max"]
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        # drop the pandas schema-metadata dict: it defeats Ray's schema
+        # dedup (unhashable) and carries no information downstream
+        out = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        h = pd.util.hash_array(
+            np.asarray(out["win_start"].to_numpy()), categorize=False
+        ) ^ pd.util.hash_array(np.asarray(out[user_col].to_numpy(zero_copy_only=False)), categorize=False)
+        return out.append_column("__sp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def merge(df):
+        if not len(df):
+            return df.drop(columns=["__sp"])
+        g = df.drop(columns=["__sp"]).groupby([user_col, "win_start"], sort=False)
+        out = g.agg(
+            n_events=("n_events", "sum"),
+            value_sum=("value_sum", "sum"),
+            value_min=("value_min", "min"),
+            value_max=("value_max", "max"),
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def session_stats(
     events: rd.Dataset,
     *,

@@ -144,6 +144,117 @@ def quality_score(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# Gopher (Rae et al. 2021, MassiveText) required-stopword list — a doc
+# must contain >= 2 of these to pass the rule filter.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_kinds: int = 2,
+) -> rd.Dataset:
+    """Gopher-style document quality RULES (the MassiveText filter set,
+    Rae et al. 2021 §A1.1) — the signals :func:`repetition_score` does
+    not cover, plus the composite pass flag:
+
+    - ``n_words``: whitespace-token count (``\\S+``);
+    - ``mean_word_len``: non-whitespace chars / words (bounds 3..10);
+    - ``symbol_word_ratio``: (``#`` + ``...`` occurrences) / words;
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of lines
+      starting with a bullet (``- * •``) / ending with ``...``;
+    - ``alpha_word_frac``: fraction of words containing an ASCII letter;
+    - ``n_stop_kinds``: how many DISTINCT :data:`GOPHER_STOPWORDS`
+      appear (``\\b``-delimited);
+    - ``gopher_pass``: all thresholds hold (word-count and mean-length
+      windows inclusive, ratio caps strict ``<``, floors strict ``>``
+      except ``n_stop_kinds >= min_stop_kinds``).
+
+    Fully vectorized: a fixed set of RE2 ``count_substring_regex``
+    kernels per batch, no Python per row. Every signal is replicated
+    verbatim by the driver's DuckDB oracle (same RE2 syntax). Zero
+    shuffles — a pure per-batch map. Null text yields null signals and
+    a null pass flag (no text, no verdict)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        f64 = pa.float64()
+        n_words = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+        wdenom = pc.max_element_wise(n_words.cast(f64), pa.scalar(1.0))
+        n_wchars = pc.subtract(
+            pc.utf8_length(txt).cast(pa.int64()),
+            pc.count_substring_regex(txt, r"\s").cast(pa.int64()),
+        )
+        mean_word_len = pc.divide(n_wchars.cast(f64), wdenom)
+        n_symbols = pc.add(
+            pc.count_substring(txt, "#").cast(pa.int64()),
+            pc.count_substring(txt, "...").cast(pa.int64()),
+        )
+        symbol_word_ratio = pc.divide(n_symbols.cast(f64), wdenom)
+        n_lines = pc.add(pc.count_substring(txt, "\n").cast(pa.int64()), pa.scalar(1, pa.int64()))
+        ldenom = n_lines.cast(f64)
+        bullet_line_frac = pc.divide(
+            pc.count_substring_regex(txt, r"(?m)^[ \t]*[-*•]").cast(f64), ldenom
+        )
+        ellipsis_line_frac = pc.divide(
+            pc.count_substring_regex(txt, r"(?m)\.\.\.$").cast(f64), ldenom
+        )
+        n_alpha_words = pc.count_substring_regex(txt, r"\S*[A-Za-z]\S*").cast(pa.int64())
+        alpha_word_frac = pc.divide(n_alpha_words.cast(f64), wdenom)
+        stop_kinds = pa.array(np.zeros(len(txt), dtype=np.int64))
+        for w in GOPHER_STOPWORDS:
+            hit = pc.greater(pc.count_substring_regex(txt, rf"\b{w}\b"), 0)
+            stop_kinds = pc.add(stop_kinds, hit.cast(pa.int64()))
+        ok = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n_words, min_words), pc.less_equal(n_words, max_words)),
+                pc.and_(
+                    pc.greater_equal(mean_word_len, min_mean_word_len),
+                    pc.less_equal(mean_word_len, max_mean_word_len),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less(symbol_word_ratio, max_symbol_word_ratio),
+                    pc.less(bullet_line_frac, max_bullet_line_frac),
+                ),
+                pc.and_(
+                    pc.and_(
+                        pc.less(ellipsis_line_frac, max_ellipsis_line_frac),
+                        pc.greater(alpha_word_frac, min_alpha_word_frac),
+                    ),
+                    pc.greater_equal(stop_kinds, min_stop_kinds),
+                ),
+            ),
+        )
+        out = t
+        for name, arr in [
+            ("n_words", n_words),
+            ("mean_word_len", mean_word_len),
+            ("symbol_word_ratio", symbol_word_ratio),
+            ("bullet_line_frac", bullet_line_frac),
+            ("ellipsis_line_frac", ellipsis_line_frac),
+            ("alpha_word_frac", alpha_word_frac),
+            ("n_stop_kinds", stop_kinds),
+            ("gopher_pass", ok),
+        ]:
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 _FP_M = np.uint64(2147483647)  # 2^31 - 1 (Mersenne)
 _FP_BASES = (31, 131)
 

@@ -106,3 +106,75 @@ def test_sessionize_random_vs_pandas_oracle():
     df["seq"] = (brk | first).groupby(df["user_id"]).cumsum().astype(int)
     exp = dict(zip(df["event_id"], df["seq"]))
     assert got == exp
+
+
+def evv(rows):
+    """(event_id, user_id, seconds, value) -> Dataset with a value column."""
+    ids, us, ts, vs = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": list(ids),
+                "user_id": list(us),
+                "ts": pa.array([B + dt.timedelta(seconds=s) for s in ts], pa.timestamp("us")),
+                "value": pa.array(list(vs), pa.float64()),
+            }
+        )
+    )
+
+
+def _brute_windows(rows, width_s, hop_s):
+    """All (user, win_start_us, count, sum, min, max) by direct scan."""
+    import collections
+
+    base_us = int(B.timestamp() * 1_000_000)
+    acc = collections.defaultdict(list)
+    w_us, h_us = width_s * 1_000_000, hop_s * 1_000_000
+    for _, u, s, v in rows:
+        t = base_us + int(round(s * 1_000_000))
+        start = (t // h_us) * h_us
+        while start > t - w_us:
+            acc[(u, start)].append(v)
+            start -= h_us
+    return {
+        k: (len(vs), sum(vs), min(vs), max(vs)) for k, vs in acc.items()
+    }
+
+
+@pytest.mark.parametrize("width,hop", [(60, 60), (60, 20)])
+def test_window_agg_vs_brute(width, hop):
+    from fozziejoin_ray.pipelines.events import window_agg
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, int(rng.randint(0, 8)), float(rng.uniform(0, 900)), float(rng.randint(0, 100)))
+        for i in range(500)
+    ]
+    out = window_agg(
+        evv(rows), width=width, hop=hop, unit="seconds", num_partitions=5
+    ).take_all()
+    got = {
+        (d["user_id"], d["win_start"]): (d["n_events"], d["value_sum"], d["value_min"], d["value_max"])
+        for d in out
+    }
+    exp = _brute_windows(rows, width, hop)
+    assert set(got) == set(exp)
+    for k, (n, s, lo, hi) in exp.items():
+        gn, gs, glo, ghi = got[k]
+        assert gn == n and glo == lo and ghi == hi
+        assert abs(gs - s) < 1e-6
+    if hop == width:
+        # tumbling: every event in exactly one window
+        assert sum(v[0] for v in got.values()) == len(rows)
+    else:
+        assert sum(v[0] for v in got.values()) == len(rows) * (width // hop)
+
+
+def test_window_agg_validates_hop():
+    from fozziejoin_ray.pipelines.events import window_agg
+
+    ds = evv([(1, 1, 0.0, 1.0)])
+    with pytest.raises(ValueError, match="divide"):
+        window_agg(ds, width=60, hop=25, unit="seconds")
+    with pytest.raises(ValueError, match="positive"):
+        window_agg(ds, width=0, unit="seconds")

@@ -344,3 +344,53 @@ def test_embedding_dedup_groups():
 
     with _pytest.raises(ValueError):
         embedding_dedup(emb_ds(M), strategy="nope")
+
+
+def test_gopher_rules_hand_computed():
+    from fozziejoin_ray.pipelines.text import gopher_rules
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog with vigor"] * 5)  # 55 words
+    bully = "- one\n- two\n- three\nplain"  # 3/4 bullet lines
+    elly = "wait...\nmore...\nokay"  # 2/3 ellipsis lines, 2 '...' symbols
+    digits = "111 222 333 444"  # no alpha words
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["good", "bully", "elly", "digits", "empty"],
+                "text": [good, bully, elly, digits, ""],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(ds).take_all()}
+
+    g = rows["good"]
+    assert g["n_words"] == 55
+    assert g["n_stop_kinds"] == 3  # the, that, with (distinct kinds, not hits)
+    assert g["alpha_word_frac"] == 1.0
+    assert g["gopher_pass"] is True
+
+    b = rows["bully"]
+    assert b["n_words"] == 7
+    assert abs(b["bullet_line_frac"] - 3 / 4) < 1e-12
+    assert b["gopher_pass"] is False  # word count + bullets
+
+    e = rows["elly"]
+    assert abs(e["ellipsis_line_frac"] - 2 / 3) < 1e-12
+    assert e["symbol_word_ratio"] == 2 / 3
+
+    d = rows["digits"]
+    assert d["alpha_word_frac"] == 0.0 and d["n_words"] == 4
+
+    em = rows["empty"]
+    assert em["n_words"] == 0 and em["gopher_pass"] is False
+
+
+def test_gopher_rules_thresholds_configurable():
+    from fozziejoin_ray.pipelines.text import gopher_rules
+
+    ds = rd.from_arrow(pa.table({"doc_id": ["a"], "text": ["the cat and the hat sat"]}))
+    strict = gopher_rules(ds).take_all()[0]
+    assert strict["gopher_pass"] is False  # 6 words < 50
+    loose = gopher_rules(ds, min_words=1, min_mean_word_len=1.0).take_all()[0]
+    assert loose["gopher_pass"] is True
+    assert loose["n_stop_kinds"] == 2  # the, and
