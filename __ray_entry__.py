@@ -683,6 +683,15 @@ def _window_hopping_query(sf_dir: str):
     return out
 
 
+def _dup_ngram_query(sf_dir: str):
+    """Cross-document duplicate-trigram fraction (Lee et al. signal)."""
+    from fozziejoin_ray.pipelines.curation import dup_ngram_frac
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_ngram_frac(docs, text_col="text", id_col="doc_id", n=3, num_partitions=16)
+    return _round_col(out, "dup_gram_frac")
+
+
 def _repetition_query(sf_dir: str):
     from fozziejoin_ray.pipelines.curation import repetition_score
 
@@ -809,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _token_quantiles_query,
         "pack_sequences": _pack_query,
         "gopher_rules": _gopher_query,
+        "dup_ngram_frac": _dup_ngram_query,
         # event windowing
         "window_tumbling": _window_tumbling_query,
         "window_hopping": _window_hopping_query,
@@ -1147,6 +1157,27 @@ def oracle_sql() -> dict[str, str]:
                      AND swr < 0.1 AND blf < 0.9 AND elf < 0.3 AND awf > 0.8
                      AND n_stop_kinds >= 2 AS gopher_pass
             FROM r""",
+        # duplicate-trigram fraction: distinct (doc, gram) pairs, a gram
+        # is dup iff >= 2 docs contain it; trigram = ws[i : i+2] (DuckDB
+        # slices are 1-based inclusive-inclusive, range() end-exclusive)
+        "dup_ngram_frac": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
+              FROM documents),
+            dg AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS g
+              FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+            cnt AS (SELECT g, COUNT(*) AS ndocs FROM dg GROUP BY g),
+            per AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+              FROM dg JOIN cnt USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_grams, 0) AS n_grams,
+                   COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+                   ROUND(CAST(COALESCE(p.n_dup_grams, 0) AS DOUBLE)
+                         / GREATEST(COALESCE(p.n_grams, 0), 1), 6) AS dup_gram_frac
+            FROM documents d LEFT JOIN per p USING (doc_id)""",
         "window_tumbling": """
             SELECT user_id,
                    (epoch_us(ts) // 21600000000) * 21600000000 AS win_start,

@@ -373,3 +373,118 @@ def decontaminate(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def dup_ngram_frac(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Cross-document duplicate n-gram fraction (the corpus-level
+    near-duplication signal of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): for each document, the fraction
+    of its DISTINCT word ``n``-grams that also occur in at least one
+    OTHER document. Output: ``(id_col, n_grams, n_dup_grams,
+    dup_gram_frac)`` — one row per input document (zero-gram documents
+    emit ``(0, 0, 0.0)``).
+
+    Unlike :func:`decontaminate` (corpus vs a broadcastable benchmark),
+    both sides here are the full corpus, so the gram set cannot be
+    broadcast — the signal inherently needs a gram-keyed exchange.
+
+    Scale shape (two bounded shuffles, no driver state):
+
+    1. per batch: distinct ``(id, gram)`` pairs from one flat token
+       stream (each row is a whole document, so per-batch distinct is
+       global distinct); zero-gram documents emit one sentinel row
+       (``gram=""`` — unreachable as a real gram since tokens are
+       non-empty) so they survive to the output;
+    2. gram-hash shuffle: within each gram partition every gram's full
+       document set is co-located (a gram lives in exactly one
+       partition), so ``ndocs >= 2`` is exact; the partition immediately
+       re-aggregates to one ``(id, n_grams_part, n_dup_part)`` row per
+       document it saw — the second shuffle moves at most
+       ``num_partitions`` rows per document, not one row per gram;
+    3. id-hash shuffle: sum the partials, ``dup_gram_frac =
+       n_dup_grams / max(n_grams, 1)``.
+
+    Skew: a stop-gram ("of the and") fans into one partition but only as
+    distinct-per-doc rows — bounded by corpus doc count, and reduced to
+    doc partials before the second exchange. Requires unique ``id_col``
+    values (one row per document), like every per-document operator
+    here.
+    """
+    import pandas as pd
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        parents, grams = _doc_grams(t, text_col, n)
+        if len(grams):
+            dp, dg = _distinct_parent_grams(parents, grams)
+        else:
+            dp, dg = np.empty(0, np.int64), np.empty(0, dtype=object)
+        # sentinel row per document with no grams at all
+        seen = np.zeros(t.num_rows, dtype=bool)
+        seen[dp] = True
+        empty = np.nonzero(~seen)[0]
+        rows = np.concatenate([dp, empty])
+        gstr = np.concatenate([dg, np.full(len(empty), "", dtype=object)])
+        gp = (_gram_hashes(gstr) % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: idc.take(pa.array(rows)),
+                "gram": pa.array(gstr, pa.string()),
+                "__gp": pa.array(gp),
+            }
+        )
+
+    def per_gram_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({id_col: [], "n_grams_part": [], "n_dup_part": []})
+        real = df["gram"].to_numpy() != ""
+        codes, uniq = pd.factorize(df["gram"].to_numpy()[real])
+        ndocs = np.bincount(codes, minlength=len(uniq))
+        dup = np.zeros(len(df), dtype=np.int64)
+        cnt = np.zeros(len(df), dtype=np.int64)
+        dup[real] = (ndocs[codes] >= 2).astype(np.int64)
+        cnt[real] = 1
+        out = (
+            pd.DataFrame({id_col: df[id_col].to_numpy(), "n_grams_part": cnt, "n_dup_part": dup})
+            .groupby(id_col, sort=False)
+            .sum()
+            .reset_index()
+        )
+        h = pd.util.hash_array(out[id_col].to_numpy(), categorize=False)
+        out["__dp"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def per_doc(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {id_col: [], "n_grams": [], "n_dup_grams": [], "dup_gram_frac": []}
+            )
+        g = df.drop(columns=["__dp"]).groupby(id_col, sort=False).sum().reset_index()
+        ng = g["n_grams_part"].to_numpy(np.int64)
+        nd = g["n_dup_part"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "n_grams": ng,
+                "n_dup_grams": nd,
+                "dup_gram_frac": nd / np.maximum(ng, 1),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__gp")
+        .map_groups(per_gram_partition, batch_format="pandas")
+        .groupby("__dp")
+        .map_groups(per_doc, batch_format="pandas")
+    )

@@ -194,3 +194,58 @@ def test_decontaminate_hash_grams_matches_exact():
         for d in decontaminate(docs, b, n=4, hash_grams=True).take_all()
     )
     assert hashed == exact and any(c for _, _, c in exact)
+
+
+def test_dup_ngram_frac_hand_computed():
+    from fozziejoin_ray.pipelines.curation import dup_ngram_frac
+
+    docs = [
+        "the cat sat on the mat",      # trigrams: 4, shares "the cat sat"+"cat sat on" with doc 1
+        "the cat sat on a rug",        # 4 trigrams, shares 2 with doc 0
+        "entirely different words here altogether",  # 3 trigrams, unique
+        "the cat sat on the mat",      # exact dup of doc 0: all 4 shared
+        "",                            # zero grams
+        "two words",                   # < n tokens -> zero grams
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(6)), "text": docs}))
+    out = {r["doc_id"]: r for r in dup_ngram_frac(ds, n=3, num_partitions=4).take_all()}
+    assert len(out) == 6
+    assert (out[0]["n_grams"], out[0]["n_dup_grams"]) == (4, 4)  # doc 3 duplicates all of doc 0
+    assert (out[1]["n_grams"], out[1]["n_dup_grams"]) == (4, 2)
+    assert out[1]["dup_gram_frac"] == 0.5
+    assert (out[2]["n_grams"], out[2]["n_dup_grams"]) == (3, 0)
+    assert out[3] == out[0] | {"doc_id": 3}
+    assert (out[4]["n_grams"], out[4]["n_dup_grams"], out[4]["dup_gram_frac"]) == (0, 0, 0.0)
+    assert (out[5]["n_grams"], out[5]["n_dup_grams"]) == (0, 0)
+
+
+def test_dup_ngram_frac_random_vs_brute():
+    import collections
+    import re
+
+    from fozziejoin_ray.pipelines.curation import dup_ngram_frac
+
+    rng = np.random.RandomState(3)
+    vocab = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran"]
+    docs = [" ".join(rng.choice(vocab, rng.randint(0, 10))) for _ in range(150)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(150)), "text": docs}))
+    out = {r["doc_id"]: r for r in dup_ngram_frac(ds, n=2, num_partitions=5).take_all()}
+
+    def grams(s):
+        ws = [w for w in re.split(r"[^0-9a-z_]+", s.lower()) if w]
+        return set(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+
+    gsets = {i: grams(d) for i, d in enumerate(docs)}
+    count = collections.Counter(g for gs in gsets.values() for g in gs)
+    for i, gs in gsets.items():
+        nd = sum(1 for g in gs if count[g] >= 2)
+        assert (out[i]["n_grams"], out[i]["n_dup_grams"]) == (len(gs), nd), i
+        assert abs(out[i]["dup_gram_frac"] - nd / max(len(gs), 1)) < 1e-12
+
+
+def test_dup_ngram_frac_validates_n():
+    from fozziejoin_ray.pipelines.curation import dup_ngram_frac
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["a b c"]}))
+    with pytest.raises(ValueError, match="n must be"):
+        dup_ngram_frac(ds, n=0)
