@@ -692,6 +692,21 @@ def _dup_ngram_query(sf_dir: str):
     return _round_col(out, "dup_gram_frac")
 
 
+def _lm_score_query(sf_dir: str):
+    """Add-1 bigram-LM self-perplexity (CCNet-style quality signal):
+    the model is built by a distributed pass over the same table, so
+    the SQL oracle can replicate the counts exactly."""
+    from fozziejoin_ray.pipelines.lm import lm_score
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = lm_score(docs, text_col="text", k=1.0).select_columns(
+        ["doc_id", "lm_logprob", "perplexity"]
+    )
+    for c in ("lm_logprob", "perplexity"):
+        out = _round_col(out, c)
+    return out
+
+
 def _repetition_query(sf_dir: str):
     from fozziejoin_ray.pipelines.curation import repetition_score
 
@@ -819,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _pack_query,
         "gopher_rules": _gopher_query,
         "dup_ngram_frac": _dup_ngram_query,
+        "lm_score": _lm_score_query,
         # event windowing
         "window_tumbling": _window_tumbling_query,
         "window_hopping": _window_hopping_query,
@@ -1178,6 +1194,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COALESCE(p.n_dup_grams, 0) AS DOUBLE)
                          / GREATEST(COALESCE(p.n_grams, 0), 1), 6) AS dup_gram_frac
             FROM documents d LEFT JOIN per p USING (doc_id)""",
+        # add-1 bigram LM self-perplexity: P(w2|w1) = (c12+1)/(c1*+V),
+        # doc score = mean ln P over its bigrams; <2-token docs -> NULL
+        "lm_score": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
+              FROM documents),
+            big AS (
+              SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+            cb AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM big GROUP BY w1, w2),
+            cp AS (SELECT w1, SUM(c) AS cpre FROM cb GROUP BY w1),
+            v AS (SELECT CAST(COUNT(DISTINCT u.w) AS DOUBLE) AS nv
+                  FROM (SELECT unnest(ws) AS w FROM toks) u WHERE u.w <> ''),
+            sc AS (
+              SELECT doc_id, AVG(ln((c + 1) / (cpre + nv))) AS lp
+              FROM big JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(sc.lp, 6) AS lm_logprob,
+                   ROUND(exp(-sc.lp), 6) AS perplexity
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
         "window_tumbling": """
             SELECT user_id,
                    (epoch_us(ts) // 21600000000) * 21600000000 AS win_start,
