@@ -102,29 +102,30 @@ def q_interval():
     return {"rows": out.count()}
 
 
-def q_dedup_minhash():
+def _full_text(t):
+    """Flatten the spans column to one text string per document."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    spans = t.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    text = pc.struct_field(flat, "text").to_pandas()
+    joined = text.groupby(parents).agg(" ".join)
+    out = pd.Series([""] * t.num_rows)
+    out.iloc[joined.index] = joined.values
+    return pa.table({"doc_id": t["doc_id"], "text": pa.array(out.tolist(), pa.string())})
+
+
+def q_dedup_minhash():
     import ray.data as rd
 
     from fozziejoin_ray.pipelines.dedup import minhash_lsh_dedup
 
-    docs = rd.read_parquet(GEN_DIR)
-
-    def full_text(t: pa.Table) -> pa.Table:
-        spans = t.column("spans")
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = spans.flatten()
-        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-        text = pc.struct_field(flat, "text").to_pandas()
-        joined = text.groupby(parents).agg(" ".join)
-        out = pd.Series([""] * t.num_rows)
-        out.iloc[joined.index] = joined.values
-        return pa.table({"doc_id": t["doc_id"], "text": pa.array(out.tolist(), pa.string())})
-
-    texts = docs.map_batches(full_text, batch_format="pyarrow")
+    texts = rd.read_parquet(GEN_DIR).map_batches(_full_text, batch_format="pyarrow")
     out = minhash_lsh_dedup(
         texts, "text", "doc_id", shingle_k=5, threshold=0.7, num_partitions=32,
         id_type=__import__("pyarrow").string(),
@@ -191,6 +192,32 @@ def q_interval_blocked():
     return {"rows": out.count()}
 
 
+def q_dup_ngram():
+    """Corpus-duplication signal over the generated 120k-doc corpus:
+    distinct (doc, 5-gram) pairs -> gram-keyed exchange -> doc merge."""
+    import ray.data as rd
+
+    from fozziejoin_ray.pipelines.curation import dup_ngram_frac
+
+    texts = rd.read_parquet(GEN_DIR).map_batches(_full_text, batch_format="pyarrow")
+    out = dup_ngram_frac(texts, text_col="text", id_col="doc_id", n=5, num_partitions=32)
+    # one aggregate = one execution (count + sum would run the pipeline twice)
+    return {"sum_dup": out.sum("n_dup_grams")}
+
+
+def q_lm_score():
+    """Bigram-LM self-perplexity over the generated 120k-doc corpus:
+    model-build groupby + broadcast + actor-pool scoring."""
+    import ray.data as rd
+
+    from fozziejoin_ray.pipelines.lm import lm_score
+
+    texts = rd.read_parquet(GEN_DIR).map_batches(_full_text, batch_format="pyarrow")
+    out = lm_score(texts, text_col="text")
+    s = out.sum("lm_logprob")  # one aggregate = one execution
+    return {"sum_logprob": round(s, 3) if s is not None else None}
+
+
 QUERIES = {
     "linkage": q_linkage,
     "linkage_edges": q_linkage_edges,
@@ -199,6 +226,8 @@ QUERIES = {
     "interval": q_interval,
     "interval_blocked": q_interval_blocked,
     "dedup_minhash": q_dedup_minhash,
+    "dup_ngram": q_dup_ngram,
+    "lm_score": q_lm_score,
 }
 
 
