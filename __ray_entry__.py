@@ -707,6 +707,25 @@ def _lm_score_query(sf_dir: str):
     return out
 
 
+def _curate_query(sf_dir: str):
+    """Composed curation pipeline: gopher rules (stopword rule relaxed
+    — the synthetic corpus has <2 distinct Gopher stopwords per doc) ->
+    repetition filter -> exact dedup among survivors -> split."""
+    from fozziejoin_ray.pipelines.curation import curate_corpus
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return curate_corpus(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        gopher={"min_stop_kinds": 0},
+        max_dup_word_frac=0.55,
+        ratios={"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="cur3",
+        num_partitions=16,
+    )
+
+
 def _repetition_query(sf_dir: str):
     from fozziejoin_ray.pipelines.curation import repetition_score
 
@@ -835,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _gopher_query,
         "dup_ngram_frac": _dup_ngram_query,
         "lm_score": _lm_score_query,
+        "curate_corpus": _curate_query,
         # event windowing
         "window_tumbling": _window_tumbling_query,
         "window_hopping": _window_hopping_query,
@@ -1019,6 +1039,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT DISTINCT split_part(p_name,' ',1) AS {p}tok, p_brand AS {p}brand "
         "FROM part WHERE p_name IS NOT NULL AND split_part(p_name,' ',1) != ''"
     )
+    _curate_split = _split_sql_expr(
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur3"
+    )
     return {
         "string_lv_inner": f"""{string_base}
             SELECT w.wl AS wl, tk.wr AS wr, ROUND(CAST(levenshtein(w.wl, tk.wr) AS DOUBLE), 6) AS dist
@@ -1194,6 +1217,55 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COALESCE(p.n_dup_grams, 0) AS DOUBLE)
                          / GREATEST(COALESCE(p.n_grams, 0), 1), 6) AS dup_gram_frac
             FROM documents d LEFT JOIN per p USING (doc_id)""",
+        # composed curation: gopher signals (min_stop_kinds=0) ->
+        # dup-word-frac <= 0.55 -> exact-text dedup among survivors
+        # (min-id wins) -> split on the shared bucket formula
+        "curate_corpus": rf"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '\S+')) AS n_words,
+                     length(text) - len(regexp_extract_all(text, '\s')) AS n_wchars,
+                     len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols,
+                     1 + length(text) - length(replace(text, chr(10), '')) AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+                     len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ellipsis,
+                     len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_words
+              FROM documents),
+            gp AS (
+              SELECT doc_id, text,
+                     (n_words BETWEEN 50 AND 100000)
+                       AND CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3 AND 10
+                       AND CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1) < 0.1
+                       AND CAST(n_bullet AS DOUBLE) / n_lines < 0.9
+                       AND CAST(n_ellipsis AS DOUBLE) / n_lines < 0.3
+                       AND CAST(n_alpha_words AS DOUBLE) / GREATEST(n_words, 1) > 0.8
+                       AS pass
+              FROM d),
+            rep AS (
+              SELECT doc_id, 1.0 - COUNT(DISTINCT tok) / COUNT(*)::DOUBLE AS dupw
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+')) AS tok
+                    FROM documents)
+              GROUP BY doc_id),
+            pre AS (
+              SELECT g.doc_id, g.text,
+                     CASE WHEN NOT COALESCE(g.pass, FALSE) THEN 'quality'
+                          WHEN COALESCE(rep.dupw, 0) > 0.55 THEN 'repetition'
+                     END AS pre_reason
+              FROM gp g LEFT JOIN rep ON g.doc_id = rep.doc_id),
+            win AS (
+              SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS w
+              FROM pre WHERE pre_reason IS NULL),
+            fin AS (
+              SELECT p.doc_id,
+                     COALESCE(p.pre_reason,
+                              CASE WHEN p.doc_id <> win.w THEN 'duplicate' END) AS drop_reason
+              FROM pre p LEFT JOIN win ON p.doc_id = win.doc_id)
+            SELECT doc_id,
+                   drop_reason IS NULL AS keep,
+                   drop_reason,
+                   CASE WHEN drop_reason IS NULL THEN {_curate_split} END AS split
+            FROM fin""",
         # add-1 bigram LM self-perplexity: P(w2|w1) = (c12+1)/(c1*+V),
         # doc score = mean ln P over its bigrams; <2-token docs -> NULL
         "lm_score": """

@@ -488,3 +488,126 @@ def dup_ngram_frac(
         .groupby("__dp")
         .map_groups(per_doc, batch_format="pandas")
     )
+
+
+def curate_corpus(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gopher: dict | None = None,
+    max_dup_word_frac: float = 0.3,
+    ratios: dict[str, float] | None = None,
+    salt: str = "",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """The composed curation pipeline a training-data run actually
+    executes, as ONE streaming plan: Gopher rule filter -> repetition
+    filter -> exact dedup among the survivors -> deterministic split.
+    Output: one row per input document with ``(id_col, keep,
+    drop_reason, split)`` — ``drop_reason`` in ``('quality',
+    'repetition', 'duplicate', NULL)``, first failing stage wins;
+    ``split`` is assigned only to kept documents.
+
+    Stage order is the cheap-first production order: the two quality
+    filters are shuffle-free per-batch maps that run BEFORE the dedup
+    exchange, so only quality survivors participate in duplicate
+    resolution (the standard recipe — and it shrinks the shuffle).
+    The whole thing is one lazy Dataset plan: nothing materializes
+    between stages, and the only all-to-all is the content-hash
+    exchange exact dedup needs anyway.
+
+    ``gopher``: kwargs forwarded to :func:`~.text.gopher_rules`
+    (thresholds); ``ratios``: split fractions (default
+    train/val/test = 0.9/0.05/0.05) assigned by the shared
+    :func:`~.split.hash_split` bucket formula on ``id_col`` with
+    ``salt``. Duplicate groups resolve to the smallest id. Null text
+    fails the quality stage (no text, no pass).
+    """
+    import pandas as pd
+
+    from .split import label_bounds
+    from .text import gopher_rules
+
+    if ratios is None:
+        ratios = {"train": 0.9, "val": 0.05, "test": 0.05}
+    labels, bounds = label_bounds(ratios)
+    label_arr = np.array(labels, dtype=object)
+
+    g = gopher_rules(ds, text_col, **(gopher or {}))
+
+    def triage(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok_g = pc.fill_null(t["gopher_pass"], False).to_numpy(zero_copy_only=False)
+        # dup_word_frac = 1 - distinct/total (0 if no tokens), the
+        # repetition_score formula inlined on the same token stream
+        txt = pc.fill_null(t.column(text_col), "")
+        toks_list = pc.split_pattern_regex(pc.utf8_lower(txt), _TOKEN_SPLIT)
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = toks_list.flatten()
+        parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+        keep_tok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)[keep_tok]
+        parents = parents[keep_tok].astype(np.int64)
+        dup_w = np.zeros(n)
+        if len(toks):
+            codes, uniq = pd.factorize(toks)
+            u = max(len(uniq), 1)
+            comp = np.sort(parents * u + codes)
+            new = np.r_[True, comp[1:] != comp[:-1]]
+            distinct = np.bincount((comp[np.nonzero(new)[0]] // u).astype(np.int64), minlength=n)
+            total = np.bincount(parents, minlength=n).astype(np.float64)
+            nz = total > 0
+            dup_w[nz] = 1.0 - distinct[nz] / total[nz]
+        reason = np.full(n, None, dtype=object)
+        reason[~ok_g] = "quality"
+        reason[ok_g & (dup_w > max_dup_word_frac)] = "repetition"
+        h = pd.util.hash_array(
+            np.asarray(txt.to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: txt,
+                "drop_reason": pa.array(reason, pa.string()),
+                "__dp": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+            }
+        )
+
+    def resolve(df: "pd.DataFrame") -> pa.Table:
+        reason = df["drop_reason"].to_numpy(object)
+        alive = pd.isna(df["drop_reason"]).to_numpy()
+        if alive.any():
+            cand = df.loc[alive, [text_col, id_col]]
+            winner = cand.groupby(text_col, sort=False)[id_col].transform("min")
+            dup = (cand[id_col] != winner).to_numpy()
+            reason[np.nonzero(alive)[0][dup]] = "duplicate"
+        keep = pd.isna(pd.Series(reason)).to_numpy()
+        # split assigned inline on the shared hash_split bucket formula;
+        # numpy object assembly (label where kept, None where dropped)
+        # keeps every null-slot offset spec-clean — a pc.if_else(keep,
+        # label, null) here produced string chunks whose null-slot
+        # offsets trip Ray's arrow-block serializer ("buffer slice
+        # would exceed buffer length")
+        split = np.full(len(df), None, dtype=object)
+        if keep.any():
+            b = _bucket_of(df[id_col].to_numpy()[keep].tolist(), salt)
+            li = np.minimum(np.searchsorted(bounds, b, side="right"), len(labels) - 1)
+            split[keep] = label_arr[li]
+        # explicit Arrow types: an all-pass partition would otherwise
+        # infer a null-typed drop_reason and clash with string partitions
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(copy=True)),
+                "keep": pa.array(keep),
+                "drop_reason": pa.array(reason, pa.string()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return (
+        g.map_batches(triage, batch_format="pyarrow")
+        .groupby("__dp")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -48,6 +48,21 @@ def _bucket_of(keys: list, salt: str) -> np.ndarray:
     return (h % np.uint64(_BUCKETS)).astype(np.int64)
 
 
+def label_bounds(ratios: dict[str, float]) -> tuple[list[str], np.ndarray]:
+    """Validate ``ratios`` and return (labels, cumulative bucket-space
+    thresholds) — the shared primitive behind :func:`hash_split` and
+    the composed curation pipeline's inline split assignment."""
+    if not ratios:
+        raise ValueError("ratios must be a non-empty {label: fraction} dict")
+    tot = sum(ratios.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {tot}")
+    labels = list(ratios)
+    cum = np.cumsum([ratios[l] for l in labels])
+    bounds = np.minimum(np.round(cum * _BUCKETS).astype(np.int64), _BUCKETS)
+    return labels, bounds
+
+
 def hash_split(
     ds: rd.Dataset,
     key_col: str,
@@ -60,14 +75,7 @@ def hash_split(
     ``ratios`` values must sum to 1 (1e-9 tolerance); thresholds are
     cumulative over a 10,000-bucket space, so realized proportions are
     exact to 1e-4 in expectation."""
-    if not ratios:
-        raise ValueError("ratios must be a non-empty {label: fraction} dict")
-    tot = sum(ratios.values())
-    if abs(tot - 1.0) > 1e-9:
-        raise ValueError(f"ratios must sum to 1, got {tot}")
-    labels = list(ratios)
-    cum = np.cumsum([ratios[l] for l in labels])
-    bounds = np.minimum(np.round(cum * _BUCKETS).astype(np.int64), _BUCKETS)
+    labels, bounds = label_bounds(ratios)
 
     def fn(t: pa.Table) -> pa.Table:
         b = _bucket_of(t.column(key_col).to_pylist(), salt)

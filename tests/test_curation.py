@@ -249,3 +249,57 @@ def test_dup_ngram_frac_validates_n():
     ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["a b c"]}))
     with pytest.raises(ValueError, match="n must be"):
         dup_ngram_frac(ds, n=0)
+
+
+def test_curate_corpus_all_branches():
+    from fozziejoin_ray.pipelines.curation import curate_corpus
+
+    rep_doc = " ".join("the quick brown fox jumps over that lazy dog with vigor now".split() * 6)
+    keep_a = " ".join(f"alpha{i} beta{i} the of" for i in range(30))
+    keep_b = " ".join(f"gamma{i} delta{i} the of" for i in range(30))
+    docs = {
+        0: rep_doc,   # passes gopher, dup_word_frac ~0.83 -> repetition
+        1: keep_a,    # kept (winner of the duplicate group)
+        2: keep_a,    # exact dup of 1 -> duplicate
+        3: "tiny doc",  # word count -> quality
+        4: None,      # null text -> quality
+        5: keep_b,    # kept
+    }
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(docs), "text": pa.array(list(docs.values()), pa.string())})
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate_corpus(
+            ds, max_dup_word_frac=0.5, num_partitions=3, salt="s"
+        ).take_all()
+    }
+    assert len(out) == 6
+    assert out[0]["drop_reason"] == "repetition" and not out[0]["keep"]
+    assert out[1]["keep"] and out[1]["drop_reason"] is None
+    assert out[1]["split"] in ("train", "val", "test")
+    assert out[2]["drop_reason"] == "duplicate" and out[2]["split"] is None
+    assert out[3]["drop_reason"] == "quality"
+    assert out[4]["drop_reason"] == "quality"
+    assert out[5]["keep"]
+
+
+def test_curate_corpus_split_matches_hash_split():
+    from fozziejoin_ray.pipelines.curation import curate_corpus
+    from fozziejoin_ray.pipelines.split import hash_split
+
+    keepers = [" ".join(f"w{i}x{j} y{i}z{j} the of" for j in range(30)) for i in range(20)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(20)), "text": keepers}))
+    ratios = {"train": 0.5, "val": 0.25, "test": 0.25}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in curate_corpus(ds, ratios=ratios, salt="q", max_dup_word_frac=0.9).take_all()
+        if r["keep"]
+    }
+    assert got, "expected some kept docs"
+    exp = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ds.select_columns(["doc_id"]), "doc_id", ratios, salt="q").take_all()
+    }
+    for i, s in got.items():
+        assert s == exp[i]
