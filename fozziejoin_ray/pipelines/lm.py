@@ -224,8 +224,12 @@ def lm_score(
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
     if model is None:
-        src = ds if model_ds is None else model_ds
-        model = build_bigram_lm(src, model_text_col or text_col)
+        if model_ds is None:
+            # self-perplexity reads ds twice (model build + scoring):
+            # materialize once so the upstream graph executes once
+            ds = ds.materialize()
+            model_ds = ds
+        model = build_bigram_lm(model_ds, model_text_col or text_col)
     if model["V"] < 1:
         raise ValueError("model corpus has no tokens")
     mref = ray.put(model)
