@@ -692,6 +692,16 @@ def _dup_ngram_query(sf_dir: str):
     return _round_col(out, "dup_gram_frac")
 
 
+def _dedup_para_query(sf_dir: str):
+    """Sub-document exact dedup with reassembly. sep=' ' makes every
+    word a 'paragraph' so the single-line synthetic corpus exercises
+    the cross-document removal + in-order rebuild machinery hard."""
+    from fozziejoin_ray.pipelines.dedup import dedup_paragraphs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_paragraphs(docs, "text", "doc_id", sep=" ", num_partitions=16)
+
+
 def _lm_score_query(sf_dir: str):
     """Add-1 bigram-LM self-perplexity (CCNet-style quality signal):
     the model is built by a distributed pass over the same table, so
@@ -855,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_frac": _dup_ngram_query,
         "lm_score": _lm_score_query,
         "curate_corpus": _curate_query,
+        "dedup_paragraphs": _dedup_para_query,
         # event windowing
         "window_tumbling": _window_tumbling_query,
         "window_hopping": _window_hopping_query,
@@ -1266,6 +1277,23 @@ def oracle_sql() -> dict[str, str]:
                    drop_reason,
                    CASE WHEN drop_reason IS NULL THEN {_curate_split} END AS split
             FROM fin""",
+        # paragraph-level exact dedup (sep=' ' -> word granularity on
+        # this corpus): global first occurrence by (doc_id, position)
+        # survives; docs rebuilt from survivors in order
+        "dedup_paragraphs": """
+            WITH p AS (
+              SELECT doc_id, i, ps[i] AS para
+              FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ps FROM documents),
+                   UNNEST(range(1, len(ps) + 1)) AS t(i)),
+            k AS (
+              SELECT doc_id, i, para,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, i) = 1 AS keep
+              FROM p)
+            SELECT doc_id,
+                   COALESCE(string_agg(para, ' ' ORDER BY i) FILTER (WHERE keep), '') AS text,
+                   CAST(COUNT(*) AS BIGINT) AS n_paras,
+                   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+            FROM k GROUP BY doc_id""",
         # add-1 bigram LM self-perplexity: P(w2|w1) = (c12+1)/(c1*+V),
         # doc score = mean ln P over its bigrams; <2-token docs -> NULL
         "lm_score": """

@@ -1481,3 +1481,108 @@ def jaccard_score_fn(shingle_k: int, threshold: float):
         return keep, sims[keep]
 
     return fn
+
+
+def dedup_paragraphs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n\n",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Exact PARAGRAPH-level dedup (the MassiveText / Lee et al. 2022
+    sub-document mode): every occurrence of a paragraph that already
+    appeared earlier in the corpus is removed, and each document is
+    reassembled from its surviving paragraphs in original order.
+    "First occurrence" is global and deterministic: the smallest
+    ``(id, position)`` lexicographically. Output one row per input
+    document: ``(id_col, text_col (deduped), n_paras, n_removed)`` —
+    a document whose every paragraph was removed keeps an empty string.
+
+    Paragraphs are ``sep``-delimited (literal split, empty segments
+    participate uniformly); null text behaves as ``""``.
+
+    Scale shape (two bounded exchanges, no driver state):
+
+    1. per batch: explode to ``(id, pos, para)`` with one Arrow literal
+       split — no per-row Python; route by paragraph content hash;
+    2. paragraph-hash partition: all occurrences of a paragraph are
+       co-located, so one composite sort (para, id, pos) + a
+       first-of-run mask picks the global winners exactly; rows
+       re-route by id hash;
+    3. id partition: per-document position sort + separator join
+       rebuilds the text; counts come from the same pass.
+
+    The paragraph payload crosses the exchange twice — inherent to
+    reassembly (content must reach the winner decision and come back).
+    Skew note: a boilerplate paragraph repeated 10^9 times lands in one
+    partition but arrives as occurrence ROWS that one sorted run
+    resolves vectorized; the winner mask is O(rows) with no per-group
+    dispatch."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        txt = pc.fill_null(t.column(text_col), "")
+        paras = pc.split_pattern(txt, sep)
+        if isinstance(paras, pa.ChunkedArray):
+            paras = paras.combine_chunks()
+        flat = paras.flatten()
+        parents = pc.list_parent_indices(paras).to_numpy(zero_copy_only=False)
+        # position within the parent document: global index minus the
+        # parent's first global index
+        starts = np.asarray(paras.offsets)[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        h = pd.util.hash_array(
+            np.asarray(flat.to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return pa.table(
+            {
+                id_col: idc.take(pa.array(parents)),
+                "__pos": pa.array(pos),
+                "__para": flat,
+                "__pp": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+            }
+        )
+
+    def winners(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop(columns=["__pp"]).sort_values(
+            ["__para", id_col, "__pos"], kind="stable"
+        )
+        keep = ~df["__para"].duplicated().to_numpy()
+        out = df.assign(__keep=keep)
+        h = pd.util.hash_array(out[id_col].to_numpy(), categorize=False)
+        return out.assign(__dp=(h % np.uint64(num_partitions)).astype(np.int64))
+
+    def reassemble(df: "pd.DataFrame") -> pa.Table:
+        df = df.sort_values([id_col, "__pos"], kind="stable")
+        ids = df[id_col].to_numpy()
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.nonzero(first)[0]
+        keep = df["__keep"].to_numpy(bool)
+        paras = df["__para"].to_numpy(object)
+        n_paras = np.diff(np.r_[starts, len(df)])
+        texts = []
+        removed = np.zeros(len(starts), dtype=np.int64)
+        for gi, (s, n) in enumerate(zip(starts, n_paras)):
+            k = keep[s : s + n]
+            removed[gi] = int(n - k.sum())
+            texts.append(sep.join(paras[s : s + n][k]))
+        return pa.table(
+            {
+                id_col: pa.Array.from_pandas(pd.Series(ids[starts])),
+                text_col: pa.array(texts, pa.string()),
+                "n_paras": pa.array(n_paras.astype(np.int64)),
+                "n_removed": pa.array(removed),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(winners, batch_format="pandas")
+        .groupby("__dp")
+        .map_groups(reassemble, batch_format="pandas")
+    )

@@ -394,3 +394,42 @@ def test_gopher_rules_thresholds_configurable():
     loose = gopher_rules(ds, min_words=1, min_mean_word_len=1.0).take_all()[0]
     assert loose["gopher_pass"] is True
     assert loose["n_stop_kinds"] == 2  # the, and
+
+
+def test_dedup_paragraphs_hand_and_fuzz():
+    from fozziejoin_ray.pipelines.dedup import dedup_paragraphs
+
+    SEP = "\n\n"
+    docs = {
+        0: "alpha" + SEP + "beta" + SEP + "gamma",
+        1: "beta" + SEP + "delta",             # beta already in doc 0
+        2: "alpha" + SEP + "alpha",            # cross-doc AND within-doc dup
+        3: "",                                 # single empty paragraph
+        4: "",                                 # dup of doc 3's empty paragraph
+        5: "unique" + SEP + "" + SEP + "zeta", # mid empty para is a dup too
+    }
+    ds = rd.from_arrow(pa.table({"doc_id": list(docs), "text": list(docs.values())}))
+    out = {r["doc_id"]: r for r in dedup_paragraphs(ds, sep=SEP, num_partitions=3).take_all()}
+
+    def brute(all_docs):
+        seen, exp = {}, {}
+        for i in sorted(all_docs):
+            for p, para in enumerate(all_docs[i].split(SEP)):
+                seen.setdefault(para, (i, p))
+        for i in sorted(all_docs):
+            paras = all_docs[i].split(SEP)
+            kept = [p for j, p in enumerate(paras) if seen[p] == (i, j)]
+            exp[i] = (SEP.join(kept), len(paras), len(paras) - len(kept))
+        return exp
+
+    for i, e in brute(docs).items():
+        assert (out[i]["text"], out[i]["n_paras"], out[i]["n_removed"]) == e, i
+    assert out[1]["text"] == "delta" and out[2]["text"] == ""
+
+    rng = np.random.RandomState(5)
+    vocab = [f"p{j} filler" for j in range(12)]
+    rdocs = {i: SEP.join(rng.choice(vocab, rng.randint(1, 6))) for i in range(120)}
+    ds2 = rd.from_arrow(pa.table({"doc_id": list(rdocs), "text": list(rdocs.values())}))
+    out2 = {r["doc_id"]: r for r in dedup_paragraphs(ds2, sep=SEP, num_partitions=5).take_all()}
+    for i, e in brute(rdocs).items():
+        assert (out2[i]["text"], out2[i]["n_paras"], out2[i]["n_removed"]) == e, i
