@@ -702,6 +702,37 @@ def _dedup_para_query(sf_dir: str):
     return dedup_paragraphs(docs, "text", "doc_id", sep=" ", num_partitions=16)
 
 
+def _normalize_query(sf_dir: str):
+    """Text normalization over a deterministically-messed-up copy of
+    the corpus (upper-case + tabs + edge padding) so every step —
+    NFC, lower, whitespace collapse, trim — does real work."""
+    import pyarrow.compute as _pc
+
+    from fozziejoin_ray.pipelines.text import normalize_text
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def mess(t):
+        messy = _pc.binary_join_element_wise(
+            "\t ", _pc.utf8_upper(t["text"]), " x\t", ""
+        )
+        return t.append_column("messy", messy)
+
+    out = normalize_text(
+        docs.map_batches(mess, batch_format="pyarrow"), "messy", out_col="text_norm"
+    )
+    return out.select_columns(["doc_id", "text_norm"])
+
+
+def _inverted_index_query(sf_dir: str):
+    """Inverted index over the documents table; max_df=450 drops the
+    near-universal stop-terms of this 500-doc corpus."""
+    from fozziejoin_ray.pipelines.text import build_inverted_index
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return build_inverted_index(docs, "text", "doc_id", max_df=450, num_partitions=8)
+
+
 def _lm_score_query(sf_dir: str):
     """Add-1 bigram-LM self-perplexity (CCNet-style quality signal):
     the model is built by a distributed pass over the same table, so
@@ -866,6 +897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _lm_score_query,
         "curate_corpus": _curate_query,
         "dedup_paragraphs": _dedup_para_query,
+        "normalize_text": _normalize_query,
+        "inverted_index": _inverted_index_query,
         # event windowing
         "window_tumbling": _window_tumbling_query,
         "window_hopping": _window_hopping_query,
@@ -1277,6 +1310,25 @@ def oracle_sql() -> dict[str, str]:
                    drop_reason,
                    CASE WHEN drop_reason IS NULL THEN {_curate_split} END AS split
             FROM fin""",
+        # normalization over a deterministically-messy copy: the mess
+        # expression and every normalize step map 1:1 to SQL
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                        lower(nfc_normalize(chr(9) || ' ' || upper(text) || ' x' || chr(9))),
+                        '\s+', ' ', 'g')) AS text_norm
+            FROM documents""",
+        # inverted index: df + comma-joined sorted postings per term,
+        # stop-terms above max_df=450 dropped
+        "inverted_index": """
+            WITH dg AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+')) AS term
+              FROM documents)
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM dg GROUP BY term HAVING COUNT(*) <= 450""",
         # paragraph-level exact dedup (sep=' ' -> word granularity on
         # this corpus): global first occurrence by (doc_id, position)
         # survives; docs rebuilt from survivors in order

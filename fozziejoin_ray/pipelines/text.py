@@ -408,3 +408,122 @@ def tfidf_top_terms(
         scored, id_col, "score", k,
         descending=True, tie_cols="term", num_partitions=num_partitions,
     )
+
+
+def normalize_text(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    *,
+    nfc: bool = True,
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+    strip: bool = True,
+    out_col: str | None = None,
+) -> rd.Dataset:
+    """CCNet-style text normalization as one shuffle-free per-batch map:
+    Unicode NFC composition, lowercasing, whitespace collapsing (any
+    ``\\s+`` run -> one space) and edge trimming — each step optional
+    and applied in that order. Writes ``out_col`` (default: replace
+    ``text_col`` in place). Nulls stay null.
+
+    Every step maps 1:1 onto a DuckDB expression (``nfc_normalize``,
+    ``lower``, ``regexp_replace(..., '\\s+', ' ', 'g')``, ``trim``), so
+    the driver oracle replicates the output byte-for-byte.
+
+    NFC is a hybrid: ASCII rows (identically NFC by definition) pass
+    through untouched via one vectorized non-ASCII probe; only the
+    non-ASCII subset goes through ``unicodedata.normalize`` row-wise.
+    (This environment's pyarrow ``utf8_normalize`` is a silent no-op —
+    built without unicode tables — so it cannot be used: it would
+    diverge from any real NFC implementation on decomposed input.)"""
+    import unicodedata
+
+    def _nfc(s: pa.StringArray) -> pa.StringArray:
+        hit = pc.fill_null(pc.match_substring_regex(s, r"[^\x00-\x7F]"), False)
+        idx = np.nonzero(hit.to_numpy(zero_copy_only=False))[0]
+        if not len(idx):
+            return s
+        vals = s.take(pa.array(idx)).to_pylist()
+        fixed = pa.array([unicodedata.normalize("NFC", v) for v in vals], pa.string())
+        out = s.to_numpy(zero_copy_only=False).copy()
+        out[idx] = fixed.to_numpy(zero_copy_only=False)
+        return pa.array(out, pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t.column(text_col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if nfc:
+            s = _nfc(s)
+        if lowercase:
+            s = pc.utf8_lower(s)
+        if collapse_ws:
+            s = pc.replace_substring_regex(s, r"\s+", " ")
+        if strip:
+            s = pc.utf8_trim_whitespace(s)
+        name = out_col or text_col
+        if name in t.column_names:
+            return t.set_column(t.schema.get_field_index(name), name, s)
+        return t.append_column(name, s)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def build_inverted_index(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_df: int | None = None,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Build a search-style inverted index over the shared lowercase
+    ASCII tokenizer: one row per term with ``df`` (document frequency)
+    and ``postings`` — the sorted document ids joined with ``,`` (a
+    string, not a list column, so the result is directly comparable
+    across engines and writable to any sink).
+
+    ``max_df`` drops stop-terms with more than that many documents —
+    the standard index-size/skew control: a term in every document
+    otherwise produces one posting row per document and a giant output
+    row. Scale shape: the distinct (doc, term) pair stream re-uses
+    :func:`_doc_term_counts` (per-batch partial, one row per distinct
+    doc-term), then ONE term-keyed exchange builds each term's posting
+    list with a composite sort + run-length boundaries — no per-term
+    Python dispatch, no driver state."""
+    import pandas as pd
+
+    flat = _doc_term_counts(ds, text_col, id_col)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["term"].to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return t.append_column("__tp", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def per_term(df: "pd.DataFrame") -> pa.Table:
+        df = df.sort_values(["term", id_col], kind="stable")
+        terms = df["term"].to_numpy(object)
+        first = np.r_[True, terms[1:] != terms[:-1]]
+        starts = np.nonzero(first)[0]
+        df_counts = np.diff(np.r_[starts, len(df)])
+        ids = df[id_col].to_numpy()
+        keep = np.ones(len(starts), bool) if max_df is None else df_counts <= max_df
+        postings = [
+            ",".join(map(str, ids[s : s + n]))
+            for s, n, k in zip(starts, df_counts, keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "term": pa.array(terms[starts][keep], pa.string()),
+                "df": pa.array(df_counts[keep].astype(np.int64)),
+                "postings": pa.array(postings, pa.string()),
+            }
+        )
+
+    return (
+        flat.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__tp")
+        .map_groups(per_term, batch_format="pandas")
+    )

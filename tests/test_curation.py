@@ -303,3 +303,53 @@ def test_curate_corpus_split_matches_hash_split():
     }
     for i, s in got.items():
         assert s == exp[i]
+
+
+def test_normalize_text_steps():
+    from fozziejoin_ray.pipelines.text import normalize_text
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": pa.array(["  Hello\t\tWORLD \n", "Cafe\u0301  X", None], pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r["text"] for r in normalize_text(ds).take_all()}
+    assert out[0] == "hello world"
+    assert out[1] == "café x"  # NFC composed to precomposed é
+    assert out[2] is None
+    kept = {
+        r["doc_id"]: r
+        for r in normalize_text(ds, out_col="norm", lowercase=False, nfc=False).take_all()
+    }
+    assert kept[0]["text"] == "  Hello\t\tWORLD \n"  # original untouched
+    assert kept[0]["norm"] == "Hello WORLD"
+    assert kept[1]["norm"] == "Cafe\u0301 X"  # no NFC: stays decomposed
+
+
+def test_build_inverted_index_vs_brute():
+    import collections
+    import re
+
+    from fozziejoin_ray.pipelines.text import build_inverted_index
+
+    rng = np.random.RandomState(9)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog"]
+    docs = {i: " ".join(rng.choice(vocab, rng.randint(0, 8))) for i in range(60)}
+    ds = rd.from_arrow(pa.table({"doc_id": list(docs), "text": list(docs.values())}))
+    got = {r["term"]: r for r in build_inverted_index(ds, num_partitions=4).take_all()}
+
+    post = collections.defaultdict(set)
+    for i, d in docs.items():
+        for w in set(re.split(r"[^0-9a-z_]+", d.lower())) - {""}:
+            post[w].add(i)
+    assert set(got) == set(post)
+    for w, ids in post.items():
+        assert got[w]["df"] == len(ids)
+        assert got[w]["postings"] == ",".join(map(str, sorted(ids)))
+
+    capped = {r["term"] for r in build_inverted_index(ds, max_df=30, num_partitions=4).take_all()}
+    assert capped == {w for w, ids in post.items() if len(ids) <= 30}
+    assert capped != set(post)  # something was actually dropped
