@@ -683,6 +683,72 @@ def _window_hopping_query(sf_dir: str):
     return out
 
 
+def _equi_inner_query(sf_dir: str):
+    """Core distributed equality join (grace-style partitioned hash
+    join, joins/hashjoin.py): orders x customer on custkey. TPC-H
+    column prefixes guarantee no name collision; the key survives
+    under its left name (o_custkey)."""
+    from fozziejoin_ray.joins.hashjoin import hash_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    return hash_join(
+        orders, cust, "o_custkey", "c_custkey", how="inner", num_partitions=16
+    )
+
+
+def _equi_anti_query(sf_dir: str):
+    """Anti join: customers with no large order (left_anti mode of the
+    same partitioned hash join; the price filter keeps the anti side
+    non-degenerate at every sf)."""
+    from fozziejoin_ray.joins.hashjoin import hash_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], 350000.0)).select(["o_custkey"])
+
+    big_orders = orders.map_batches(big, batch_format="pyarrow")
+    return hash_join(
+        cust, big_orders, "c_custkey", "o_custkey", how="left_anti", num_partitions=16
+    )
+
+
+def _json_extract_query(sf_dir: str):
+    """Vectorized JSON field promotion from events.props (one C++
+    NDJSON parse per batch, pipelines/jsonx.py)."""
+    from fozziejoin_ray.pipelines.jsonx import extract_json
+
+    ev = _t(sf_dir, "events", ["event_id", "props"])
+    out = extract_json(
+        ev, json_col="props", fields={"k": pa.int64()}, prefix="prop_", drop_json_col=True
+    )
+    return out
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _pivot_events_query(sf_dir: str):
+    """Long->wide per-user event-type counts (in-batch partial pivot +
+    one user-hash merge)."""
+    from fozziejoin_ray.pipelines.events import pivot_event_counts
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_event_counts(ev, categories=_EVENT_TYPES, num_partitions=8)
+
+
+def _event_funnel_query(sf_dir: str):
+    """Greedy-earliest signup->click->purchase funnel depth per user
+    (strictly increasing timestamps)."""
+    from fozziejoin_ray.pipelines.events import event_funnel
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return event_funnel(ev, steps=_FUNNEL_STEPS, num_partitions=8)
+
+
 def _dup_ngram_query(sf_dir: str):
     """Cross-document duplicate-trigram fraction (Lee et al. signal)."""
     from fozziejoin_ray.pipelines.curation import dup_ngram_frac
@@ -899,9 +965,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": _dedup_para_query,
         "normalize_text": _normalize_query,
         "inverted_index": _inverted_index_query,
+        # relational core
+        "equi_inner": _equi_inner_query,
+        "equi_anti": _equi_anti_query,
+        "json_extract": _json_extract_query,
         # event windowing
         "window_tumbling": _window_tumbling_query,
         "window_hopping": _window_hopping_query,
+        "pivot_events": _pivot_events_query,
+        "event_funnel": _event_funnel_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1367,6 +1439,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sc.lp, 6) AS lm_logprob,
                    ROUND(exp(-sc.lp), 6) AS perplexity
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+        "equi_inner": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "equi_anti": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 350000.0)""",
+        "json_extract": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+            FROM events""",
+        "pivot_events": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id""",
+        # greedy-earliest funnel: each CTE takes the user's earliest
+        # step-i event strictly after the step-(i-1) timestamp — the
+        # same recurrence the engine's np.minimum.at loop computes
+        "event_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                        JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                        WHERE e.event_type = 'click' GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                        JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_depth,
+                   s3.user_id IS NOT NULL AS completed
+            FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+                   LEFT JOIN s2 ON u.user_id = s2.user_id
+                   LEFT JOIN s3 ON u.user_id = s3.user_id""",
         "window_tumbling": """
             SELECT user_id,
                    (epoch_us(ts) // 21600000000) * 21600000000 AS win_start,

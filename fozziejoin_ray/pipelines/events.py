@@ -191,6 +191,139 @@ def window_agg(
     )
 
 
+def pivot_event_counts(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    categories: list[str] | tuple[str, ...],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """One row per user with a ``n_<category>`` int64 count column per
+    entry of ``categories`` (the classic long->wide event pivot).
+
+    ``categories`` must be passed explicitly: a distributed engine cannot
+    discover the output schema from the data without an extra pass, and a
+    fixed schema is what downstream feature stores need anyway. Rows whose
+    type is not in ``categories`` count toward the user's row presence but
+    no pivot column (documented: they are neither dropped users nor an
+    error).
+
+    Scale design: counts are PARTIALLY AGGREGATED inside each batch with
+    one ``np.add.at`` scatter over (user x category) cells, so the single
+    hash shuffle moves one row per (user, batch) — not per event; the
+    per-partition merge sums partials. Exact (integer counts).
+    """
+    import pandas as pd
+
+    cats = list(categories)
+    if len(set(cats)) != len(cats) or not cats:
+        raise ValueError("categories must be a non-empty list of distinct types")
+    ncols = [f"n_{c}" for c in cats]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([user_col, type_col]).to_pandas()
+        users, uidx = np.unique(df[user_col].to_numpy(), return_inverse=True)
+        codes = pd.Categorical(df[type_col], categories=cats).codes.astype(np.int64)
+        mat = np.zeros((len(users), len(cats)), dtype=np.int64)
+        known = codes >= 0
+        np.add.at(mat, (uidx[known], codes[known]), 1)
+        cols: dict[str, object] = {user_col: users}
+        for j, name in enumerate(ncols):
+            cols[name] = mat[:, j]
+        out = pa.table(cols)
+        h = pd.util.hash_array(np.asarray(users), categorize=False)
+        return out.append_column("__sp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def merge(df):
+        if not len(df):
+            return df.drop(columns=["__sp"])
+        out = df.drop(columns=["__sp"]).groupby(user_col, sort=False, as_index=False)[ncols].sum()
+        for c in ncols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        events.select_columns([user_col, type_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def event_funnel(
+    events: rd.Dataset,
+    *,
+    steps: list[str] | tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Greedy-earliest funnel: one row per user with ``funnel_depth`` =
+    the number of leading ``steps`` the user completed with STRICTLY
+    increasing timestamps, matching each step at its earliest feasible
+    event, plus ``completed`` (depth == len(steps)).
+
+    Greedy-earliest is the standard funnel semantics and is also optimal
+    here: taking the earliest feasible match for step *i* can only widen
+    the choices for step *i+1*, so the greedy depth equals the maximum
+    achievable depth. Equal-timestamp events cannot chain (strict ``>``),
+    which keeps the result independent of tie order.
+
+    Scale design: one hash shuffle on ``user_col``; inside a partition
+    the scan loops over STEPS (a handful), never rows — each step is one
+    boolean mask plus one ``np.minimum.at`` grouped-min over the
+    partition's events. Users with zero qualifying events still appear
+    (depth 0).
+    """
+    import pandas as pd
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    _I64MAX = np.iinfo(np.int64).max
+
+    def part(df):
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype=df[user_col].dtype if user_col in df else object),
+                    "funnel_depth": pd.Series([], dtype=np.int64),
+                    "completed": pd.Series([], dtype=bool),
+                }
+            )
+        if df[ts_col].dtype != "datetime64[us]":
+            df = df.copy()
+            df[ts_col] = df[ts_col].astype("datetime64[us]")
+        ts = df[ts_col].astype("int64").to_numpy()
+        users, uidx = np.unique(df[user_col].to_numpy(), return_inverse=True)
+        types = df[type_col].to_numpy()
+        depth = np.zeros(len(users), dtype=np.int64)
+        prev = np.full(len(users), np.iinfo(np.int64).min)
+        for i, step in enumerate(steps):
+            elig = (depth[uidx] == i) & (types == step) & (ts > prev[uidx])
+            t_min = np.full(len(users), _I64MAX)
+            np.minimum.at(t_min, uidx[elig], ts[elig])
+            adv = (t_min < _I64MAX) & (depth == i)
+            depth[adv] += 1
+            prev[adv] = t_min[adv]
+        return pd.DataFrame(
+            {
+                user_col: users,
+                "funnel_depth": depth,
+                "completed": depth == len(steps),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col, type_col])
+        .map_batches(_hash_part(user_col, num_partitions), batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(part, batch_format="pandas")
+    )
+
+
 def session_stats(
     events: rd.Dataset,
     *,

@@ -178,3 +178,123 @@ def test_window_agg_validates_hop():
         window_agg(ds, width=60, hop=25, unit="seconds")
     with pytest.raises(ValueError, match="positive"):
         window_agg(ds, width=0, unit="seconds")
+
+
+# ----------------------------------------------------- pivot + funnel
+
+
+def evt(rows):
+    """rows: (user, seconds, type)"""
+    us, ts, ty = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": list(us),
+                "ts": pa.array([B + dt.timedelta(seconds=s) for s in ts], pa.timestamp("us")),
+                "event_type": list(ty),
+            }
+        )
+    )
+
+
+FUNNEL_ROWS = [
+    # user 1 completes a->b->c in order
+    (1, 0.0, "a"), (1, 5.0, "b"), (1, 9.0, "c"),
+    # user 2: b before a -> only depth 1 (a at t=10, no b after)
+    (2, 0.0, "b"), (2, 10.0, "a"),
+    # user 3: a then b at the SAME timestamp -> strict > blocks b
+    (3, 0.0, "a"), (3, 0.0, "b"),
+    # user 4: no funnel events at all
+    (4, 0.0, "x"),
+    # user 5: a, b, c but c before b -> depth 2
+    (5, 0.0, "a"), (5, 2.0, "c"), (5, 4.0, "b"),
+    # user 6: greedy earliest-a still allows later completion
+    (6, 0.0, "a"), (6, 1.0, "a"), (6, 2.0, "b"), (6, 3.0, "c"),
+]
+FUNNEL_EXP = {1: 3, 2: 1, 3: 1, 4: 0, 5: 2, 6: 3}
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_event_funnel(nparts):
+    from fozziejoin_ray.pipelines.events import event_funnel
+
+    out = event_funnel(
+        evt(FUNNEL_ROWS), steps=["a", "b", "c"], num_partitions=nparts
+    ).take_all()
+    got = {d["user_id"]: d["funnel_depth"] for d in out}
+    assert got == FUNNEL_EXP
+    comp = {d["user_id"]: d["completed"] for d in out}
+    assert comp == {u: d == 3 for u, d in FUNNEL_EXP.items()}
+
+
+def test_event_funnel_repeated_step():
+    from fozziejoin_ray.pipelines.events import event_funnel
+
+    rows = [(1, 0.0, "a"), (1, 1.0, "a"), (2, 0.0, "a")]
+    out = event_funnel(evt(rows), steps=["a", "a"], num_partitions=2).take_all()
+    got = {d["user_id"]: d["funnel_depth"] for d in out}
+    assert got == {1: 2, 2: 1}
+
+
+def test_pivot_event_counts():
+    from fozziejoin_ray.pipelines.events import pivot_event_counts
+
+    out = pivot_event_counts(
+        evt(FUNNEL_ROWS), categories=["a", "b", "c"], num_partitions=3
+    ).take_all()
+    got = {d["user_id"]: (d["n_a"], d["n_b"], d["n_c"]) for d in out}
+    assert got == {
+        1: (1, 1, 1),
+        2: (1, 1, 0),
+        3: (1, 1, 0),
+        4: (0, 0, 0),  # unknown type 'x' keeps the user, adds no count
+        5: (1, 1, 1),
+        6: (2, 1, 1),
+    }
+    with pytest.raises(ValueError, match="distinct"):
+        pivot_event_counts(evt(FUNNEL_ROWS), categories=["a", "a"])
+
+
+def test_extract_json():
+    from fozziejoin_ray.pipelines.jsonx import extract_json
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": [1, 2, 3, 4, 5, 6],
+                "props": [
+                    '{"k": 87, "s": "x"}',
+                    None,
+                    "",
+                    '{"s": "only-s"}',
+                    '{"k": null}',
+                    '{"k": 3, "extra": [1,2]}',
+                ],
+            }
+        )
+    )
+    out = extract_json(
+        ds, json_col="props", fields={"k": pa.int64(), "s": pa.string()}, prefix="p_"
+    ).take_all()
+    got = {d["id"]: (d["p_k"], d["p_s"]) for d in out}
+    assert got == {
+        1: (87, "x"),
+        2: (None, None),
+        3: (None, None),
+        4: (None, "only-s"),
+        5: (None, None),
+        6: (3, None),
+    }
+
+
+def test_extract_json_raw_newline_fallback():
+    from fozziejoin_ray.pipelines.jsonx import extract_json
+
+    # a malformed producer emitted a raw newline inside a JSON string:
+    # the batch routes through the row-wise fallback with identical
+    # missing->null semantics
+    ds = rd.from_arrow(
+        pa.table({"id": [1, 2], "props": ['{"k": 1}', '{"k": 2, "s": "a\nb"}']})
+    )
+    out = extract_json(ds, json_col="props", fields={"k": pa.int64()}).take_all()
+    assert {d["id"]: d["k"] for d in out} == {1: 1, 2: 2}
