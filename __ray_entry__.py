@@ -749,6 +749,15 @@ def _event_funnel_query(sf_dir: str):
     return event_funnel(ev, steps=_FUNNEL_STEPS, num_partitions=8)
 
 
+def _chunk_docs_query(sf_dir: str):
+    """Fixed-window token chunking with overlap (pipelines/chunk.py):
+    16-token windows, 4-token overlap, whitespace tokens."""
+    from fozziejoin_ray.pipelines.chunk import chunk_documents
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, chunk_size=16, overlap=4)
+
+
 def _dup_ngram_query(sf_dir: str):
     """Cross-document duplicate-trigram fraction (Lee et al. signal)."""
     from fozziejoin_ray.pipelines.curation import dup_ngram_frac
@@ -974,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": _window_hopping_query,
         "pivot_events": _pivot_events_query,
         "event_funnel": _event_funnel_query,
+        "chunk_docs": _chunk_docs_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1480,6 +1490,23 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
                    LEFT JOIN s2 ON u.user_id = s2.user_id
                    LEFT JOIN s3 ON u.user_id = s3.user_id""",
+        # chunking: 1-based inclusive DuckDB list slices mirror the
+        # engine's [j*stride, j*stride+chunk_size) token windows
+        "chunk_docs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(regexp_split_to_array(text, '\s+'),
+                                             x -> x != '') AS tk
+                          FROM documents),
+                 nn AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+                 ch AS (SELECT doc_id, tk, n,
+                               unnest(generate_series(0,
+                                   CAST(CASE WHEN n <= 16 THEN 0
+                                        ELSE ceil((n - 16) / 12.0) END AS BIGINT))) AS j
+                        FROM nn)
+            SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+                   CAST(least(16, n - j*12) AS BIGINT) AS n_tokens,
+                   array_to_string(tk[j*12+1 : least(j*12+16, n)], ' ') AS chunk_text
+            FROM ch""",
         "window_tumbling": """
             SELECT user_id,
                    (epoch_us(ts) // 21600000000) * 21600000000 AS win_start,

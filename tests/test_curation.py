@@ -353,3 +353,33 @@ def test_build_inverted_index_vs_brute():
     capped = {r["term"] for r in build_inverted_index(ds, max_df=30, num_partitions=4).take_all()}
     assert capped == {w for w, ids in post.items() if len(ids) <= 30}
     assert capped != set(post)  # something was actually dropped
+
+
+def test_chunk_documents_layout():
+    import ray.data as rd
+
+    from fozziejoin_ray.pipelines.chunk import chunk_documents
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a b c d e f g", "x", "", None],
+            }
+        )
+    )
+    out = chunk_documents(ds, chunk_size=3, overlap=1).take_all()
+    got = {(d["doc_id"], d["chunk_id"]): (d["n_tokens"], d["chunk_text"]) for d in out}
+    # 7 tokens, window 3, stride 2 -> [0:3],[2:5],[4:7]; empty/null docs vanish
+    assert got == {
+        (1, 0): (3, "a b c"),
+        (1, 1): (3, "c d e"),
+        (1, 2): (3, "e f g"),
+        (2, 0): (1, "x"),
+    }
+    # every token covered, short-tail chunk allowed
+    out2 = chunk_documents(ds, chunk_size=4, overlap=0).take_all()
+    texts = [d["chunk_text"] for d in sorted(out2, key=lambda d: (d["doc_id"], d["chunk_id"])) if d["doc_id"] == 1]
+    assert texts == ["a b c d", "e f g"]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(ds, chunk_size=3, overlap=3)
