@@ -808,6 +808,34 @@ def _inverted_index_query(sf_dir: str):
     return build_inverted_index(docs, "text", "doc_id", max_df=450, num_partitions=8)
 
 
+# shared CTE core for the bigram-LM oracles: per-doc mean ln P(w2|w1)
+# under add-1 smoothing, built from the same table being scored
+_LM_CORE_SQL = """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
+              FROM documents),
+            big AS (
+              SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+            cb AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM big GROUP BY w1, w2),
+            cp AS (SELECT w1, SUM(c) AS cpre FROM cb GROUP BY w1),
+            v AS (SELECT CAST(COUNT(DISTINCT u.w) AS DOUBLE) AS nv
+                  FROM (SELECT unnest(ws) AS w FROM toks) u WHERE u.w <> ''),
+            sc AS (
+              SELECT doc_id, AVG(ln((c + 1) / (cpre + nv))) AS lp
+              FROM big JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
+              GROUP BY doc_id)"""
+
+
+def _ppl_buckets_query(sf_dir: str):
+    """CCNet-style perplexity tiers (head/middle/tail at the 1/3 and
+    2/3 corpus quantiles of round-3 perplexity)."""
+    from fozziejoin_ray.pipelines.lm import ppl_buckets
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ppl_buckets(docs, text_col="text", id_col="doc_id", k=1.0)
+
+
 def _lm_score_query(sf_dir: str):
     """Add-1 bigram-LM self-perplexity (CCNet-style quality signal):
     the model is built by a distributed pass over the same table, so
@@ -970,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _gopher_query,
         "dup_ngram_frac": _dup_ngram_query,
         "lm_score": _lm_score_query,
+        "ppl_buckets": _ppl_buckets_query,
         "curate_corpus": _curate_query,
         "dedup_paragraphs": _dedup_para_query,
         "normalize_text": _normalize_query,
@@ -1430,25 +1459,28 @@ def oracle_sql() -> dict[str, str]:
             FROM k GROUP BY doc_id""",
         # add-1 bigram LM self-perplexity: P(w2|w1) = (c12+1)/(c1*+V),
         # doc score = mean ln P over its bigrams; <2-token docs -> NULL
-        "lm_score": """
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
-              FROM documents),
-            big AS (
-              SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-              FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
-            cb AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM big GROUP BY w1, w2),
-            cp AS (SELECT w1, SUM(c) AS cpre FROM cb GROUP BY w1),
-            v AS (SELECT CAST(COUNT(DISTINCT u.w) AS DOUBLE) AS nv
-                  FROM (SELECT unnest(ws) AS w FROM toks) u WHERE u.w <> ''),
-            sc AS (
-              SELECT doc_id, AVG(ln((c + 1) / (cpre + nv))) AS lp
-              FROM big JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
-              GROUP BY doc_id)
+        "lm_score": f"""
+            {_LM_CORE_SQL}
             SELECT d.doc_id,
                    ROUND(sc.lp, 6) AS lm_logprob,
                    ROUND(exp(-sc.lp), 6) AS perplexity
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+        # CCNet perplexity tiers: thresholds are quantile_disc over the
+        # ROUND(ppl, 3) values (the engine's bounded-cardinality
+        # convention); buckets compare the same rounded value
+        "ppl_buckets": f"""
+            {_LM_CORE_SQL},
+            pr AS (SELECT d.doc_id, sc.lp, ROUND(exp(-sc.lp), 3) AS pr3
+                   FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+            th AS (SELECT quantile_disc(pr3, [1.0/3, 2.0/3]) AS t
+                   FROM pr WHERE pr3 IS NOT NULL)
+            SELECT pr.doc_id,
+                   ROUND(exp(-pr.lp), 6) AS perplexity,
+                   CASE WHEN pr.pr3 IS NULL THEN NULL
+                        WHEN pr.pr3 <= th.t[1] THEN 'head'
+                        WHEN pr.pr3 <= th.t[2] THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM pr CROSS JOIN th""",
         "equi_inner": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_nationkey
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",

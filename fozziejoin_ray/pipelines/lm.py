@@ -240,3 +240,74 @@ def lm_score(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def ppl_buckets(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+    qs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    round_dp: int = 3,
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> rd.Dataset:
+    """CCNet-style perplexity bucketing: score every doc with the add-k
+    bigram LM, then label it ``head`` / ``middle`` / ``tail`` by the
+    corpus-level perplexity quantiles ``qs`` (head = lowest perplexity =
+    most LM-like, the CCNet/RedPajama quality-tier convention).
+
+    Thresholding happens on perplexity ROUNDED to ``round_dp`` decimals:
+    rounding bounds the distinct-value cardinality that the exact
+    distributed quantile pass (pipelines/stats.py value-counts) must
+    move — a raw float64 column would have one distinct value per row,
+    so at 100 TB the quantile step would otherwise collect an
+    unbounded driver table. The same rounded value is compared against
+    the thresholds, so engine and SQL agree bit-for-bit. Docs with NULL
+    perplexity (< 2 tokens) get a NULL bucket.
+
+    Output: ``id_col``, ``perplexity`` (round 6, the lm_score surface),
+    ``ppl_bucket``. Scale: lm_score's one fused model groupby +
+    broadcast, one bounded value-counts exchange for the thresholds,
+    then a shuffle-free bucket map over the scored (materialized)
+    dataset.
+    """
+    import pyarrow.compute as pc
+
+    from .stats import column_quantiles
+
+    if not (0.0 < qs[0] < qs[1] < 1.0):
+        raise ValueError(f"qs must be two increasing quantiles in (0,1), got {qs}")
+    # scored feeds both the threshold pass and the bucket map: one run
+    scored = lm_score(ds, text_col=text_col, k=k).materialize()
+
+    def proj(t: pa.Table) -> pa.Table:
+        pr = pc.round(t["perplexity"], ndigits=round_dp, round_mode="half_towards_infinity")
+        out = pa.table({id_col: t[id_col], "__pr": pr})
+        return out.filter(pc.is_valid(out["__pr"]))
+
+    thr = column_quantiles(
+        scored.map_batches(proj, batch_format="pyarrow"), "__pr", list(qs)
+    )
+    t1, t2 = thr.column("value").to_pylist()
+
+    def assign(t: pa.Table) -> pa.Table:
+        pr = pc.round(t["perplexity"], ndigits=round_dp, round_mode="half_towards_infinity")
+        bucket = pc.if_else(
+            pc.less_equal(pr, pa.scalar(t1, pa.float64())),
+            pa.scalar(labels[0], pa.string()),
+            pc.if_else(
+                pc.less_equal(pr, pa.scalar(t2, pa.float64())),
+                pa.scalar(labels[1], pa.string()),
+                pa.scalar(labels[2], pa.string()),
+            ),
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "perplexity": pc.round(t["perplexity"], ndigits=6, round_mode="half_towards_infinity"),
+                "ppl_bucket": bucket,
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")

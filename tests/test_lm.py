@@ -82,3 +82,30 @@ def test_build_bigram_lm_empty_corpus():
     assert model["V"] == 0 and len(model["pair_h"]) == 0
     with pytest.raises(ValueError, match="no tokens"):
         lm_score(ds, model=model)
+
+
+def test_ppl_buckets_tiers():
+    from fozziejoin_ray.pipelines.lm import ppl_buckets
+
+    # 9 scoreable docs -> 3 per tier at the 1/3 and 2/3 quantiles,
+    # plus one unscoreable (single-token) doc -> NULL bucket
+    docs = [
+        "a a a a a a", "a a a a a b", "a a a a b b",
+        "a a b b a b", "b a b a b a", "a b b b a a",
+        "c c d d c d", "d c e e d c", "e e c c d e",
+        "solo",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))), "text": docs}))
+    out = ppl_buckets(ds).take_all()
+    by_id = {d["doc_id"]: d for d in out}
+    assert len(out) == len(docs)
+    assert by_id[9]["ppl_bucket"] is None
+    buckets = [by_id[i]["ppl_bucket"] for i in range(9)]
+    assert sorted(collections.Counter(buckets).items()) == [
+        ("head", 3), ("middle", 3), ("tail", 3)
+    ]
+    # head = lowest perplexity
+    ppl = {b: [by_id[i]["perplexity"] for i in range(9) if buckets[i] == b] for b in set(buckets)}
+    assert max(ppl["head"]) <= min(ppl["middle"]) <= max(ppl["middle"]) <= min(ppl["tail"])
+    with pytest.raises(ValueError, match="increasing"):
+        ppl_buckets(ds, qs=(0.5, 0.4))
