@@ -749,6 +749,15 @@ def _event_funnel_query(sf_dir: str):
     return event_funnel(ev, steps=_FUNNEL_STEPS, num_partitions=8)
 
 
+def _dup_spans_query(sf_dir: str):
+    """Lee et al.-style duplicate-span removal: every token inside a
+    corpus-repeated 5-gram is dropped, docs rebuilt from survivors."""
+    from fozziejoin_ray.pipelines.curation import remove_dup_spans
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return remove_dup_spans(docs, n=5, num_partitions=16)
+
+
 def _chunk_docs_query(sf_dir: str):
     """Fixed-window token chunking with overlap (pipelines/chunk.py):
     16-token windows, 4-token overlap, whitespace tokens."""
@@ -1013,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _pivot_events_query,
         "event_funnel": _event_funnel_query,
         "chunk_docs": _chunk_docs_query,
+        "dup_spans": _dup_spans_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1522,6 +1532,30 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
                    LEFT JOIN s2 ON u.user_id = s2.user_id
                    LEFT JOIN s3 ON u.user_id = s3.user_id""",
+        # duplicate-span removal: grams with corpus count >= 2 cover
+        # their 5 token positions; uncovered tokens rebuild the doc
+        "dup_spans": r"""
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                                             x -> x != '') AS tk
+                          FROM documents),
+                 g AS (SELECT doc_id, i, array_to_string(tk[i : i + 4], ' ') AS gram
+                       FROM toks, UNNEST(range(1, len(tk) - 3)) AS t(i)),
+                 cnt AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+                 cover AS (SELECT DISTINCT g.doc_id, g.i + k AS p
+                           FROM g JOIN cnt USING (gram), UNNEST(range(0, 5)) AS u(k)
+                           WHERE cnt.c >= 2),
+                 pos AS (SELECT t.doc_id, j, t.tk[j] AS tok
+                         FROM toks t, UNNEST(range(1, len(t.tk) + 1)) AS u(j)),
+                 kept AS (SELECT pos.* FROM pos LEFT JOIN cover
+                          ON pos.doc_id = cover.doc_id AND pos.j = cover.p
+                          WHERE cover.p IS NULL)
+            SELECT t.doc_id,
+                   COALESCE(string_agg(k.tok, ' ' ORDER BY k.j), '') AS text_dedup,
+                   CAST(COUNT(k.j) AS BIGINT) AS n_kept,
+                   CAST(len(ANY_VALUE(t.tk)) - COUNT(k.j) AS BIGINT) AS n_removed
+            FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+            GROUP BY t.doc_id""",
         # chunking: 1-based inclusive DuckDB list slices mirror the
         # engine's [j*stride, j*stride+chunk_size) token windows
         "chunk_docs": r"""

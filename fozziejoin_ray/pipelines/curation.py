@@ -611,3 +611,139 @@ def curate_corpus(
         .groupby("__dp")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def _ws_token_stream(t: pa.Table, text_col: str):
+    """Whitespace tokenization preserving original case (the chunking
+    convention, NOT the lowercase _TOKEN_SPLIT one — span removal must
+    rebuild the document byte-for-byte from surviving tokens).
+    Returns (parents, toks, ntok_per_row): flat non-empty tokens, their
+    0-based row indices, and per-row token counts."""
+    txt = pc.fill_null(t.column(text_col), "")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks_list = pc.split_pattern_regex(txt, r"\s+")
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.to_numpy(zero_copy_only=False)[keep]
+    parents = parents[keep].astype(np.int64)
+    ntok = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+    return parents, toks, ntok
+
+
+def _ws_grams(parents: np.ndarray, toks: np.ndarray, n: int):
+    """(start_flat_idx, gram) for every n-token window that stays inside
+    one row, over the flat whitespace-token stream."""
+    if len(toks) < n:
+        return np.empty(0, np.int64), np.empty(0, dtype=object)
+    valid = parents[: len(parents) - n + 1] == parents[n - 1 :]
+    U = toks.astype("U")
+    g = U[: len(U) - n + 1]
+    for i in range(1, n):
+        g = np.char.add(np.char.add(g, " "), U[i : len(U) - n + 1 + i])
+    return np.nonzero(valid)[0].astype(np.int64), g[valid].astype(object)
+
+
+def remove_dup_spans(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Lee et al. 2022-style duplicate-span REMOVAL: drop every token
+    that lies inside any word ``n``-gram occurring at least
+    ``min_count`` times across the whole corpus (cross-document AND
+    within-document repeats both count — any repeated span is boilerplate).
+    Output: ``(id_col, text_dedup, n_kept, n_removed)``, one row per
+    input document; surviving tokens keep their original order and case,
+    space-joined.
+
+    Unlike :func:`dup_ngram_frac` (which only SCORES duplication), this
+    rewrites the text, so it tokenizes case-preserving on whitespace —
+    the same convention as pipelines/chunk.py — and rebuilds documents
+    from the uncovered tokens.
+
+    Scale shape: one materialize (two passes over the input), ONE
+    gram-keyed exchange of per-batch partial (gram, count) rows to get
+    exact global occurrence counts, then a shuffle-free rewrite pass.
+    The >= min_count gram set returns to the driver as 64-bit hashes
+    and broadcasts via ``ray.put`` (the decontaminate pattern): dup
+    grams are a thin tail of the gram space, but at extreme corpus
+    sizes where even that set outgrows driver memory the gram->(doc,
+    pos) join-back layout (dup_ngram_frac's exchange) is the fallback —
+    documented, not implemented. Hash membership admits a false
+    positive only on a 64-bit collision between a dup and a non-dup
+    gram (~#grams^2 / 2^64; immaterial, and an error only ever REMOVES
+    an extra span, never resurrects one).
+    """
+    import pandas as pd
+    import ray
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    ds = ds.materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        parents, toks, _ = _ws_token_stream(t, text_col)
+        _, grams = _ws_grams(parents, toks, n)
+        codes, uniq = pd.factorize(grams)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        uniq = np.asarray(uniq, dtype=object)
+        gp = (_gram_hashes(uniq) % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {"gram": pa.array(uniq, pa.string()), "c": pa.array(cnt), "__gp": pa.array(gp)}
+        )
+
+    def dup_hashes(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({"gh": pd.Series([], dtype=np.uint64)})
+        tot = df.groupby("gram", sort=False)["c"].sum()
+        dup = tot[tot >= min_count].index.to_numpy(dtype=object)
+        return pd.DataFrame({"gh": _gram_hashes(dup)})
+
+    dup_tbl = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("__gp")
+        .map_groups(dup_hashes, batch_format="pandas")
+        .take_all()
+    )
+    dup_set = np.sort(np.array([r["gh"] for r in dup_tbl], dtype=np.uint64))
+    dup_ref = ray.put(dup_set)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        parents, toks, ntok = _ws_token_stream(t, text_col)
+        covered = np.zeros(len(toks) + 1, dtype=np.int64)
+        starts, grams = _ws_grams(parents, toks, n)
+        if len(grams) and len(dset):
+            gh = _gram_hashes(grams)
+            pos = np.searchsorted(dset, gh)
+            pos[pos == len(dset)] = 0
+            hit = dset[pos] == gh
+            # difference-array coverage: +1 at span start, -1 past end;
+            # spans never cross a document (enforced by _ws_grams)
+            np.add.at(covered, starts[hit], 1)
+            np.add.at(covered, starts[hit] + n, -1)
+        keep = np.cumsum(covered[:-1]) == 0
+        kept_per_doc = np.bincount(parents[keep], minlength=t.num_rows).astype(np.int64)
+        values = pa.array(toks[keep], pa.string())
+        offs = np.r_[0, np.cumsum(kept_per_doc)]
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
+        texts = pc.binary_join(la, pa.scalar(" ", pa.string()))
+        return pa.table(
+            {
+                id_col: idc,
+                "text_dedup": texts,
+                "n_kept": pa.array(kept_per_doc),
+                "n_removed": pa.array(ntok - kept_per_doc),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

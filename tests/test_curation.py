@@ -383,3 +383,37 @@ def test_chunk_documents_layout():
     assert texts == ["a b c d", "e f g"]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(ds, chunk_size=3, overlap=3)
+
+
+def test_remove_dup_spans():
+    from fozziejoin_ray.pipelines.curation import remove_dup_spans
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps again and again ok",
+        "totally unique text here nothing repeats at all",
+        "xx yy xx yy xx yy xx yy",  # internal repeats count too
+        "",
+        "short doc",  # < n tokens -> untouched
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))), "text": docs}))
+    out = {d["doc_id"]: d for d in remove_dup_spans(ds, n=5).take_all()}
+
+    # brute-force oracle
+    from collections import Counter
+
+    toks = [t.split() for t in docs]
+    cnt = Counter(
+        " ".join(tk[i : i + 5]) for tk in toks for i in range(len(tk) - 4)
+    )
+    for i, tk in enumerate(toks):
+        covered = set()
+        for j in range(len(tk) - 4):
+            if cnt[" ".join(tk[j : j + 5])] >= 2:
+                covered.update(range(j, j + 5))
+        kept = [w for p, w in enumerate(tk) if p not in covered]
+        assert out[i]["text_dedup"] == " ".join(kept), i
+        assert out[i]["n_kept"] == len(kept)
+        assert out[i]["n_removed"] == len(tk) - len(kept)
+    with pytest.raises(ValueError, match="min_count"):
+        remove_dup_spans(ds, n=5, min_count=1)
