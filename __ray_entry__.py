@@ -749,6 +749,15 @@ def _event_funnel_query(sf_dir: str):
     return event_funnel(ev, steps=_FUNNEL_STEPS, num_partitions=8)
 
 
+def _sample_k_query(sf_dir: str):
+    """Deterministic exact-k uniform sample (k=100) by the shared
+    mixed-hash rank; the SQL oracle evaluates the same formula."""
+    from fozziejoin_ray.pipelines.split import uniform_sample_k
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return uniform_sample_k(docs, "doc_id", 100, salt="s1")
+
+
 def _dup_spans_query(sf_dir: str):
     """Lee et al.-style duplicate-span removal: every token inside a
     corpus-repeated 5-gram is dropped, docs rebuilt from survivors."""
@@ -1023,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _event_funnel_query,
         "chunk_docs": _chunk_docs_query,
         "dup_spans": _dup_spans_query,
+        "sample_k": _sample_k_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1160,12 +1170,19 @@ from fozziejoin_ray.pipelines.pack import pack_sequences_sql as _pack_sequences_
 from fozziejoin_ray.pipelines.curation import (
     stratified_sample_sql_where as _stratified_sample_sql_where,
 )
+from fozziejoin_ray.pipelines.split import rank_sql_expr as _rank_sql_expr
 from fozziejoin_ray.pipelines.split import split_sql_expr as _split_sql_expr
 
 _HASH_SPLIT_SQL = (
     "SELECT doc_id, "
     + _split_sql_expr("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r2")
     + " AS split FROM documents"
+)
+
+_SAMPLE_K_SQL = (
+    "SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, "
+    + _rank_sql_expr("doc_id", salt="s1")
+    + " AS h FROM documents ORDER BY h, doc_id LIMIT 100)"
 )
 
 
@@ -1292,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         # hash split: the committed SQL expression IS the engine formula
         # (pipelines/split.py:split_sql_expr), evaluated inline
         "hash_split": _HASH_SPLIT_SQL,
+        "sample_k": _SAMPLE_K_SQL,
         # gap sessionization: lag + cumulative break-flag window; strict
         # > on the 30-min gap matches pipelines/events.py (at-gap stays)
         "sessionize": """

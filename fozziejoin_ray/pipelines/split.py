@@ -26,13 +26,14 @@ _BASE = 131
 _BUCKETS = 10_000
 
 
-def _bucket_of(keys: list, salt: str) -> np.ndarray:
+def _rank_of(keys: list, salt: str) -> np.ndarray:
     """Vectorized Horner hash mod 2^31-1 of ``salt + ':' + str(key)``,
-    then the non-linear mix ``(h^2 + 48271*h) mod M`` before the bucket
-    modulus — Horner alone is linear, so consecutive keys (or salts
-    differing in one character) would land in consecutive buckets and a
-    salt change would barely reshuffle assignments. Null keys hash the
-    literal 'None' representation — deterministic, never errors."""
+    then the non-linear mix ``(h^2 + 48271*h) mod M`` — Horner alone is
+    linear, so consecutive keys (or salts differing in one character)
+    would land in consecutive buckets and a salt change would barely
+    reshuffle assignments. Null keys hash the literal 'None'
+    representation — deterministic, never errors. Full [0, 2^31-1)
+    resolution (the sampling rank); bucket consumers modulo it down."""
     strs = [f"{salt}:{k}" for k in keys]
     lens = np.array([len(s) for s in strs], dtype=np.int64)
     total = int(lens.sum())
@@ -44,8 +45,11 @@ def _bucket_of(keys: list, salt: str) -> np.ndarray:
         w = _fp_powers(_BASE, int(lens.max()))
         terms = (codes * w[rev]) % _M
         h = np.add.reduceat(terms, ends - lens) % _M
-    h = (h * h + np.uint64(48271) * h) % _M  # < 2^62 + 2^47: no overflow
-    return (h % np.uint64(_BUCKETS)).astype(np.int64)
+    return (h * h + np.uint64(48271) * h) % _M  # < 2^62 + 2^47: no overflow
+
+
+def _bucket_of(keys: list, salt: str) -> np.ndarray:
+    return (_rank_of(keys, salt) % np.uint64(_BUCKETS)).astype(np.int64)
 
 
 def label_bounds(ratios: dict[str, float]) -> tuple[list[str], np.ndarray]:
@@ -100,6 +104,58 @@ def bucket_sql_expr(key_expr: str, *, salt: str = "") -> str:
     )
     hm = f"(({h}) * ({h}) + 48271 * ({h})) % 2147483647"
     return f"(({hm}) % {_BUCKETS})"
+
+
+def rank_sql_expr(key_expr: str, *, salt: str = "") -> str:
+    """DuckDB expression computing the SAME full-resolution mixed hash
+    as :func:`_rank_of` — the sampling-rank primitive behind
+    :func:`uniform_sample_k`'s oracle."""
+    s = f"'{salt}:' || COALESCE(CAST({key_expr} AS VARCHAR), 'None')"
+    h = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, length({s}) + 1), i -> unicode(substr({s}, i, 1))::BIGINT)), "
+        f"(a, c) -> (a * {_BASE} + c) % 2147483647)"
+    )
+    return f"(({h}) * ({h}) + 48271 * ({h})) % 2147483647"
+
+
+def uniform_sample_k(
+    ds: rd.Dataset,
+    key_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> rd.Dataset:
+    """Deterministic uniform sample of EXACTLY ``min(k, n)`` rows: the
+    k smallest rows under the (mixed-hash, key) total order — a pure
+    function of the keys, so stable across reruns, partitionings and
+    engines (``rank_sql_expr`` is the SQL mirror), unlike
+    ``Dataset.random_sample`` (fractional, seed/partitioning-dependent)
+    or reservoir sampling (order-dependent). Requires unique keys for
+    the order to be total; hash ties across distinct keys are broken by
+    the key itself.
+
+    Scale shape: each batch prunes locally to its k smallest candidates
+    (so the sort input is <= k * num_batches rows, not the dataset),
+    then one small distributed sort + limit picks the global k. No
+    driver-side collection.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def prune(t: pa.Table) -> pa.Table:
+        h = _rank_of(t.column(key_col).to_pylist(), salt).astype(np.int64)
+        t2 = t.append_column("__usk_h", pa.array(h))
+        if t.num_rows <= k:
+            return t2
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, h))[:k]
+        return t2.take(pa.array(np.sort(order)))
+
+    out = ds.map_batches(prune, batch_format="pyarrow").sort(["__usk_h", key_col]).limit(k)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__usk_h"]), batch_format="pyarrow"
+    )
 
 
 def split_sql_expr(key_expr: str, ratios: dict[str, float], *, salt: str = "") -> str:

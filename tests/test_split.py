@@ -54,3 +54,27 @@ def test_split_validates_ratios():
         hash_split(ds, "k", {"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError, match="non-empty"):
         hash_split(ds, "k", {})
+
+
+def test_uniform_sample_k():
+    import numpy as np
+
+    from fozziejoin_ray.pipelines.split import _rank_of, uniform_sample_k
+
+    ids = list(range(1000))
+    ds = rd.from_arrow(pa.table({"id": ids, "v": [i * 2 for i in ids]}))
+    got = uniform_sample_k(ds, "id", 50, salt="t").take_all()
+    assert len(got) == 50
+    # matches the brute-force (rank, key) order
+    h = _rank_of(ids, "t").astype(np.int64)
+    order = np.lexsort((np.array(ids), h))[:50]
+    assert sorted(d["id"] for d in got) == sorted(int(ids[i]) for i in order)
+    # payload column rides along; helper column dropped
+    assert set(got[0]) == {"id", "v"}
+    # stable under re-partitioning
+    got2 = uniform_sample_k(ds.repartition(7), "id", 50, salt="t").take_all()
+    assert sorted(d["id"] for d in got2) == sorted(d["id"] for d in got)
+    # k >= n returns everything
+    assert len(uniform_sample_k(ds.limit(10), "id", 50).take_all()) == 10
+    with pytest.raises(ValueError, match="k must be"):
+        uniform_sample_k(ds, "id", 0)
