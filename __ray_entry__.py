@@ -749,6 +749,15 @@ def _event_funnel_query(sf_dir: str):
     return event_funnel(ev, steps=_FUNNEL_STEPS, num_partitions=8)
 
 
+def _pmi_query(sf_dir: str):
+    """Top-100 PMI collocations (min bigram count 5) over the shared
+    lowercase tokenizer."""
+    from fozziejoin_ray.pipelines.colloc import pmi_collocations
+
+    docs = _t(sf_dir, "documents", ["text"])
+    return pmi_collocations(docs, top_k=100, min_count=5, num_partitions=16)
+
+
 def _sample_k_query(sf_dir: str):
     """Deterministic exact-k uniform sample (k=100) by the shared
     mixed-hash rank; the SQL oracle evaluates the same formula."""
@@ -1033,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _chunk_docs_query,
         "dup_spans": _dup_spans_query,
         "sample_k": _sample_k_query,
+        "pmi_colloc": _pmi_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1310,6 +1320,25 @@ def oracle_sql() -> dict[str, str]:
         # (pipelines/split.py:split_sql_expr), evaluated inline
         "hash_split": _HASH_SPLIT_SQL,
         "sample_k": _SAMPLE_K_SQL,
+        # PMI over the same token stream as the LM oracles; ordering by
+        # ROUNDED pmi + word tiebreak mirrors the engine's total order
+        "pmi_colloc": """
+            WITH toks AS (SELECT regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
+                          FROM documents),
+                 uni AS (SELECT unnest(ws) AS w FROM toks),
+                 cu AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM uni GROUP BY w),
+                 nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+                 big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                         FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+                 cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big
+                        GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+                 nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big)
+            SELECT cb.w1, cb.w2, CAST(c12 AS BIGINT) AS c12,
+                   ROUND(ln((c12 / nb.n) / ((cu1.c / nu.n) * (cu2.c / nu.n))), 6) AS pmi
+            FROM cb JOIN cu cu1 ON cb.w1 = cu1.w
+                    JOIN cu cu2 ON cb.w2 = cu2.w
+                    CROSS JOIN nb CROSS JOIN nu
+            ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 100""",
         # gap sessionization: lag + cumulative break-flag window; strict
         # > on the 30-min gap matches pipelines/events.py (at-gap stays)
         "sessionize": """

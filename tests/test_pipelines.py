@@ -3,6 +3,8 @@ plain python where the operator is approximate-by-construction)."""
 
 import itertools
 
+import pytest
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
@@ -433,3 +435,41 @@ def test_dedup_paragraphs_hand_and_fuzz():
     out2 = {r["doc_id"]: r for r in dedup_paragraphs(ds2, sep=SEP, num_partitions=5).take_all()}
     for i, e in brute(rdocs).items():
         assert (out2[i]["text"], out2[i]["n_paras"], out2[i]["n_removed"]) == e, i
+
+
+def test_pmi_collocations_vs_brute():
+    import collections
+    import math
+    import re
+
+    from fozziejoin_ray.pipelines.colloc import pmi_collocations
+
+    docs = [
+        "new york city is in new york state",
+        "san francisco and new york and san francisco again",
+        "machine learning and machine learning and machine learning",
+        "the cat sat on the mat the cat ran",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))), "text": docs}))
+    got = pmi_collocations(ds, top_k=6, min_count=2, num_partitions=3).take_all()
+
+    toks = [re.findall(r"[0-9a-z_]+", d.lower()) for d in docs]
+    uni = collections.Counter(w for tk in toks for w in tk)
+    big = collections.Counter((tk[i], tk[i + 1]) for tk in toks for i in range(len(tk) - 1))
+    nu, nb = sum(uni.values()), sum(big.values())
+    exp = sorted(
+        (
+            (
+                round(math.log((c / nb) / ((uni[a] / nu) * (uni[b] / nu))), 6),
+                a,
+                b,
+                c,
+            )
+            for (a, b), c in big.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:6]
+    assert [(d["pmi"], d["w1"], d["w2"], d["c12"]) for d in got] == exp
+    with pytest.raises(ValueError, match="top_k"):
+        pmi_collocations(ds, top_k=0)
