@@ -749,6 +749,54 @@ def _event_funnel_query(sf_dir: str):
     return event_funnel(ev, steps=_FUNNEL_STEPS, num_partitions=8)
 
 
+def _agg_pricing_query(sf_dir: str):
+    """TPC-H Q1-shaped wide aggregate over lineitem via the general
+    combiner-before-shuffle groupby (stats.py group_aggregate).
+    Money is aggregated as integer cents so the sums are exact and
+    engine-order-independent (float reassociation noise would otherwise
+    break cross-engine equality on 10^5-addend sums)."""
+    from fozziejoin_ray.pipelines.stats import group_aggregate
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "cents": cents,
+            }
+        )
+
+    out = group_aggregate(
+        li.map_batches(proj, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "qty"),
+            "sum_base_cents": ("sum", "cents"),
+            "min_qty": ("min", "qty"),
+            "max_qty": ("max", "qty"),
+            "avg_qty": ("avg", "qty"),
+            "count_order": ("count", "*"),
+        },
+        num_partitions=8,
+    )
+    return _round_col(out, "avg_qty")
+
+
 def _pmi_query(sf_dir: str):
     """Top-100 PMI collocations (min bigram count 5) over the shared
     lowercase tokenizer."""
@@ -1043,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _dup_spans_query,
         "sample_k": _sample_k_query,
         "pmi_colloc": _pmi_query,
+        "agg_pricing": _agg_pricing_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1320,6 +1369,15 @@ def oracle_sql() -> dict[str, str]:
         # (pipelines/split.py:split_sql_expr), evaluated inline
         "hash_split": _HASH_SPLIT_SQL,
         "sample_k": _SAMPLE_K_SQL,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   MIN(CAST(l_quantity AS BIGINT)) AS min_qty,
+                   MAX(CAST(l_quantity AS BIGINT)) AS max_qty,
+                   ROUND(AVG(CAST(l_quantity AS BIGINT)), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         # PMI over the same token stream as the LM oracles; ordering by
         # ROUNDED pmi + word tiebreak mirrors the engine's total order
         "pmi_colloc": """

@@ -218,6 +218,30 @@ def q_lm_score():
     return {"sum_logprob": round(s, 3) if s is not None else None}
 
 
+def q_dup_spans():
+    """Lee et al. duplicate-span removal over the generated corpus:
+    gram-count exchange + broadcast dup set + shuffle-free rewrite."""
+    import ray.data as rd
+
+    from fozziejoin_ray.pipelines.curation import remove_dup_spans
+
+    texts = rd.read_parquet(GEN_DIR).map_batches(_full_text, batch_format="pyarrow")
+    out = remove_dup_spans(texts, text_col="text", id_col="doc_id", n=5, num_partitions=32)
+    return {"sum_removed": out.sum("n_removed")}
+
+
+def q_ppl_buckets():
+    """CCNet perplexity tiers over the generated corpus: LM build +
+    broadcast scoring + bounded quantile exchange + bucket map."""
+    import ray.data as rd
+
+    from fozziejoin_ray.pipelines.lm import ppl_buckets
+
+    texts = rd.read_parquet(GEN_DIR).map_batches(_full_text, batch_format="pyarrow")
+    out = ppl_buckets(texts, text_col="text", id_col="doc_id")
+    return {"rows": out.count()}
+
+
 QUERIES = {
     "linkage": q_linkage,
     "linkage_edges": q_linkage_edges,
@@ -228,6 +252,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dup_ngram": q_dup_ngram,
     "lm_score": q_lm_score,
+    "dup_spans": q_dup_spans,
+    "ppl_buckets": q_ppl_buckets,
 }
 
 

@@ -83,3 +83,88 @@ def column_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     idx = np.searchsorted(cum, ranks, side="left")
     vals = merged.column("value").take(pa.array(idx, pa.int64()))
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()), "value": vals})
+
+
+_AGGS = ("count", "sum", "min", "max", "avg")
+
+
+def group_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """General distributed groupby with COMBINER-BEFORE-SHUFFLE: one row
+    per distinct key tuple with one output column per ``aggs`` entry
+    ``{out_name: (agg, col)}``, agg in count/sum/min/max/avg
+    (``("count", "*")`` counts rows; ``("count", col)`` counts non-null).
+
+    This is the wide-aggregation pattern for 100 TB inputs: every batch
+    collapses to per-key PARTIALS (count/sum/min/max; avg is carried as
+    a sum+count pair and finalized after the merge), so the single hash
+    exchange moves one row per (batch, distinct key tuple) instead of
+    one per input row. NULLs are ignored by the aggregates (SQL
+    semantics); float sums are partial-sum reassociations — exact for
+    integer-valued columns, within reassociation noise otherwise
+    (callers needing cross-engine bit-equality should aggregate integer
+    projections, e.g. cents).
+    """
+    import pandas as pd
+
+    if not keys:
+        raise ValueError("keys must name at least one grouping column")
+    for out, (agg, col) in aggs.items():
+        if agg not in _AGGS:
+            raise ValueError(f"unknown agg {agg!r} for {out!r}; expected one of {_AGGS}")
+        if col == "*" and agg != "count":
+            raise ValueError(f"col='*' only valid with count (got {agg!r} for {out!r})")
+
+    # internal partial plan: out -> list of (partial_col, src_col, how)
+    plan: dict[str, list[tuple[str, str, str]]] = {}
+    for out, (agg, col) in aggs.items():
+        if agg == "count":
+            plan[out] = [(f"__p_{out}_c", col, "count")]
+        elif agg == "avg":
+            plan[out] = [(f"__p_{out}_s", col, "sum"), (f"__p_{out}_c", col, "count")]
+        else:
+            plan[out] = [(f"__p_{out}_{agg[0]}", col, agg)]
+    partial_cols = [p for ps in plan.values() for p in ps]
+    merge_how = {pc_: ("sum" if how in ("count", "sum") else how) for pc_, _, how in partial_cols}
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for pc_, col, how in partial_cols:
+            if how == "count":
+                s = g.size() if col == "*" else g[col].count()
+            else:
+                s = getattr(g[col], how)()
+            cols[pc_] = s
+        out = pd.DataFrame(cols).reset_index()
+        h = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
+        out["__gp"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            cols = list(keys) + list(aggs)
+            return pd.DataFrame({c: [] for c in cols})
+        g = df.drop(columns=["__gp"]).groupby(keys, sort=False, dropna=False)
+        m = g.agg({pc_: how for pc_, how in merge_how.items()}).reset_index()
+        out = m[keys].copy()
+        for o, (agg, _col) in aggs.items():
+            ps = plan[o]
+            if agg == "avg":
+                out[o] = m[ps[0][0]] / m[ps[1][0]]
+            elif agg == "count":
+                out[o] = m[ps[0][0]].astype(np.int64)
+            else:
+                out[o] = m[ps[0][0]]
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__gp")
+        .map_groups(merge, batch_format="pandas")
+    )

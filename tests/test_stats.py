@@ -55,3 +55,58 @@ def test_value_counts_merges_across_batches():
         (r["value"], r["sum(count)"]) for r in value_counts(ds, "x").take_all()
     )
     assert rows == [(i, 50) for i in range(10)]
+
+
+def test_group_aggregate_vs_pandas():
+    import pandas as pd
+
+    from fozziejoin_ray.pipelines.stats import group_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 5, n),
+            "k2": rng.choice(["a", "b", "c"], n),
+            "v": rng.normal(size=n),
+            "w": rng.integers(0, 100, n).astype(float),
+        }
+    )
+    df.loc[rng.choice(n, 200, replace=False), "v"] = np.nan  # NULLs ignored
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        pd.DataFrame(
+            group_aggregate(
+                ds,
+                ["k1", "k2"],
+                {
+                    "n": ("count", "*"),
+                    "n_v": ("count", "v"),
+                    "s_w": ("sum", "w"),
+                    "mn_v": ("min", "v"),
+                    "mx_v": ("max", "v"),
+                    "avg_w": ("avg", "w"),
+                },
+                num_partitions=4,
+            ).take_all()
+        )
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    g = df.groupby(["k1", "k2"])
+    exp = pd.DataFrame(
+        {
+            "n": g.size(),
+            "n_v": g["v"].count(),
+            "s_w": g["w"].sum(),
+            "mn_v": g["v"].min(),
+            "mx_v": g["v"].max(),
+            "avg_w": g["w"].mean(),
+        }
+    ).reset_index()
+    got = got[exp.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9, rtol=1e-9)
+    with pytest.raises(ValueError, match="only valid with count"):
+        group_aggregate(ds, ["k1"], {"x": ("sum", "*")})
+    with pytest.raises(ValueError, match="unknown agg"):
+        group_aggregate(ds, ["k1"], {"x": ("median", "v")})
