@@ -282,7 +282,7 @@ def run_bench() -> dict:
     ray.shutdown()
     total = round(sum(times.values()), 3)
     return {
-        "metric": "headline pipeline wall time (linkage + difference + interval + minhash dedup)",
+        "metric": "pipeline wall time (sum over the queries listed; headline four = linkage + difference + interval + minhash dedup)",
         "value": total,
         "unit": "sec",
         "queries": times,
