@@ -749,6 +749,19 @@ def _event_funnel_query(sf_dir: str):
     return event_funnel(ev, steps=_FUNNEL_STEPS, num_partitions=8)
 
 
+def _grouped_quantiles_query(sf_dir: str):
+    """Per-language exact token-count quantiles (group-aware filter
+    thresholds; stats.py grouped_quantiles)."""
+    from fozziejoin_ray.pipelines.stats import grouped_quantiles
+    from fozziejoin_ray.pipelines.text import token_count
+
+    docs = _t(sf_dir, "documents", ["lang", "text"])
+    tc = token_count(docs, "text")
+    return grouped_quantiles(
+        tc, "lang", "n_tokens_ws", [0.25, 0.5, 0.75, 0.95], num_partitions=8
+    )
+
+
 def _agg_pricing_query(sf_dir: str):
     """TPC-H Q1-shaped wide aggregate over lineitem via the general
     combiner-before-shuffle groupby (stats.py group_aggregate).
@@ -1092,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k": _sample_k_query,
         "pmi_colloc": _pmi_query,
         "agg_pricing": _agg_pricing_query,
+        "grouped_quantiles": _grouped_quantiles_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -1369,6 +1383,19 @@ def oracle_sql() -> dict[str, str]:
         # (pipelines/split.py:split_sql_expr), evaluated inline
         "hash_split": _HASH_SPLIT_SQL,
         "sample_k": _SAMPLE_K_SQL,
+        # per-group quantile_disc at each q, unpivoted to (lang, q, value)
+        "grouped_quantiles": r"""
+            WITH tc AS (SELECT lang,
+                               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                                    ELSE len(regexp_split_to_array(text, '\s+')) END AS n
+                        FROM documents)
+            SELECT lang, 0.25 AS q, quantile_disc(n, 0.25) AS value FROM tc GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.5, quantile_disc(n, 0.5) FROM tc GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.75, quantile_disc(n, 0.75) FROM tc GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.95, quantile_disc(n, 0.95) FROM tc GROUP BY lang""",
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,

@@ -168,3 +168,99 @@ def group_aggregate(
         .groupby("__gp")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    col: str,
+    qs: list[float],
+    *,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exact per-group discrete quantiles: one output row per
+    (``key_col`` value, q in ``qs``) with the quantile_disc-convention
+    ``value`` — the per-language / per-source threshold table a
+    curation pipeline cuts group-aware filters from.
+
+    Same boundedness contract as :func:`column_quantiles`, per group:
+    every batch collapses to (key, value, count) partials before the
+    single key-hash exchange, so shuffle volume and partition memory
+    are bounded by per-group value CARDINALITY, never row count. All
+    of a key's distinct values land in one partition; the resolve step
+    is fully vectorized (one composite-key searchsorted per q across
+    ALL groups in the partition — no per-group dispatch). NULL keys
+    form their own group (SQL GROUP BY semantics); NULL values are
+    ignored like the SQL aggregate.
+    """
+    import pandas as pd
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    qarr = np.array(qs, dtype=np.float64)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[[key_col, col]].dropna(subset=[col])
+        out = (
+            df.groupby([key_col, col], sort=False, dropna=False)
+            .size()
+            .reset_index(name="__c")
+        )
+        h = pd.util.hash_array(out[key_col].to_numpy(), categorize=False)
+        out["__kp"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({key_col: [], "q": [], "value": []})
+        m = (
+            df.drop(columns=["__kp"])
+            .groupby([key_col, col], sort=True, dropna=False)["__c"]
+            .sum()
+            .reset_index()
+        )
+        # m is sorted by (key, value); group geometry from key runs
+        keys = m[key_col].to_numpy()
+        vals = m[col].to_numpy()
+        cnt = m["__c"].to_numpy(np.int64)
+        # factorize instead of != so a NULL key is ONE group (NaN != NaN)
+        codes = pd.factorize(keys, use_na_sentinel=False)[0]
+        new = np.r_[True, codes[1:] != codes[:-1]]
+        gid = np.cumsum(new) - 1  # 0-based group index per row
+        starts = np.nonzero(new)[0]
+        cs = np.cumsum(cnt)
+        base = np.repeat(np.r_[0, cs[starts[1:] - 1]], np.diff(np.r_[starts, len(m)]))
+        cum = cs - base  # within-group cumulative counts
+        n_g = cum[np.r_[starts[1:] - 1, len(m) - 1]]  # per-group totals
+        # composite monotone key: cum < 2^44 rows/group assumed; gid
+        # shifts groups onto disjoint ranges so ONE searchsorted
+        # resolves every group at once
+        shift = np.int64(1) << np.int64(44)
+        comp = gid.astype(np.int64) * shift + cum
+        rows = []
+        for q in qarr:
+            ranks = np.minimum(np.maximum(np.ceil(q * n_g).astype(np.int64), 1), n_g)
+            tgt = np.arange(len(n_g), dtype=np.int64) * shift + ranks
+            idx = np.searchsorted(comp, tgt, side="left")
+            rows.append(
+                pd.DataFrame(
+                    {key_col: keys[starts], "q": np.full(len(n_g), q), "value": vals[idx]}
+                )
+            )
+        out = pd.concat(rows, ignore_index=True)
+        # pandas stores the null-key group as NaN (and a null-only
+        # partition degrades the whole column to float64): hand Arrow a
+        # real None in an object column so every block keeps the key type
+        if out[key_col].dtype == object or pd.isna(out[key_col]).any():
+            k = out[key_col].astype(object)
+            out[key_col] = k.where(pd.notna(k), None)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__kp")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -110,3 +110,36 @@ def test_group_aggregate_vs_pandas():
         group_aggregate(ds, ["k1"], {"x": ("sum", "*")})
     with pytest.raises(ValueError, match="unknown agg"):
         group_aggregate(ds, ["k1"], {"x": ("median", "v")})
+
+
+def test_grouped_quantiles_vs_brute():
+    import math
+
+    from fozziejoin_ray.pipelines.stats import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    keys = rng.choice(["en", "fr", "de", None], n, p=[0.5, 0.3, 0.15, 0.05])
+    vals = rng.integers(0, 40, n).astype(float)
+    vals[rng.choice(n, 100, replace=False)] = np.nan  # NULL values ignored
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys.tolist(), pa.string()), "v": vals})
+    ).repartition(6)
+    qs = [0.1, 0.5, 0.9]
+    got = {
+        (d["k"], d["q"]): d["value"]
+        for d in grouped_quantiles(ds, "k", "v", qs, num_partitions=4).take_all()
+    }
+
+    for k in ["en", "fr", "de", None]:
+        sub = sorted(
+            v
+            for kk, v in zip(keys.tolist(), vals)
+            if kk == k and not math.isnan(v)
+        )
+        for q in qs:
+            rank = min(max(math.ceil(q * len(sub)), 1), len(sub))
+            assert got[(k, q)] == sub[rank - 1], (k, q)
+    assert len(got) == 12
+    with pytest.raises(ValueError, match="quantile"):
+        grouped_quantiles(ds, "k", "v", [1.5])
