@@ -223,7 +223,11 @@ def pivot_event_counts(
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.select([user_col, type_col]).to_pandas()
-        users, uidx = np.unique(df[user_col].to_numpy(), return_inverse=True)
+        # factorize, not np.unique: a NULL user id is ONE group (unique
+        # raises on object arrays containing None and SQL GROUP BY keeps
+        # the null group)
+        uidx, users = pd.factorize(df[user_col].to_numpy(), use_na_sentinel=False)
+        users = np.asarray(users)
         codes = pd.Categorical(df[type_col], categories=cats).codes.astype(np.int64)
         mat = np.zeros((len(users), len(cats)), dtype=np.int64)
         known = codes >= 0
@@ -231,16 +235,25 @@ def pivot_event_counts(
         cols: dict[str, object] = {user_col: users}
         for j, name in enumerate(ncols):
             cols[name] = mat[:, j]
-        out = pa.table(cols)
+        out = pa.Table.from_pandas(
+            pd.DataFrame(cols), preserve_index=False
+        ).replace_schema_metadata(None)
         h = pd.util.hash_array(np.asarray(users), categorize=False)
         return out.append_column("__sp", pa.array((h % num_partitions).astype(np.int64)))
 
     def merge(df):
         if not len(df):
             return df.drop(columns=["__sp"])
-        out = df.drop(columns=["__sp"]).groupby(user_col, sort=False, as_index=False)[ncols].sum()
+        out = (
+            df.drop(columns=["__sp"])
+            .groupby(user_col, sort=False, as_index=False, dropna=False)[ncols]
+            .sum()
+        )
         for c in ncols:
             out[c] = out[c].astype(np.int64)
+        if out[user_col].dtype == object:
+            k = out[user_col]
+            out[user_col] = k.where(pd.notna(k), None)
         return out
 
     return (
@@ -297,7 +310,11 @@ def event_funnel(
             df = df.copy()
             df[ts_col] = df[ts_col].astype("datetime64[us]")
         ts = df[ts_col].astype("int64").to_numpy()
-        users, uidx = np.unique(df[user_col].to_numpy(), return_inverse=True)
+        # factorize, not np.unique: None-safe, and the NULL group is
+        # pinned to depth 0 below (NULL never equals NULL, so the SQL
+        # oracle's step joins can never advance a null user)
+        uidx, users = pd.factorize(df[user_col].to_numpy(), use_na_sentinel=False)
+        users = np.asarray(users)
         types = df[type_col].to_numpy()
         depth = np.zeros(len(users), dtype=np.int64)
         prev = np.full(len(users), np.iinfo(np.int64).min)
@@ -308,13 +325,18 @@ def event_funnel(
             adv = (t_min < _I64MAX) & (depth == i)
             depth[adv] += 1
             prev[adv] = t_min[adv]
-        return pd.DataFrame(
+        depth[pd.isna(users)] = 0
+        out = pd.DataFrame(
             {
                 user_col: users,
                 "funnel_depth": depth,
                 "completed": depth == len(steps),
             }
         )
+        if out[user_col].dtype == object:
+            k = out[user_col]
+            out[user_col] = k.where(pd.notna(k), None)
+        return out
 
     return (
         events.select_columns([user_col, ts_col, type_col])

@@ -105,11 +105,17 @@ def extract_json(
         has_raw_newline = pc.any(
             pc.match_substring(filled, "\n")
         ).as_py()
-        parsed = (
-            _parse_rowwise(filled, schema)
-            if has_raw_newline
-            else _parse_ndjson(filled, schema)
-        )
+        if has_raw_newline:
+            parsed = _parse_rowwise(filled, schema)
+        else:
+            try:
+                parsed = _parse_ndjson(filled, schema)
+            except pa.ArrowInvalid:
+                # one malformed / non-object row (truncated JSON, a bare
+                # array, whitespace) aborts the whole C++ parse — degrade
+                # just this batch to the row-wise path, which maps the
+                # offending rows to NULL fields instead of killing the job
+                parsed = _parse_rowwise(filled, schema)
         if parsed.num_rows != t.num_rows:  # framing bug guard
             raise AssertionError(
                 f"NDJSON parse produced {parsed.num_rows} rows for a "

@@ -286,10 +286,31 @@ def ppl_buckets(
         out = pa.table({id_col: t[id_col], "__pr": pr})
         return out.filter(pc.is_valid(out["__pr"]))
 
-    thr = column_quantiles(
-        scored.map_batches(proj, batch_format="pyarrow"), "__pr", list(qs)
-    )
-    t1, t2 = thr.column("value").to_pylist()
+    try:
+        thr = column_quantiles(
+            scored.map_batches(proj, batch_format="pyarrow"), "__pr", list(qs)
+        )
+        t1, t2 = thr.column("value").to_pylist()
+    except ValueError:
+        # no scoreable document (every doc < 2 tokens): the SQL oracle
+        # returns one row per doc with a NULL bucket — mirror that
+        # instead of propagating column_quantiles' no-values error
+        t1 = t2 = None
+
+    if t1 is None:
+
+        def assign_null(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "perplexity": pc.round(
+                        t["perplexity"], ndigits=6, round_mode="half_towards_infinity"
+                    ),
+                    "ppl_bucket": pa.nulls(t.num_rows, pa.string()),
+                }
+            )
+
+        return scored.map_batches(assign_null, batch_format="pyarrow")
 
     def assign(t: pa.Table) -> pa.Table:
         pr = pc.round(t["perplexity"], ndigits=round_dp, round_mode="half_towards_infinity")

@@ -90,10 +90,10 @@ def hash_split(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def bucket_sql_expr(key_expr: str, *, salt: str = "") -> str:
-    """DuckDB expression computing the SAME bucket in [0, 10000) as
-    :func:`_bucket_of` for column/expression ``key_expr`` — the shared
-    primitive behind the split and stratified-sample oracles."""
+def rank_sql_expr(key_expr: str, *, salt: str = "") -> str:
+    """DuckDB expression computing the SAME full-resolution mixed hash
+    as :func:`_rank_of` — the sampling-rank primitive behind
+    :func:`uniform_sample_k`'s oracle and the bucket expression."""
     # COALESCE mirrors Python str(None) == 'None'; int/string keys render
     # identically in both engines (float keys may not — use int/str keys)
     s = f"'{salt}:' || COALESCE(CAST({key_expr} AS VARCHAR), 'None')"
@@ -102,21 +102,14 @@ def bucket_sql_expr(key_expr: str, *, salt: str = "") -> str:
         f"list_transform(range(1, length({s}) + 1), i -> unicode(substr({s}, i, 1))::BIGINT)), "
         f"(a, c) -> (a * {_BASE} + c) % 2147483647)"
     )
-    hm = f"(({h}) * ({h}) + 48271 * ({h})) % 2147483647"
-    return f"(({hm}) % {_BUCKETS})"
-
-
-def rank_sql_expr(key_expr: str, *, salt: str = "") -> str:
-    """DuckDB expression computing the SAME full-resolution mixed hash
-    as :func:`_rank_of` — the sampling-rank primitive behind
-    :func:`uniform_sample_k`'s oracle."""
-    s = f"'{salt}:' || COALESCE(CAST({key_expr} AS VARCHAR), 'None')"
-    h = (
-        f"list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(range(1, length({s}) + 1), i -> unicode(substr({s}, i, 1))::BIGINT)), "
-        f"(a, c) -> (a * {_BASE} + c) % 2147483647)"
-    )
     return f"(({h}) * ({h}) + 48271 * ({h})) % 2147483647"
+
+
+def bucket_sql_expr(key_expr: str, *, salt: str = "") -> str:
+    """DuckDB expression computing the SAME bucket in [0, 10000) as
+    :func:`_bucket_of` for column/expression ``key_expr`` — the shared
+    primitive behind the split and stratified-sample oracles."""
+    return f"(({rank_sql_expr(key_expr, salt=salt)}) % {_BUCKETS})"
 
 
 def uniform_sample_k(
@@ -144,12 +137,22 @@ def uniform_sample_k(
         raise ValueError(f"k must be >= 1, got {k}")
 
     def prune(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         h = _rank_of(t.column(key_col).to_pylist(), salt).astype(np.int64)
         t2 = t.append_column("__usk_h", pa.array(h))
         if t.num_rows <= k:
             return t2
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((keys, h))[:k]
+        # null-safe hash-tie break: nulls sort after non-null keys (SQL
+        # NULLS LAST); a None in an object array would crash lexsort
+        isnull = pd.isna(keys)
+        if isnull.any():
+            fill = keys[~isnull][0] if (~isnull).any() else 0
+            keys = np.where(isnull, fill, keys)
+            order = np.lexsort((keys, isnull, h))[:k]
+        else:
+            order = np.lexsort((keys, h))[:k]
         return t2.take(pa.array(np.sort(order)))
 
     out = ds.map_batches(prune, batch_format="pyarrow").sort(["__usk_h", key_col]).limit(k)

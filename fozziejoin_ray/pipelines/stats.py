@@ -138,6 +138,9 @@ def group_aggregate(
         for pc_, col, how in partial_cols:
             if how == "count":
                 s = g.size() if col == "*" else g[col].count()
+            elif how == "sum":
+                # min_count=1: an all-NULL group sums to NULL (SQL), not 0
+                s = g[col].sum(min_count=1)
             else:
                 s = getattr(g[col], how)()
             cols[pc_] = s
@@ -147,11 +150,24 @@ def group_aggregate(
         return out
 
     def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop(columns=["__gp"])
         if not len(df):
-            cols = list(keys) + list(aggs)
-            return pd.DataFrame({c: [] for c in cols})
-        g = df.drop(columns=["__gp"]).groupby(keys, sort=False, dropna=False)
-        m = g.agg({pc_: how for pc_, how in merge_how.items()}).reset_index()
+            cols = {k: df[k] for k in keys}  # keep key dtypes
+            for o, (agg, _c) in aggs.items():
+                p0 = plan[o][0][0]
+                dt = np.int64 if agg == "count" else (np.float64 if agg == "avg" else df[p0].dtype)
+                cols[o] = pd.Series([], dtype=dt)
+            return pd.DataFrame(cols)
+        g = df.groupby(keys, sort=False, dropna=False)
+        # "_s" partials are value sums: re-merge with min_count=1 so an
+        # all-NULL group stays NULL through the merge; count partials
+        # ("_c") sum plainly (0 is a real count)
+        m = pd.DataFrame(
+            {
+                pc_: (g[pc_].sum(min_count=1) if pc_.endswith("_s") else getattr(g[pc_], how)())
+                for pc_, how in merge_how.items()
+            }
+        ).reset_index()
         out = m[keys].copy()
         for o, (agg, _col) in aggs.items():
             ps = plan[o]
@@ -163,8 +179,12 @@ def group_aggregate(
                 out[o] = m[ps[0][0]]
         return out
 
+    cols_needed = list(
+        dict.fromkeys(keys + [c for _, c in aggs.values() if c != "*"])
+    )
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.select_columns(cols_needed)
+        .map_batches(partial, batch_format="pandas")
         .groupby("__gp")
         .map_groups(merge, batch_format="pandas")
     )
@@ -215,7 +235,13 @@ def grouped_quantiles(
 
     def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
         if not len(df):
-            return pd.DataFrame({key_col: [], "q": [], "value": []})
+            return pd.DataFrame(
+                {
+                    key_col: df[key_col],  # keep the key dtype
+                    "q": pd.Series([], dtype=np.float64),
+                    "value": df[col],
+                }
+            )
         m = (
             df.drop(columns=["__kp"])
             .groupby([key_col, col], sort=True, dropna=False)["__c"]
@@ -260,7 +286,8 @@ def grouped_quantiles(
         return out
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pandas")
         .groupby("__kp")
         .map_groups(resolve, batch_format="pandas")
     )

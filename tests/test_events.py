@@ -298,3 +298,43 @@ def test_extract_json_raw_newline_fallback():
     )
     out = extract_json(ds, json_col="props", fields={"k": pa.int64()}).take_all()
     assert {d["id"]: d["k"] for d in out} == {1: 1, 2: 2}
+
+
+def test_pivot_and_funnel_null_users():
+    from fozziejoin_ray.pipelines.events import event_funnel, pivot_event_counts
+
+    rows = [("u1", 0.0, "a"), (None, 1.0, "a"), (None, 2.0, "b"), ("u1", 3.0, "b")]
+    us, ts, ty = zip(*rows)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(us, pa.string()),
+                "ts": pa.array([B + dt.timedelta(seconds=s) for s in ts], pa.timestamp("us")),
+                "event_type": list(ty),
+            }
+        )
+    )
+    piv = pivot_event_counts(ds, categories=["a", "b"], num_partitions=2).take_all()
+    got = {d["user_id"]: (d["n_a"], d["n_b"]) for d in piv}
+    # SQL GROUP BY keeps the null group and counts its events
+    assert got == {"u1": (1, 1), None: (1, 1)}
+
+    fun = event_funnel(ds, steps=["a", "b"], num_partitions=2).take_all()
+    gotf = {d["user_id"]: d["funnel_depth"] for d in fun}
+    # NULL never equals NULL in the oracle's step joins -> depth 0
+    assert gotf == {"u1": 2, None: 0}
+
+
+def test_extract_json_malformed_rows_degrade_to_null():
+    from fozziejoin_ray.pipelines.jsonx import extract_json
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": [1, 2, 3, 4],
+                "props": ['{"k": 1}', '{"k": 2', "[1,2]", "   "],
+            }
+        )
+    )
+    out = extract_json(ds, json_col="props", fields={"k": pa.int64()}).take_all()
+    assert {d["id"]: d["k"] for d in out} == {1: 1, 2: None, 3: None, 4: None}

@@ -109,3 +109,12 @@ def test_ppl_buckets_tiers():
     assert max(ppl["head"]) <= min(ppl["middle"]) <= max(ppl["middle"]) <= min(ppl["tail"])
     with pytest.raises(ValueError, match="increasing"):
         ppl_buckets(ds, qs=(0.5, 0.4))
+
+
+def test_ppl_buckets_no_scoreable_docs():
+    from fozziejoin_ray.pipelines.lm import ppl_buckets
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["solo", "word"]}))
+    out = ppl_buckets(ds).take_all()
+    assert len(out) == 2
+    assert all(d["ppl_bucket"] is None and d["perplexity"] is None for d in out)

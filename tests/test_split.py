@@ -78,3 +78,12 @@ def test_uniform_sample_k():
     assert len(uniform_sample_k(ds.limit(10), "id", 50).take_all()) == 10
     with pytest.raises(ValueError, match="k must be"):
         uniform_sample_k(ds, "id", 0)
+
+
+def test_uniform_sample_k_null_keys():
+    from fozziejoin_ray.pipelines.split import uniform_sample_k
+
+    keys = [f"k{i}" for i in range(200)] + [None] * 10
+    ds = rd.from_arrow(pa.table({"id": pa.array(keys, pa.string())}))
+    out = uniform_sample_k(ds, "id", 20, salt="z").take_all()
+    assert len(out) == 20  # no crash; nulls participate via their hash

@@ -143,3 +143,17 @@ def test_grouped_quantiles_vs_brute():
     assert len(got) == 12
     with pytest.raises(ValueError, match="quantile"):
         grouped_quantiles(ds, "k", "v", [1.5])
+
+
+def test_group_aggregate_allnull_sum_is_null():
+    from fozziejoin_ray.pipelines.stats import group_aggregate
+
+    import pandas as pd
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "v": [np.nan, np.nan, 1.0]})
+    out = group_aggregate(
+        rd.from_pandas(df), ["k"], {"s": ("sum", "v"), "n": ("count", "v")}
+    ).take_all()
+    got = {d["k"]: (d["s"], d["n"]) for d in out}
+    assert got["b"] == (1.0, 1)
+    assert got["a"][1] == 0 and (got["a"][0] is None or np.isnan(got["a"][0]))
