@@ -740,6 +740,18 @@ def _pivot_events_query(sf_dir: str):
     return pivot_event_counts(ev, categories=_EVENT_TYPES, num_partitions=8)
 
 
+def _rolling_agg_query(sf_dir: str):
+    """Per-event trailing 6-hour count/sum per user (RANGE-window
+    semantics, ties included)."""
+    from fozziejoin_ray.pipelines.events import rolling_agg
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = rolling_agg(ev, width=6, unit="hours", num_partitions=8)
+    for c in ("value", "sum_win"):
+        out = _round_col(out, c)
+    return out
+
+
 def _event_funnel_query(sf_dir: str):
     """Greedy-earliest signup->click->purchase funnel depth per user
     (strictly increasing timestamps)."""
@@ -1100,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": _window_hopping_query,
         "pivot_events": _pivot_events_query,
         "event_funnel": _event_funnel_query,
+        "rolling_agg": _rolling_agg_query,
         "chunk_docs": _chunk_docs_query,
         "dup_spans": _dup_spans_query,
         "sample_k": _sample_k_query,
@@ -1664,6 +1677,14 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
                    LEFT JOIN s2 ON u.user_id = s2.user_id
                    LEFT JOIN s3 ON u.user_id = s3.user_id""",
+        # trailing RANGE window: inclusive both ends, equal-ts peers in
+        "rolling_agg": """
+            SELECT user_id, ts, ROUND(value, 6) AS value,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+                   ROUND(SUM(value) OVER w, 6) AS sum_win
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)""",
         # duplicate-span removal: grams with corpus count >= 2 cover
         # their 5 token positions; uncovered tokens rebuild the doc
         "dup_spans": r"""

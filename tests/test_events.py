@@ -338,3 +338,46 @@ def test_extract_json_malformed_rows_degrade_to_null():
     )
     out = extract_json(ds, json_col="props", fields={"k": pa.int64()}).take_all()
     assert {d["id"]: d["k"] for d in out} == {1: 1, 2: None, 3: None, 4: None}
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_rolling_agg_vs_brute(nparts):
+    from fozziejoin_ray.pipelines.events import rolling_agg
+
+    rng = np.random.default_rng(3)
+    n = 400
+    rows = [
+        (int(rng.integers(0, 12)), float(rng.integers(0, 3600)), v)
+        for v in rng.normal(size=n)
+    ]
+    rows[5] = (rows[4][0], rows[4][1], 7.0)  # forced equal-ts tie
+    us, secs, vs = zip(*rows)
+    vals = list(vs)
+    vals[7] = None  # a NULL value: counted by n_win, skipped by sum
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": list(us),
+                "ts": pa.array([B + dt.timedelta(seconds=s) for s in secs], pa.timestamp("us")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+    )
+    W = 600.0  # 10-minute window
+    out = rolling_agg(ds, width=10, unit="minutes", num_partitions=nparts).take_all()
+    def norm(v):
+        return None if v is None or (isinstance(v, float) and np.isnan(v)) else round(v, 9)
+
+    got = sorted(
+        (d["user_id"], d["ts"], norm(d["value"]), d["n_win"], norm(d["sum_win"]))
+        for d in out
+    )
+    exp = []
+    for u, s, v in zip(us, secs, vals):
+        win = [(s2, v2) for u2, s2, v2 in zip(us, secs, vals) if u2 == u and s - W <= s2 <= s]
+        sv = [v2 for _, v2 in win if v2 is not None]
+        exp.append(
+            (u, B + dt.timedelta(seconds=s), round(v, 9) if v is not None else None,
+             len(win), round(sum(sv), 9) if sv else None)
+        )
+    assert got == sorted(exp)
