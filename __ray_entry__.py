@@ -740,6 +740,14 @@ def _pivot_events_query(sf_dir: str):
     return pivot_event_counts(ev, categories=_EVENT_TYPES, num_partitions=8)
 
 
+def _window_distinct_query(sf_dir: str):
+    """Distinct active users + event count per 6-hour tumbling window."""
+    from fozziejoin_ray.pipelines.events import window_distinct
+
+    ev = _t(sf_dir, "events", ["ts", "user_id"])
+    return window_distinct(ev, width=6, unit="hours", num_partitions=8)
+
+
 def _rolling_agg_query(sf_dir: str):
     """Per-event trailing 6-hour count/sum per user (RANGE-window
     semantics, ties included)."""
@@ -1113,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _pivot_events_query,
         "event_funnel": _event_funnel_query,
         "rolling_agg": _rolling_agg_query,
+        "window_distinct": _window_distinct_query,
         "chunk_docs": _chunk_docs_query,
         "dup_spans": _dup_spans_query,
         "sample_k": _sample_k_query,
@@ -1677,6 +1686,11 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
                    LEFT JOIN s2 ON u.user_id = s2.user_id
                    LEFT JOIN s3 ON u.user_id = s3.user_id""",
+        "window_distinct": """
+            SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1""",
         # trailing RANGE window: inclusive both ends, equal-ts peers in
         "rolling_agg": """
             SELECT user_id, ts, ROUND(value, 6) AS value,

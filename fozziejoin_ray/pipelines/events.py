@@ -346,6 +346,84 @@ def event_funnel(
     )
 
 
+def window_distinct(
+    events: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    width: float = 1,
+    unit: str = "hours",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exact distinct-entity count per epoch-aligned tumbling window
+    (active users per hour/day — the de-facto traffic metric). Output:
+    ``(win_start int64-us, n_distinct int64, n_events int64)``.
+
+    The distinct-aggregation pattern: each batch reduces to its DISTINCT
+    (window, entity) pairs plus an event-count partial, the single
+    window-hash exchange moves those pairs (bounded by per-window entity
+    cardinality x batches, never raw events), and each window resolves
+    exactly inside one partition. NULL entities count toward
+    ``n_events`` but not ``n_distinct`` (COUNT(DISTINCT x) ignores
+    NULL).
+    """
+    import pandas as pd
+
+    wus = _gap_us(width, unit)
+    if wus <= 0:
+        raise ValueError("width must be positive")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([ts_col, entity_col]).to_pandas()
+        if df[ts_col].dtype != "datetime64[us]":
+            df[ts_col] = df[ts_col].astype("datetime64[us]")
+        win = (df[ts_col].astype("int64").to_numpy() // wus) * wus
+        ent = df[entity_col]
+        nevents = pd.Series(win).groupby(win, sort=False).size()
+        pairs = pd.DataFrame({"win_start": win, "e": ent}).dropna(subset=["e"])
+        pairs = pairs.drop_duplicates()
+        ev = pd.DataFrame(
+            {
+                "win_start": nevents.index.to_numpy(np.int64),
+                "e": np.full(len(nevents), None, dtype=object),
+                "n_events_part": nevents.to_numpy(np.int64),
+            }
+        )
+        pairs["n_events_part"] = np.int64(0)
+        out = pd.concat([pairs, ev], ignore_index=True)
+        h = pd.util.hash_array(out["win_start"].to_numpy(np.int64), categorize=False)
+        out["__wp"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "win_start": pd.Series([], dtype=np.int64),
+                    "n_distinct": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.drop(columns=["__wp"])
+        g = df.groupby("win_start", sort=False)
+        nd = g["e"].nunique(dropna=True)
+        ne = g["n_events_part"].sum()
+        return pd.DataFrame(
+            {
+                "win_start": nd.index.to_numpy(np.int64),
+                "n_distinct": nd.to_numpy(np.int64),
+                "n_events": ne.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns([ts_col, entity_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__wp")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 def rolling_agg(
     events: rd.Dataset,
     *,

@@ -381,3 +381,26 @@ def test_rolling_agg_vs_brute(nparts):
              len(win), round(sum(sv), 9) if sv else None)
         )
     assert got == sorted(exp)
+
+
+def test_window_distinct_vs_brute():
+    from fozziejoin_ray.pipelines.events import window_distinct
+
+    rows = [
+        (1, 0.0), (2, 10.0), (1, 20.0),      # window 0: users {1,2}, 3 events
+        (3, 70.0), (3, 80.0),                # window 60: {3}, 2 events
+        (None, 130.0), (4, 140.0),           # window 120: {4}, 2 events (null counted in n_events only)
+    ]
+    us, secs = zip(*rows)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(us, pa.int64()),
+                "ts": pa.array([B + dt.timedelta(seconds=s) for s in secs], pa.timestamp("us")),
+            }
+        )
+    ).repartition(3)
+    out = window_distinct(ds, width=60, unit="seconds", num_partitions=2).take_all()
+    base = int(B.timestamp() * 1_000_000)
+    got = {(d["win_start"] - base) // 1_000_000: (d["n_distinct"], d["n_events"]) for d in out}
+    assert got == {0: (2, 3), 60: (1, 2), 120: (1, 2)}
