@@ -830,6 +830,17 @@ def _agg_pricing_query(sf_dir: str):
     return _round_col(out, "avg_qty")
 
 
+_BM25_TERMS = ["merge", "sort", "stream"]
+
+
+def _bm25_query(sf_dir: str):
+    """Okapi BM25 top-25 retrieval for a fixed three-term query."""
+    from fozziejoin_ray.pipelines.bm25 import bm25_topk
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, " ".join(_BM25_TERMS), top_k=25)
+
+
 def _pmi_query(sf_dir: str):
     """Top-100 PMI collocations (min bigram count 5) over the shared
     lowercase tokenizer."""
@@ -1126,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _dup_spans_query,
         "sample_k": _sample_k_query,
         "pmi_colloc": _pmi_query,
+        "bm25_topk": _bm25_query,
         "agg_pricing": _agg_pricing_query,
         "grouped_quantiles": _grouped_quantiles_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
@@ -1427,6 +1439,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(l_quantity AS BIGINT)), 6) AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        # Okapi BM25 (Lucene idf), ranked by (round(score,6) DESC, doc_id)
+        "bm25_topk": """
+            WITH toks AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
+                          FROM documents),
+                 d AS (SELECT doc_id, ws, len(ws) AS dl FROM toks),
+                 st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                               SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d),
+                 tf AS (SELECT doc_id, dl, q.term,
+                               len(list_filter(ws, x -> x = q.term)) AS f
+                        FROM d CROSS JOIN (SELECT unnest(['merge', 'sort', 'stream']) AS term) q),
+                 df AS (SELECT term, CAST(COUNT(*) FILTER (f > 0) AS DOUBLE) AS c
+                        FROM tf GROUP BY term),
+                 sc AS (SELECT tf.doc_id,
+                               SUM(CASE WHEN f > 0 THEN
+                                   ln((st.n - df.c + 0.5) / (df.c + 0.5) + 1) *
+                                   f * (1.2 + 1) / (f + 1.2 * (1 - 0.75 + 0.75 * dl / st.avgdl))
+                                   ELSE 0 END) AS s
+                        FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id)
+            SELECT doc_id, ROUND(s, 6) AS bm25 FROM sc
+            ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 25""",
         # PMI over the same token stream as the LM oracles; ordering by
         # ROUNDED pmi + word tiebreak mirrors the engine's total order
         "pmi_colloc": """

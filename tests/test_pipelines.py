@@ -473,3 +473,40 @@ def test_pmi_collocations_vs_brute():
     assert [(d["pmi"], d["w1"], d["w2"], d["c12"]) for d in got] == exp
     with pytest.raises(ValueError, match="top_k"):
         pmi_collocations(ds, top_k=0)
+
+
+def test_bm25_topk_vs_brute():
+    import math
+    import re
+
+    from fozziejoin_ray.pipelines.bm25 import bm25_topk
+
+    docs = [
+        "merge sort is a classic sort",
+        "stream processing with merge joins",
+        "nothing relevant here at all",
+        "sort sort sort sort",
+        "",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))), "text": docs}))
+    got = bm25_topk(ds, "merge sort", top_k=5).take_all()
+
+    toks = [re.findall(r"[0-9a-z_]+", d.lower()) for d in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    k1, b = 1.2, 0.75
+    exp = []
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for term in ["merge", "sort"]:
+            f = tk.count(term)
+            if not f:
+                continue
+            df = sum(1 for t2 in toks if term in t2)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(tk) / avgdl))
+        exp.append((round(s, 6), i))
+    exp = sorted(exp, key=lambda r: (-r[0], r[1]))
+    assert [(d["bm25"], d["doc_id"]) for d in got] == exp
+    with pytest.raises(ValueError, match="tokenizable"):
+        bm25_topk(ds, "!!!")
