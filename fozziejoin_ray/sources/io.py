@@ -43,6 +43,27 @@ def read_table(path: str, *, format: str = "parquet", columns=None, **kwargs) ->
     raise ValueError(f"unknown format {format!r}; expected one of {_FORMATS}")
 
 
+def write_partitioned(
+    ds: rd.Dataset,
+    path: str,
+    by: list[str],
+    *,
+    mode: str = "overwrite",
+    **kwargs,
+) -> None:
+    """Hive-partitioned parquet output: one ``col=value/`` directory per
+    distinct key tuple of ``by`` (e.g. ``lang=en/``), many files per
+    partition. This is the resumable layout for 100 TB runs — a rerun
+    can list the finished ``col=value`` directories and skip them, and
+    downstream readers prune whole directories with partition filters
+    (``read_parquet(path)`` reconstructs the key columns from the
+    paths). Key columns should be low-cardinality (a directory per
+    distinct tuple)."""
+    if not by:
+        raise ValueError("by must name at least one partition column")
+    ds.write_parquet(path, partition_cols=list(by), mode=mode, **kwargs)
+
+
 def write_table(ds: rd.Dataset, path: str, *, format: str = "parquet", **kwargs) -> None:
     """Write a Dataset as partitioned files (never one giant file)."""
     if format == "parquet":

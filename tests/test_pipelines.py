@@ -510,3 +510,31 @@ def test_bm25_topk_vs_brute():
     assert [(d["bm25"], d["doc_id"]) for d in got] == exp
     with pytest.raises(ValueError, match="tokenizable"):
         bm25_topk(ds, "!!!")
+
+
+def test_write_partitioned_roundtrip(tmp_path):
+    import os
+
+    from fozziejoin_ray.sources.io import read_table, write_partitioned
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(8)),
+                "lang": ["en", "fr", "en", "de", "fr", "en", "de", "en"],
+                "v": [float(i) for i in range(8)],
+            }
+        )
+    )
+    out = str(tmp_path / "part")
+    write_partitioned(ds, out, ["lang"])
+    # hive layout: one lang=<value>/ directory per distinct key
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=de", "lang=en", "lang=fr"]
+    back = read_table(out).take_all()
+    assert len(back) == 8
+    assert sorted((d["doc_id"], d["lang"]) for d in back) == sorted(
+        zip(range(8), ["en", "fr", "en", "de", "fr", "en", "de", "en"])
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        write_partitioned(ds, out, [])
