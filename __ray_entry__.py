@@ -830,6 +830,18 @@ def _agg_pricing_query(sf_dir: str):
     return _round_col(out, "avg_qty")
 
 
+def _kmeans_query(sf_dir: str):
+    """Distributed Lloyd's k-means assignments (no oracle: iterative
+    float math; pytest verifies exact equality vs a brute NumPy Lloyd
+    with the same seeded init)."""
+    from fozziejoin_ray.pipelines.ann import kmeans_embeddings
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_embeddings(emb, k=8, iters=4, seed=42).select_columns(
+        ["vec_id", "cluster"]
+    )
+
+
 _BM25_TERMS = ["merge", "sort", "stream"]
 
 
@@ -1101,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk_query,
         "ann_ivf": _ann_ivf_query,
         "ann_ivf_exhaustive": _ann_ivf_exhaustive_query,
+        "kmeans_clusters": _kmeans_query,
         # text analysis
         "token_count": _token_count_query,
         "quality_score": _quality_query,

@@ -395,3 +395,96 @@ def embedding_dedup(
             proj, threshold=threshold, embed_col=embed_col, id_col=id_col, dtype=dtype
         )
     return _dup_groups(proj, pairs, id_col, num_partitions, id_type)
+
+
+def kmeans_embeddings(
+    ds: rd.Dataset,
+    *,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Distributed Lloyd's k-means over an embedding column: the
+    canonical iterative broadcast-partial algorithm (and the proper
+    trainer for IVF centroids, vs :func:`_sample_centroids`'s one-shot
+    sample). Deterministic: seeded init from a driver-side sample,
+    float64 math, first-index argmin ties.
+
+    Each iteration is ONE streaming pass: centroids broadcast via
+    ``ray.put``, every batch assigns vectors vectorized (one matmul)
+    and collapses to k partial (sum-vector, count) rows, the driver
+    reduces k x num_batches tiny rows and updates centroids (an empty
+    cluster keeps its previous centroid). After ``iters`` rounds a
+    final shuffle-free pass emits ``(id_col, cluster, dist)``. Driver
+    memory: k x dim floats — never vectors. No oracle: iterative
+    float math is not SQL-expressible; pytest verifies exact equality
+    against a brute-force NumPy Lloyd run with the same init.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1 (got k={k}, iters={iters})")
+    ds = ds.materialize()
+    st = pa.concat_tables(
+        list(ds.limit(max(k * 8, 256)).iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    S = _embed_matrix(st, embed_col, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = S[rng.choice(len(S), size=min(k, len(S)), replace=False)].copy()
+
+    def make_partial(cref):
+        def partial(t: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            X = _embed_matrix(t, embed_col, dtype=np.float64)
+            d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)  # argmin-equivalent
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((len(C), X.shape[1]), np.float64)
+            np.add.at(sums, a, X)
+            cnt = np.bincount(a, minlength=len(C)).astype(np.int64)
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(len(C), dtype=np.int64)),
+                    "cnt": pa.array(cnt),
+                    "vsum": pa.array(list(sums)),
+                }
+            )
+
+        return partial
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        parts = pa.concat_tables(
+            list(
+                ds.map_batches(make_partial(cref), batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            )
+        )
+        cid = parts["c"].to_numpy(zero_copy_only=False)
+        cnt = parts["cnt"].to_numpy(zero_copy_only=False)
+        vs = np.stack(parts["vsum"].to_pylist()).astype(np.float64)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, cid, vs)
+        tot = np.zeros(len(cents), np.int64)
+        np.add.at(tot, cid, cnt)
+        nz = tot > 0
+        cents = np.where(nz[:, None], sums / np.maximum(tot, 1)[:, None], cents)
+
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        X = _embed_matrix(t, embed_col, dtype=np.float64)
+        d2 = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        a = np.argmin(-2.0 * (X @ C.T) + (C * C).sum(axis=1), axis=1)
+        dist = np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0))
+        return pa.table(
+            {
+                id_col: idc,
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist": pa.array(np.round(dist, 6)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -538,3 +538,43 @@ def test_write_partitioned_roundtrip(tmp_path):
     )
     with pytest.raises(ValueError, match="partition column"):
         write_partitioned(ds, out, [])
+
+
+def test_kmeans_embeddings_vs_brute():
+    from fozziejoin_ray.pipelines.ann import _embed_matrix, kmeans_embeddings
+
+    # integer-valued embeddings make float sums exact, so the engine's
+    # partial-sum order matches the brute single-pass bit-for-bit
+    rng = np.random.default_rng(5)
+    n, dim, k, iters = 300, 6, 4, 4
+    X = rng.integers(-8, 9, size=(n, dim)).astype(np.float64)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": list(range(n)), "embedding": [row.tolist() for row in X]})
+    ).repartition(5)
+    got = {d["vec_id"]: d["cluster"] for d in kmeans_embeddings(
+        ds, k=k, iters=iters, seed=9
+    ).take_all()}
+
+    # brute Lloyd with the SAME init: the engine samples its init from
+    # ds.limit(256) -> the first 300 rows here, seeded choice
+    st = rd.from_arrow(
+        pa.table({"vec_id": list(range(n)), "embedding": [row.tolist() for row in X]})
+    ).repartition(5).limit(max(k * 8, 256))
+    import pyarrow as _pa
+
+    S = _embed_matrix(
+        _pa.concat_tables(list(st.iter_batches(batch_size=None, batch_format="pyarrow"))),
+        "embedding",
+        dtype=np.float64,
+    )
+    r = np.random.RandomState(9)
+    C = S[r.choice(len(S), size=k, replace=False)].copy()
+    for _ in range(iters):
+        a = np.argmin(-2.0 * (X @ C.T) + (C * C).sum(axis=1), axis=1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    a = np.argmin(-2.0 * (X @ C.T) + (C * C).sum(axis=1), axis=1)
+    assert got == {i: int(a[i]) for i in range(n)}
+    with pytest.raises(ValueError, match="k and iters"):
+        kmeans_embeddings(ds, k=0)
