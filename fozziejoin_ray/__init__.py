@@ -8,6 +8,7 @@ Arrow batches, designed for multi-node scale.
 """
 
 from .joins.asof import fuzzy_asof_join, fuzzy_temporal_asof_join  # noqa: F401
+from .joins.hashjoin import hash_join  # noqa: F401
 from .joins.interval_join import fuzzy_interval_join  # noqa: F401
 from .joins.numeric_join import fuzzy_difference_join, fuzzy_distance_join  # noqa: F401
 from .joins.regex_join import fuzzy_regex_join  # noqa: F401
@@ -24,5 +25,6 @@ __all__ = [
     "fuzzy_temporal_interval_join",
     "fuzzy_asof_join",
     "fuzzy_temporal_asof_join",
+    "hash_join",
 ]
 __version__ = "0.1.0"
