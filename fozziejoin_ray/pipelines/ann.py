@@ -409,8 +409,11 @@ def kmeans_embeddings(
     """Distributed Lloyd's k-means over an embedding column: the
     canonical iterative broadcast-partial algorithm (and the proper
     trainer for IVF centroids, vs :func:`_sample_centroids`'s one-shot
-    sample). Deterministic: seeded init from a driver-side sample,
-    float64 math, first-index argmin ties.
+    sample). Deterministic: seeded init drawn from a hash-rank UNIFORM
+    sample of the dataset (pipelines/split.py uniform_sample_k —
+    partitioning- and write-order-independent, unlike a dataset-prefix
+    sample which degenerates on cluster-ordered corpora), float64 math,
+    first-index argmin ties.
 
     Each iteration is ONE streaming pass: centroids broadcast via
     ``ray.put``, every batch assigns vectors vectorized (one matmul)
@@ -425,12 +428,23 @@ def kmeans_embeddings(
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1 (got k={k}, iters={iters})")
     ds = ds.materialize()
-    st = pa.concat_tables(
-        list(ds.limit(max(k * 8, 256)).iter_batches(batch_size=None, batch_format="pyarrow"))
-    )
-    S = _embed_matrix(st, embed_col, dtype=np.float64)
+    # init from a deterministic UNIFORM sample (hash-rank over ids), not
+    # the dataset prefix: curated corpora are routinely written in
+    # cluster/id order, and prefix-drawn centroids from one region of
+    # the space converge Lloyd's to a degenerate local optimum
+    from .split import uniform_sample_k
+
+    sample = uniform_sample_k(ds, id_col, max(k * 8, 256), salt="kmeans-init")
+    tabs = list(sample.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tabs:
+        raise ValueError("kmeans_embeddings requires a non-empty dataset")
+    S = _embed_matrix(pa.concat_tables(tabs), embed_col, dtype=np.float64)
+    if len(S) < k:
+        raise ValueError(
+            f"kmeans_embeddings needs at least k={k} vectors (dataset has {len(S)})"
+        )
     rng = np.random.RandomState(seed)
-    cents = S[rng.choice(len(S), size=min(k, len(S)), replace=False)].copy()
+    cents = S[rng.choice(len(S), size=k, replace=False)].copy()
 
     def make_partial(cref):
         def partial(t: pa.Table) -> pa.Table:
@@ -476,9 +490,10 @@ def kmeans_embeddings(
         C = ray.get(cref)
         idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
         X = _embed_matrix(t, embed_col, dtype=np.float64)
-        d2 = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(axis=1)
-        a = np.argmin(-2.0 * (X @ C.T) + (C * C).sum(axis=1), axis=1)
-        dist = np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0))
+        r = -2.0 * (X @ C.T) + (C * C).sum(axis=1)  # one matmul serves both
+        a = np.argmin(r, axis=1)
+        d2 = (X * X).sum(axis=1) + r[np.arange(len(a)), a]
+        dist = np.sqrt(np.maximum(d2, 0.0))
         return pa.table(
             {
                 id_col: idc,

@@ -377,6 +377,11 @@ def window_distinct(
         df = t.select([ts_col, entity_col]).to_pandas()
         if df[ts_col].dtype != "datetime64[us]":
             df[ts_col] = df[ts_col].astype("datetime64[us]")
+        if df[ts_col].isna().any():
+            raise ValueError(
+                "window_distinct requires non-null timestamps (NaT viewed "
+                "as int64 wraps the window id); filter null rows first"
+            )
         win = (df[ts_col].astype("int64").to_numpy() // wus) * wus
         ent = df[entity_col]
         nevents = pd.Series(win).groupby(win, sort=False).size()
@@ -451,7 +456,8 @@ def rolling_agg(
     plus a prefix-sum difference — no per-event loop, no window
     re-scan. Exact for integer-microsecond timestamps; sums are prefix
     differences of float64 (callers comparing across engines should
-    round, as with window_agg).
+    round, as with window_agg). NULL users form one partition (SQL
+    PARTITION BY); NULL timestamps are rejected (a NaT has no window).
     """
     import pandas as pd
 
@@ -474,10 +480,19 @@ def rolling_agg(
         if df[ts_col].dtype != "datetime64[us]":
             df = df.copy()
             df[ts_col] = df[ts_col].astype("datetime64[us]")
+        if df[ts_col].isna().any():
+            raise ValueError(
+                "rolling_agg requires non-null timestamps (a NaT has no "
+                "trailing window); filter null rows first"
+            )
         ts = df[ts_col].astype("int64").to_numpy()
         users = df[user_col].to_numpy()
         vals = df[value_col].to_numpy(dtype=np.float64)
-        new = np.r_[True, users[1:] != users[:-1]]
+        # factorize, not !=: NULL users form ONE partition run (NaN != NaN
+        # would split every null row into its own run), matching SQL
+        # PARTITION BY; sort_values put nulls last so codes stay contiguous
+        codes = pd.factorize(users, use_na_sentinel=False)[0]
+        new = np.r_[True, codes[1:] != codes[:-1]]
         starts = np.nonzero(new)[0]
         run_id = np.cumsum(new) - 1
         base = starts[run_id]  # each row's run start index

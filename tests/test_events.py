@@ -404,3 +404,42 @@ def test_window_distinct_vs_brute():
     base = int(B.timestamp() * 1_000_000)
     got = {(d["win_start"] - base) // 1_000_000: (d["n_distinct"], d["n_events"]) for d in out}
     assert got == {0: (2, 3), 60: (1, 2), 120: (1, 2)}
+
+
+def test_rolling_agg_null_users_one_partition_and_null_ts_raises():
+    from fozziejoin_ray.pipelines.events import rolling_agg, window_distinct
+
+    # two NULL-user events 10s apart inside a 10-minute window: SQL
+    # PARTITION BY puts them in ONE partition -> second row sees both
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([None, None, "u1"], pa.string()),
+                "ts": pa.array(
+                    [B, B + dt.timedelta(seconds=10), B], pa.timestamp("us")
+                ),
+                "value": [1.0, 2.0, 5.0],
+            }
+        )
+    )
+    out = rolling_agg(ds, width=10, unit="minutes", num_partitions=2).take_all()
+    nulls = sorted(
+        (d["n_win"], d["sum_win"]) for d in out if d["user_id"] is None or (
+            isinstance(d["user_id"], float) and np.isnan(d["user_id"])
+        )
+    )
+    assert nulls == [(1, 1.0), (2, 3.0)]
+
+    bad = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": ["u1"],
+                "ts": pa.array([None], pa.timestamp("us")),
+                "value": [1.0],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="non-null timestamps"):
+        rolling_agg(bad, width=1, unit="hours").take_all()
+    with pytest.raises(Exception, match="non-null timestamps"):
+        window_distinct(bad, width=1, unit="hours").take_all()

@@ -555,11 +555,18 @@ def test_kmeans_embeddings_vs_brute():
         ds, k=k, iters=iters, seed=9
     ).take_all()}
 
-    # brute Lloyd with the SAME init: the engine samples its init from
-    # ds.limit(256) -> the first 300 rows here, seeded choice
-    st = rd.from_arrow(
-        pa.table({"vec_id": list(range(n)), "embedding": [row.tolist() for row in X]})
-    ).repartition(5).limit(max(k * 8, 256))
+    # brute Lloyd with the SAME init: the engine draws its init sample
+    # via the deterministic hash-rank uniform_sample_k
+    from fozziejoin_ray.pipelines.split import uniform_sample_k
+
+    st = uniform_sample_k(
+        rd.from_arrow(
+            pa.table({"vec_id": list(range(n)), "embedding": [row.tolist() for row in X]})
+        ).repartition(5),
+        "vec_id",
+        max(k * 8, 256),
+        salt="kmeans-init",
+    )
     import pyarrow as _pa
 
     S = _embed_matrix(
@@ -578,3 +585,5 @@ def test_kmeans_embeddings_vs_brute():
     assert got == {i: int(a[i]) for i in range(n)}
     with pytest.raises(ValueError, match="k and iters"):
         kmeans_embeddings(ds, k=0)
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_embeddings(ds.limit(3), k=5)
