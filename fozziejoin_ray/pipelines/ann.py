@@ -119,6 +119,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 17,
     dtype=np.float32,
+    centroids: np.ndarray | None = None,
 ) -> rd.Dataset:
     """IVF-style approximate top-k: centroids from a deterministic seeded
     sample; each vector shuffles once to its centroid bucket; each query
@@ -128,8 +129,18 @@ def ivf_topk(
     exhaustive — identical results to :func:`ann_topk` (same scoring,
     same (cosine desc, vec_id) tie-break) with the IVF physical plan;
     that mode is what the driver's SQL oracle verifies. ``dtype=
-    np.float64`` bit-matches a double-precision oracle."""
-    centroids = _sample_centroids(ds, embed_col, n_centroids, seed)
+    np.float64`` bit-matches a double-precision oracle.
+
+    Pass ``centroids`` (an (m, dim) array, e.g. trained by
+    :func:`kmeans_embeddings` on a sample) to skip the one-shot seeded
+    sample — trained centroids balance the buckets and raise recall at
+    the same ``nprobe``; they are L2-normalized here since bucket
+    assignment is by cosine."""
+    if centroids is not None:
+        centroids = _normalize(np.asarray(centroids, dtype=np.float64))
+        n_centroids = len(centroids)
+    else:
+        centroids = _sample_centroids(ds, embed_col, n_centroids, seed)
     cref = ray.put(centroids)
 
     def assign(t: pa.Table) -> pa.Table:

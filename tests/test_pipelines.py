@@ -587,3 +587,41 @@ def test_kmeans_embeddings_vs_brute():
         kmeans_embeddings(ds, k=0)
     with pytest.raises(ValueError, match="at least k"):
         kmeans_embeddings(ds.limit(3), k=5)
+
+
+def test_ivf_topk_with_trained_centroids():
+    from fozziejoin_ray.pipelines.ann import ann_topk, ivf_topk, kmeans_embeddings
+
+    rng = np.random.default_rng(12)
+    n, dim = 400, 8
+    X = rng.normal(size=(n, dim)).astype(np.float64)
+    tab = pa.table({"vec_id": list(range(n)), "embedding": [r.tolist() for r in X]})
+    ds = rd.from_arrow(tab).repartition(4)
+    Q = rng.normal(size=(3, dim))
+
+    # train centroids with k-means, hand them to IVF; exhaustive probing
+    # over trained centroids must still equal exact search
+    import ray
+
+    cents = None
+    km = kmeans_embeddings(ds, k=6, iters=3, seed=4)
+    km.take_all()  # materialize side effects not needed; recompute centroids below
+
+    # recompute the trained centroid matrix the same way kmeans did:
+    # simplest trained stand-in — per-cluster means from the assignments
+    asg = {d["vec_id"]: d["cluster"] for d in km.take_all()}
+    import collections
+
+    groups = collections.defaultdict(list)
+    for i in range(n):
+        groups[asg[i]].append(X[i])
+    cents = np.stack([np.mean(v, axis=0) for _, v in sorted(groups.items())])
+
+    exact = ann_topk(ds, Q, [0, 1, 2], k=5)
+    got = ivf_topk(ds, Q, [0, 1, 2], k=5, nprobe=len(cents), centroids=cents)
+    def canon(rows):
+        return sorted(
+            (d["query_id"], d["vec_id"], round(d["cosine"], 5), d["rank"]) for d in rows
+        )
+
+    assert canon(got.take_all()) == canon(exact.take_all())
