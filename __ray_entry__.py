@@ -842,6 +842,24 @@ def _kmeans_query(sf_dir: str):
     )
 
 
+def _heavy_hitters_query(sf_dir: str):
+    """Exact top-50 corpus tokens (value-counts combiner + k-row sort)."""
+    from fozziejoin_ray.pipelines.sketch import heavy_hitters
+
+    docs = _t(sf_dir, "documents", ["text"])
+    return heavy_hitters(docs, top_k=50)
+
+
+def _cms_query(sf_dir: str):
+    """Count-min-sketch heavy hitters (no oracle: the sketch's one-sided
+    overestimate is the point; pytest pins the bound and exactness on
+    under-width streams). rows-only driver check."""
+    from fozziejoin_ray.pipelines.sketch import cms_heavy_hitters
+
+    docs = _t(sf_dir, "documents", ["text"])
+    return cms_heavy_hitters(docs, top_k=50, width=8192, depth=4)
+
+
 _BM25_TERMS = ["merge", "sort", "stream"]
 
 
@@ -1151,6 +1169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k": _sample_k_query,
         "pmi_colloc": _pmi_query,
         "bm25_topk": _bm25_query,
+        "heavy_hitters": _heavy_hitters_query,
+        "cms_heavy_hitters": _cms_query,
         "agg_pricing": _agg_pricing_query,
         "grouped_quantiles": _grouped_quantiles_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
@@ -1452,6 +1472,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(l_quantity AS BIGINT)), 6) AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "heavy_hitters": """
+            SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+')) AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
         # Okapi BM25 (Lucene idf), ranked by (round(score,6) DESC, doc_id)
         "bm25_topk": """
             WITH toks AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws

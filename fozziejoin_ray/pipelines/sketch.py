@@ -1,0 +1,156 @@
+"""Mergeable sketches: count-min heavy hitters over a token stream.
+
+Two siblings:
+
+- :func:`heavy_hitters` — EXACT top-k terms by corpus frequency: the
+  value-counts combiner (one partial-count pass, one tiny exchange)
+  followed by a per-partition top-k prune and a k-row global sort.
+  Shuffle volume is bounded by distinct-term cardinality; this is the
+  oracle-checkable path and the right one whenever the vocabulary fits
+  an exchange (true for word-like token spaces).
+- :func:`cms_heavy_hitters` — count-min sketch + per-batch candidate
+  tracking, for streams whose key space is too large to exchange
+  (URLs, n-grams, raw bytes). Every batch reduces to a fixed
+  ``depth x width`` int64 matrix plus its local top candidates; CMS
+  partials merge by ADDITION (the defining sketch property), so the
+  driver folds num_batches tiny matrices and estimates each surviving
+  candidate with the classic min-over-rows upper bound. Deterministic
+  (seeded hash family), one-sided error: estimates only ever
+  OVER-count, bounded by ``2N/width`` with prob ``1 - 2^-depth``
+  (Cormode & Muthukrishnan 2005). No SQL oracle (the sketch is the
+  point); pytest pins exactness on under-width streams and the
+  top-k recovery + upper-bound invariants on skewed ones.
+
+Both tokenize with the shared lowercase ASCII convention
+(pipelines/lm.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .lm import _flat_tokens
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> rd.Dataset:
+    """Exact top ``top_k`` tokens by total corpus count, ranked by
+    (count DESC, token) — a total order, so cross-engine deterministic.
+    Output: ``(token, n)``."""
+    import pandas as pd
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, toks = _flat_tokens(t, text_col)
+        codes, uniq = pd.factorize(toks)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"token": pa.array(np.asarray(uniq, dtype=object), pa.string()), "n": pa.array(cnt)}
+        )
+
+    merged = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.sort(np.lexsort((tok, -n))[:top_k])
+        return pa.table(
+            {
+                "token": pa.array(tok[order], pa.string()),
+                "n": pa.array(n[order]),
+                "__neg": pa.array(-n[order]),
+            }
+        )
+
+    out = merged.map_batches(prune, batch_format="pyarrow").sort(["__neg", "token"]).limit(top_k)
+    return out.map_batches(lambda t: t.drop_columns(["__neg"]), batch_format="pyarrow")
+
+
+def _cms_hashes(toks: np.ndarray, depth: int, width: int, seed: int) -> np.ndarray:
+    """(depth, n) column indices for each token — pandas siphash with
+    per-row derived keys (stable across processes)."""
+    import pandas as pd
+
+    cols = np.empty((depth, len(toks)), np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(toks, categorize=False, hash_key=f"{seed + d:016d}")
+        cols[d] = (h % np.uint64(width)).astype(np.int64)
+    return cols
+
+
+def cms_heavy_hitters(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    top_k: int = 50,
+    width: int = 4096,
+    depth: int = 4,
+    candidates_per_batch: int = 256,
+    seed: int = 7,
+) -> pa.Table:
+    """Approximate top-k tokens via a count-min sketch (see module
+    docstring). Returns an Arrow table ``(token, n_est)`` ranked by
+    (estimate DESC, token); ``n_est >= true count`` always, and a true
+    heavy hitter is missed only if it never enters any batch's local
+    top-``candidates_per_batch`` — size that to the batch skew."""
+    import pandas as pd
+
+    if top_k < 1 or width < 1 or depth < 1:
+        raise ValueError("top_k, width and depth must all be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, toks = _flat_tokens(t, text_col)
+        codes, uniq = pd.factorize(toks)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        uniq = np.asarray(uniq, dtype=object)
+        sk = np.zeros((depth, width), np.int64)
+        if len(uniq):
+            cols = _cms_hashes(uniq, depth, width, seed)
+            for d in range(depth):
+                np.add.at(sk[d], cols[d], cnt)
+        top = np.sort(np.lexsort((uniq.astype("U"), -cnt))[: min(candidates_per_batch, len(uniq))])
+        return pa.table(
+            {
+                "sketch": pa.array([sk.ravel()]),
+                "cand": pa.array([uniq[top].tolist()]),
+            }
+        )
+
+    parts = list(
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    sk = np.zeros(depth * width, np.int64)
+    cands: set = set()
+    for bt in parts:
+        for row in bt["sketch"].to_pylist():
+            sk += np.asarray(row, np.int64)  # CMS partials merge by addition
+        for cl in bt["cand"].to_pylist():
+            cands.update(cl)
+    sk = sk.reshape(depth, width)
+    if not cands:
+        return pa.table({"token": pa.array([], pa.string()), "n_est": pa.array([], pa.int64())})
+    carr = np.array(sorted(cands), dtype=object)
+    cols = _cms_hashes(carr, depth, width, seed)
+    est = sk[np.arange(depth)[:, None], cols].min(axis=0)
+    order = np.lexsort((carr.astype("U"), -est))[:top_k]
+    return pa.table(
+        {
+            "token": pa.array(carr[order], pa.string()),
+            "n_est": pa.array(est[order], pa.int64()),
+        }
+    )

@@ -157,3 +157,36 @@ def test_group_aggregate_allnull_sum_is_null():
     got = {d["k"]: (d["s"], d["n"]) for d in out}
     assert got["b"] == (1.0, 1)
     assert got["a"][1] == 0 and (got["a"][0] is None or np.isnan(got["a"][0]))
+
+
+def test_heavy_hitters_exact_and_cms():
+    from fozziejoin_ray.pipelines.sketch import cms_heavy_hitters, heavy_hitters
+
+    # skewed corpus: token frequencies 100, 50, 25, ... plus noise tail
+    import collections
+
+    docs, truth = [], collections.Counter()
+    for i, f in enumerate([100, 50, 25, 12, 6]):
+        docs.extend([f"hot{i}"] * f)
+        truth[f"hot{i}"] = f
+    for j in range(200):
+        docs.append(f"tail{j}")
+        truth[f"tail{j}"] = 1
+    # pack tokens into multi-token documents to exercise the flatten
+    texts = [" ".join(docs[i : i + 7]) for i in range(0, len(docs), 7)]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(4)
+
+    exact = heavy_hitters(ds, top_k=5).take_all()
+    assert [(d["token"], d["n"]) for d in exact] == [
+        ("hot0", 100), ("hot1", 50), ("hot2", 25), ("hot3", 12), ("hot4", 6)
+    ]
+
+    t = cms_heavy_hitters(ds, top_k=5, width=4096, depth=4, candidates_per_batch=64)
+    got = list(zip(t["token"].to_pylist(), t["n_est"].to_pylist()))
+    # CMS never under-counts, and on an under-width stream it's exact
+    for tok, est in got:
+        assert est >= truth[tok]
+    assert [g[0] for g in got] == ["hot0", "hot1", "hot2", "hot3", "hot4"]
+    assert all(est - truth[tok] <= 2 * sum(truth.values()) // 4096 for tok, est in got)
+    with pytest.raises(ValueError, match=">= 1"):
+        cms_heavy_hitters(ds, top_k=0)
