@@ -209,13 +209,20 @@ def repetition_score(
                 btot = np.bincount(bp, minlength=n).astype(np.float64)
                 bz = btot > 0
                 dup_b[bz] = 1.0 - bdist[bz] / btot[bz]
+        def _r6(v: np.ndarray) -> pa.Array:
+            # round to 6 decimals with the same convention as the SQL
+            # oracle (bm25.py:97 / colloc.py:145) so value hashes agree
+            return pc.round(
+                pa.array(v, pa.float64()), ndigits=6, round_mode="half_towards_infinity"
+            )
+
         return pa.table(
             {
                 id_col: idc,
                 "n_words": pa.array(total.astype(np.int64)),
-                "dup_word_frac": pa.array(dup_w, pa.float64()),
-                "top_word_frac": pa.array(top_w, pa.float64()),
-                "dup_bigram_frac": pa.array(dup_b, pa.float64()),
+                "dup_word_frac": _r6(dup_w),
+                "top_word_frac": _r6(top_w),
+                "dup_bigram_frac": _r6(dup_b),
             }
         )
 
