@@ -34,11 +34,51 @@ NODE = "node"
 CLUSTER = "cluster"
 
 
+def _min_label_cc(ea: np.ndarray, eb: np.ndarray, n: int) -> np.ndarray:
+    """Exact connected-component labels for an integer-coded edge list —
+    fully vectorized supervertex contraction (Shiloach-Vishkin style):
+    each round pull the neighbor minimum onto every node, pointer-jump
+    the label forest to its roots, then CONTRACT the edge list onto the
+    root graph and dedupe. The edge set shrinks geometrically, so the
+    whole thing converges in O(log n) rounds of compiled numpy — no
+    per-edge python. Returns, per node code, the position (== value,
+    codes are 0..n-1) of its component's minimum code."""
+    total = np.arange(n, dtype=np.int64)
+    ea = np.asarray(ea, dtype=np.int64)
+    eb = np.asarray(eb, dtype=np.int64)
+    live = ea != eb
+    ea, eb = ea[live], eb[live]
+    while len(ea):
+        lbl = np.arange(n, dtype=np.int64)
+        np.minimum.at(lbl, ea, eb)
+        np.minimum.at(lbl, eb, ea)
+        while True:  # jump the (shallow) label forest to idempotence
+            l2 = lbl[lbl]
+            if np.array_equal(l2, lbl):
+                break
+            lbl = l2
+        total = lbl[total]
+        ea, eb = lbl[ea], lbl[eb]
+        live = ea != eb
+        ea, eb = ea[live], eb[live]
+        if len(ea):
+            lo = np.minimum(ea, eb)
+            hi = np.maximum(ea, eb)
+            if n < 3_000_000_000:  # lo*n+hi stays inside int64
+                packed = np.unique(lo * n + hi)
+                ea, eb = packed // n, packed % n
+            else:
+                idx = np.lexsort((hi, lo))
+                lo, hi = lo[idx], hi[idx]
+                keep = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+                ea, eb = lo[keep], hi[keep]
+    return total
+
+
 def _driver_union_find_batches(batches, src: str, dst: str, node_type=None) -> "rd.Dataset":
     """Exact connected components on the driver for small edge sets —
-    fully vectorized: factorize both endpoint columns to int codes, then
-    alternate ``np.minimum.at`` label pulls with pointer jumping until a
-    fixpoint (O(log n) rounds; no per-edge python)."""
+    factorize both endpoint columns to int codes, then run the
+    vectorized min-label propagation (:func:`_min_label_cc`)."""
     import pandas as pd
 
     tables = [t for t in batches if t.num_rows]
@@ -53,17 +93,7 @@ def _driver_union_find_batches(batches, src: str, dst: str, node_type=None) -> "
     n = len(uniques)
     ea = codes[: len(a)]
     eb = codes[len(a):]
-    lbl = np.arange(n, dtype=np.int64)
-    while True:
-        prev = lbl
-        l2 = lbl.copy()
-        np.minimum.at(l2, ea, lbl[eb])
-        np.minimum.at(l2, eb, lbl[ea])
-        l2 = l2[l2]  # pointer jump
-        l2 = l2[l2]
-        lbl = l2
-        if np.array_equal(lbl, prev):
-            break
+    lbl = _min_label_cc(ea, eb, n)
     # labels are positions of component minima; map to the min VALUE in
     # each component (uniques is not sorted, so position-min != value-min)
     u = pd.Series(uniques)
@@ -132,28 +162,15 @@ def _contract_round(edges: rd.Dataset, num_partitions: int) -> rd.Dataset:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}
             )
-        # vectorized-friendly exact UF: factorize nodes to ints, dict-free
-        # path-halving over a numpy parent array
+        # exact CC via vectorized min-label propagation (_min_label_cc) —
+        # no per-edge python; then pick the min VALUE per root as the
+        # star center so labels stay deterministic across partitionings
         both = pd.concat([df["a"], df["b"]], ignore_index=True)
         codes, uniques = pd.factorize(both, sort=False)
         n = len(uniques)
         ea = codes[: len(df)]
         eb = codes[len(df):]
-        parent = np.arange(n, dtype=np.int64)
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for x, y in zip(ea, eb):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
-        # flatten to roots, then pick the min VALUE per root as the star
-        # center so labels stay deterministic across partitionings
-        roots = np.fromiter((find(i) for i in range(n)), np.int64, count=n)
+        roots = _min_label_cc(ea, eb, n)
         u = pd.DataFrame({"node": uniques, "root": roots})
         rep = u.groupby("root", sort=False)["node"].transform("min")
         keep = u["node"].to_numpy() != rep.to_numpy()
