@@ -715,6 +715,85 @@ def _equi_anti_query(sf_dir: str):
     )
 
 
+def _equi_full_query(sf_dir: str):
+    """Full-outer equality join (the equi analog of the reference's
+    full-join assembly, src/rust/src/merge/full.rs:9-85): big orders x
+    rich customers on custkey. Both filters leave unmatched rows on
+    both sides; the key coalesces under its left name (o_custkey)."""
+    from fozziejoin_ray.joins.hashjoin import hash_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], 300000.0))
+
+    def rich(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 5000.0))
+
+    return hash_join(
+        orders.map_batches(big, batch_format="pyarrow"),
+        cust.map_batches(rich, batch_format="pyarrow"),
+        "o_custkey",
+        "c_custkey",
+        how="full_outer",
+        num_partitions=16,
+    )
+
+
+def _equi_right_query(sf_dir: str):
+    """Right-outer equality join: big orders x all customers; customers
+    with no big order surface with null order columns."""
+    from fozziejoin_ray.joins.hashjoin import hash_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], 400000.0))
+
+    return hash_join(
+        orders.map_batches(big, batch_format="pyarrow"),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        how="right_outer",
+        num_partitions=16,
+    )
+
+
+def _equi_composite_query(sf_dir: str):
+    """Composite-key equality join: heavy lineitems back onto the
+    per-(partkey, suppkey) aggregate of the same table — a distributed
+    groupby (combiner-before-shuffle, pipelines/stats.py) feeding the
+    grace hash join on a TWO-column key."""
+    from fozziejoin_ray.joins.hashjoin import hash_join
+    from fozziejoin_ray.pipelines.stats import group_aggregate
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"])
+    agg = group_aggregate(
+        li,
+        ["l_partkey", "l_suppkey"],
+        {"ps_qty": ("sum", "l_quantity"), "ps_rows": ("count", "*")},
+        num_partitions=16,
+    ).map_batches(
+        lambda t: t.rename_columns(["ps_partkey", "ps_suppkey", "ps_qty", "ps_rows"]),
+        batch_format="pyarrow",
+    )
+
+    def heavy(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity"], 48.0))
+
+    return hash_join(
+        li.map_batches(heavy, batch_format="pyarrow"),
+        agg,
+        ["l_partkey", "l_suppkey"],
+        ["ps_partkey", "ps_suppkey"],
+        how="inner",
+        num_partitions=16,
+    )
+
+
 def _json_extract_query(sf_dir: str):
     """Vectorized JSON field promotion from events.props (one C++
     NDJSON parse per batch, pipelines/jsonx.py)."""
@@ -1156,6 +1235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational core
         "equi_inner": _equi_inner_query,
         "equi_anti": _equi_anti_query,
+        "equi_full": _equi_full_query,
+        "equi_right": _equi_right_query,
+        "equi_composite": _equi_composite_query,
         "json_extract": _json_extract_query,
         # event windowing
         "window_tumbling": _window_tumbling_query,
@@ -1723,6 +1805,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000.0)""",
+        "equi_full": """
+            SELECT o.o_orderkey,
+                   COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o.o_totalprice, c.c_name, c.c_acctbal
+            FROM (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+            FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+              ON o.o_custkey = c.c_custkey""",
+        "equi_right": """
+            SELECT o.o_orderkey,
+                   COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o.o_totalprice, c.c_name, c.c_nationkey
+            FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+            RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "equi_composite": """
+            WITH agg AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     SUM(l_quantity) AS ps_qty, COUNT(*) AS ps_rows
+              FROM lineitem GROUP BY l_partkey, l_suppkey)
+            SELECT li.l_orderkey, li.l_partkey, li.l_suppkey, li.l_quantity,
+                   agg.ps_qty, agg.ps_rows
+            FROM lineitem li JOIN agg
+              ON li.l_partkey = agg.ps_partkey AND li.l_suppkey = agg.ps_suppkey
+            WHERE li.l_quantity > 48.0""",
         "json_extract": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
             FROM events""",

@@ -6,8 +6,9 @@ plan contains more than one hash-shuffle join (observed:
 on the second join of a chain even across a materialize() barrier), so
 the engine carries its own grace-style partitioned hash join:
 
-1. both sides get a partition column ``hash(key) % P`` (vectorized,
-   ``pandas.util.hash_array``) and a side tag, padded to a common schema;
+1. both sides get a partition column ``hash(keys) % P`` (vectorized,
+   ``pandas.util.hash_array`` folded across key columns) and a side tag,
+   padded to a common schema;
 2. one ``groupby(partition)`` sort-shuffle co-locates matching keys;
 3. each partition is joined locally with pyarrow's C++ ``Table.join``.
 
@@ -15,8 +16,10 @@ This is exactly the "explicit partitioned hash join" pattern for
 both-sides-large joins; a broadcast fast path (``broadcast_semi_filter``)
 covers the small-side cases without any shuffle.
 
-Null keys never match (consistent with the engine-wide NA rule); null-key
-left rows still surface in ``left_outer`` output.
+Null keys never match (consistent with the engine-wide NA rule — Acero's
+hash join shares SQL null semantics, verified empirically); null-key
+rows still surface as unmatched in the outer modes, mirroring the
+reference's full-join assembly (src/rust/src/merge/full.rs:9-85).
 """
 
 from __future__ import annotations
@@ -28,6 +31,15 @@ import ray.data as rd
 
 _PART = "__hj_part"
 _SIDE = "__hj_side"
+
+_MODES = {
+    "inner": "inner",
+    "left_outer": "left outer",
+    "left_semi": "left semi",
+    "left_anti": "left anti",
+    "right_outer": "right outer",
+    "full_outer": "full outer",
+}
 
 
 def _schema_or(ds: rd.Dataset, override: pa.Schema | None, side: str) -> pa.Schema:
@@ -42,98 +54,118 @@ def _schema_or(ds: rd.Dataset, override: pa.Schema | None, side: str) -> pa.Sche
     return pa.schema(list(zip(sch.names, sch.types))) if not isinstance(sch, pa.Schema) else sch
 
 
-def _hash_mod(arr: pa.ChunkedArray | pa.Array, p: int) -> np.ndarray:
-    vals = arr.to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(np.asarray(vals), categorize=False)
+def _hash_mod_many(cols: list[pa.ChunkedArray | pa.Array], p: int) -> np.ndarray:
+    """Fold per-column row hashes into one partition id (single-column
+    case degenerates to the plain ``hash % p`` used since round 2)."""
+    h = np.zeros(0, dtype=np.uint64)
+    for col in cols:
+        vals = col.to_numpy(zero_copy_only=False)
+        hc = pd.util.hash_array(np.asarray(vals), categorize=False)
+        h = hc if not len(h) else (h * np.uint64(1000003)) ^ hc
     return (h % p).astype(np.int64)
 
 
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
-    left_on: str,
-    right_on: str,
+    left_on: str | list[str],
+    right_on: str | list[str],
     *,
     how: str = "inner",
     num_partitions: int = 16,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
-    """Join two Datasets on equality of ``left_on``/``right_on``.
+    """Join two Datasets on equality of ``left_on``/``right_on`` (each a
+    column name or a same-length list of names for composite keys).
 
-    ``how``: "inner" | "left_outer" | "left_semi" | "left_anti".
+    ``how``: "inner" | "left_outer" | "left_semi" | "left_anti" |
+    "right_outer" | "full_outer".
     Output columns: all left columns ++ right columns minus ``right_on``
-    (the key survives under its left name). Column names must not collide
-    otherwise (callers pre-suffix). Pass ``left_schema``/``right_schema``
-    when a side may be empty — Ray reports ``schema() is None`` for
-    datasets whose blocks were all empty.
+    (keys survive under their left names, coalesced across sides in the
+    outer modes). Column names must not collide otherwise (callers
+    pre-suffix). Pass ``left_schema``/``right_schema`` when a side may be
+    empty — Ray reports ``schema() is None`` for datasets whose blocks
+    were all empty.
     """
-    assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
+    if how not in _MODES:
+        raise ValueError(f"how must be one of {sorted(_MODES)}, got {how!r}")
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(lkeys) != len(rkeys) or not lkeys:
+        raise ValueError(f"key lists must be same nonzero length: {lkeys} vs {rkeys}")
     lschema = _schema_or(left, left_schema, "left")
     rschema = _schema_or(right, right_schema, "right")
     lnames = list(lschema.names)
     rnames = list(rschema.names)
-    overlap = (set(lnames) & set(rnames)) - set()
+    overlap = set(lnames) & (set(rnames) - set(rkeys))
     if overlap:
         raise ValueError(f"column collision between join sides: {sorted(overlap)}")
 
     lfields = list(zip(lschema.names, lschema.types))
-    rfields = [(n, t) for n, t in zip(rschema.names, rschema.types)]
-    all_fields = lfields + [(n, t) for n, t in rfields if n != right_on]
+    rfields = list(zip(rschema.names, rschema.types))
+    all_fields = lfields + [(n, t) for n, t in rfields if n not in rkeys]
     # unified shuffle schema: every column of both sides + part + side;
-    # the right key is carried in the LEFT key's slot (cast to left type).
-    key_type = dict(lfields)[left_on]
+    # right keys are carried in the LEFT keys' slots (cast to left types).
+    ltypes = dict(lfields)
+    key_types = {lk: ltypes[lk] for lk in lkeys}
+    r2l = dict(zip(rkeys, lkeys))
 
-    def prep(side: int, key_col: str):
+    def prep(side: int, key_map: dict[str, str]):
+        # key_map: unified (left) key name -> source column on this side
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
             cols: dict[str, pa.Array | pa.ChunkedArray] = {}
             for name, typ in all_fields:
-                if name in t.column_names:
+                if name in key_map and key_map[name] in t.column_names:
+                    cols[name] = t[key_map[name]].cast(key_types[name])
+                elif name in t.column_names:
                     cols[name] = t[name]
-                elif name == left_on and key_col != left_on:
-                    cols[name] = t[key_col].cast(key_type)
                 else:
                     cols[name] = pa.nulls(n, type=typ)
-            key = cols[left_on]
-            keynp = (
-                key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
-            )
-            cols[_PART] = pa.array(_hash_mod(keynp, num_partitions))
+            keys = [
+                c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                for c in (cols[lk] for lk in lkeys)
+            ]
+            cols[_PART] = pa.array(_hash_mod_many(keys, num_partitions))
             cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
             return pa.table(cols)
 
         return fn
 
-    lu = left.map_batches(prep(0, left_on), batch_format="pyarrow")
-    ru = right.map_batches(prep(1, right_on), batch_format="pyarrow")
+    lu = left.map_batches(prep(0, {lk: lk for lk in lkeys}), batch_format="pyarrow")
+    ru = right.map_batches(
+        prep(1, {r2l[rk]: rk for rk in rkeys}), batch_format="pyarrow"
+    )
     unioned = lu.union(ru)
 
     lcols = [n for n, _ in lfields]
-    rcols = [n for n, _ in rfields if n != right_on]
-    arrow_how = {
-        "inner": "inner",
-        "left_outer": "left outer",
-        "left_semi": "left semi",
-        "left_anti": "left anti",
-    }[how]
+    rcols = [n for n, _ in rfields if n not in rkeys]
+    arrow_how = _MODES[how]
+    rk_tmp = [f"__hj_rk{i}" for i in range(len(lkeys))]
 
     def _is_nested(typ: pa.DataType) -> bool:
         return pa.types.is_nested(typ)
 
-    nested_l = [n for n, typ in lfields if _is_nested(typ) and n != left_on]
-    nested_r = [n for n, typ in rfields if _is_nested(typ) and n not in (right_on,)]
+    nested_l = [n for n, typ in lfields if _is_nested(typ) and n not in lkeys]
+    nested_r = [n for n, typ in rfields if _is_nested(typ) and n not in rkeys]
+    right_in_out = how in ("inner", "left_outer", "right_outer", "full_outer")
+    left_in_out = how != "right_semi"  # all supported modes emit left cols
 
     def join_part(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).select(lcols)
-        rt_cols = [left_on] + rcols
-        rt = t.filter(pa.array(side == 1)).select(rt_cols)
-        rt = rt.rename_columns(["__hj_rkey"] + rcols)
-        # drop null keys from the right side; null left keys never match
-        rt = rt.filter(pa.compute.is_valid(rt["__hj_rkey"]))
-        if how == "inner":
-            lt = lt.filter(pa.compute.is_valid(lt[left_on]))
+        rt = t.filter(pa.array(side == 1)).select(lkeys + rcols)
+        rt = rt.rename_columns(rk_tmp + rcols)
+        # null keys never match: pre-filter rows that cannot join AND
+        # would not survive as unmatched output in this mode (Acero
+        # already applies SQL null semantics; this just sheds work)
+        if how in ("inner", "left_semi", "right_outer"):
+            for lk in lkeys:
+                lt = lt.filter(pa.compute.is_valid(lt[lk]))
+        if how in ("inner", "left_semi", "left_anti", "left_outer"):
+            for rk in rk_tmp:
+                rt = rt.filter(pa.compute.is_valid(rt[rk]))
         # Acero rejects nested (list/struct) non-key columns: carry row
         # indices through the join and re-attach nested columns by take
         lt_j = lt
@@ -148,23 +180,31 @@ def hash_join(
             )
         out = lt_j.join(
             rt_j,
-            keys=[left_on],
-            right_keys=["__hj_rkey"],
+            keys=lkeys,
+            right_keys=rk_tmp,
             join_type=arrow_how,
             coalesce_keys=True,
         )
-        if nested_l:
+        # right outer emits the (coalesced) keys under the RIGHT names;
+        # restore the unified left names
+        for i, lk in enumerate(lkeys):
+            if rk_tmp[i] in out.column_names and lk not in out.column_names:
+                out = out.rename_columns(
+                    [lk if c == rk_tmp[i] else c for c in out.column_names]
+                )
+        if nested_l and left_in_out:
             idx = out["__hj_lrow"]
             for c in nested_l:
                 out = out.append_column(c, lt[c].take(idx))
+        if "__hj_lrow" in out.column_names:
             out = out.drop_columns(["__hj_lrow"])
-        if nested_r and how in ("inner", "left_outer"):
+        if nested_r and right_in_out:
             idx = out["__hj_rrow"]
             for c in nested_r:
                 out = out.append_column(c, rt[c].take(idx))
         if "__hj_rrow" in out.column_names:
             out = out.drop_columns(["__hj_rrow"])
-        return out.select(lcols + rcols) if how in ("inner", "left_outer") else out.select(lcols)
+        return out.select(lcols + rcols) if right_in_out else out.select(lcols)
 
     grouped = unioned.groupby(_PART)
     return grouped.map_groups(join_part, batch_format="pyarrow")

@@ -137,7 +137,14 @@ def ivf_topk(
     the same ``nprobe``; they are L2-normalized here since bucket
     assignment is by cosine."""
     if centroids is not None:
-        centroids = _normalize(np.asarray(centroids, dtype=np.float64))
+        if n_centroids != 16 and n_centroids != len(centroids):
+            raise ValueError(
+                f"n_centroids={n_centroids} conflicts with the provided "
+                f"centroids array of {len(centroids)} rows; pass one or the other"
+            )
+        # cast with the caller's dtype, matching the sampled-centroid
+        # path, so bucket assignment precision is mode-independent
+        centroids = _normalize(np.asarray(centroids, dtype=dtype))
         n_centroids = len(centroids)
     else:
         centroids = _sample_centroids(ds, embed_col, n_centroids, seed)

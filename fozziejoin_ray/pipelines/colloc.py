@@ -109,25 +109,30 @@ def pmi_collocations(
         .materialize()
     )
 
-    # driver-side aggregates: unigram dict (vocabulary-bounded) + the
+    # driver-side aggregates: unigram table (vocabulary-bounded) + the
     # two normalizers; bigram rows never leave the cluster
-    uni: dict[str, int] = {}
+    uparts: list[pa.Table] = []
     nb = 0
     for bt in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
         isuni = pc.is_null(bt["w2"])
         ut = bt.filter(isuni)
-        for w, cv in zip(ut["w1"].to_pylist(), ut["c"].to_pylist()):
-            uni[w] = uni.get(w, 0) + cv
+        if ut.num_rows:
+            uparts.append(ut.select(["w1", "c"]))
         s = pc.sum(bt.filter(pc.invert(isuni))["c"]).as_py()
         nb += int(s or 0)
-    nu = float(sum(uni.values()))
-    if nu == 0 or nb == 0:
+    if not uparts or nb == 0:
         return rd.from_arrow(_empty(_EMPTY_OUT))
     nbf = float(nb)
+    # one vectorized groupby fold (unigrams are already globally summed
+    # by the __wp exchange; the groupby is a cheap defensive re-merge),
     # broadcast as sorted fixed-width arrays so lookups are one
     # vectorized searchsorted, not a per-row dict probe
-    uw = np.sort(np.array(list(uni.keys()), dtype="U"))
-    ucnt = np.array([uni[str(w)] for w in uw], dtype=np.float64)
+    uni = pa.concat_tables(uparts).to_pandas().groupby("w1", sort=True)["c"].sum()
+    nu = float(uni.sum())
+    if nu == 0:
+        return rd.from_arrow(_empty(_EMPTY_OUT))
+    uw = uni.index.to_numpy(dtype="U")
+    ucnt = uni.to_numpy(dtype=np.float64)
     uref = ray.put((uw, ucnt))
 
     def score(t: pa.Table) -> pa.Table:

@@ -73,7 +73,7 @@ def stratified_sample(
     def fn(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        b = _bucket_of(t.column(key_col).to_pylist(), salt)
+        b = _bucket_of(t.column(key_col), salt)
         lim = (
             pd.Series(t.column(group_col).to_pylist())
             .map(thr)
@@ -599,7 +599,7 @@ def curate_corpus(
         # would exceed buffer length")
         split = np.full(len(df), None, dtype=object)
         if keep.any():
-            b = _bucket_of(df[id_col].to_numpy()[keep].tolist(), salt)
+            b = _bucket_of(pa.array(df[id_col].to_numpy()[keep]), salt)
             li = np.minimum(np.searchsorted(bounds, b, side="right"), len(labels) - 1)
             split[keep] = label_arr[li]
         # explicit Arrow types: an all-pass partition would otherwise

@@ -501,16 +501,21 @@ def rolling_agg(
         # so ONE searchsorted serves every user at once; span is sized to
         # the partition's widest run so the composite stays in int64
         off = ts - ts[base]  # non-negative within a run
-        span = np.int64(int(off.max()) + wus + 1)
-        nruns = np.int64(len(starts))
-        if int(nruns) * int(span) >= np.iinfo(np.int64).max:
+        # per-run cumulative bases (cumsum of each run's OWN span), not
+        # nruns * max_span: overflow then needs ~2^63 us of CUMULATIVE
+        # per-user activity (~292k user-years) instead of tripping at
+        # ~29k users per partition over a 10-year timestamp span
+        ends = np.r_[starts[1:], len(off)]
+        spans = off[ends - 1] + wus + 1  # off is nondecreasing per run
+        if float(spans.sum(dtype=np.float64)) >= 9.0e18:
             raise ValueError(
                 "rolling_agg composite key overflow: partition holds "
-                f"{int(nruns)} users over a {int(off.max())}us span — "
+                f"{len(starts)} users with ~2^63 us of cumulative span — "
                 "raise num_partitions to shrink per-partition load"
             )
-        comp = run_id.astype(np.int64) * span + off
-        lo_target = run_id.astype(np.int64) * span + np.maximum(off - wus, 0)
+        rb = np.r_[np.int64(0), np.cumsum(spans[:-1])]
+        comp = rb[run_id] + off
+        lo_target = rb[run_id] + np.maximum(off - wus, 0)
         lo = np.searchsorted(comp, lo_target, side="left")
         hi = np.searchsorted(comp, comp, side="right")
         n_win = (hi - lo).astype(np.int64)  # COUNT(*): rows, incl. null values

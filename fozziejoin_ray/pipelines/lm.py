@@ -290,12 +290,16 @@ def ppl_buckets(
         thr = column_quantiles(
             scored.map_batches(proj, batch_format="pyarrow"), "__pr", list(qs)
         )
-        t1, t2 = thr.column("value").to_pylist()
     except ValueError:
         # no scoreable document (every doc < 2 tokens): the SQL oracle
         # returns one row per doc with a NULL bucket — mirror that
-        # instead of propagating column_quantiles' no-values error
+        # instead of propagating column_quantiles' no-values error.
+        # Only the quantile call sits in the try: an unexpected
+        # ValueError from the unpack below must surface, not be
+        # misread as "no scoreable documents".
         t1 = t2 = None
+    else:
+        t1, t2 = thr.column("value").to_pylist()
 
     if t1 is None:
 

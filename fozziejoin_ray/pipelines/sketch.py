@@ -129,18 +129,32 @@ def cms_heavy_hitters(
             }
         )
 
-    parts = list(
+    def merge_rows(t: pa.Table) -> pa.Table:
+        """Tree-reduce level: fold up to a batch of per-block sketches
+        into ONE row (CMS partials merge by addition), so the driver
+        fold sees num_blocks/64 rows instead of num_blocks."""
+        sks = t["sketch"].combine_chunks()
+        merged = (
+            sks.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, depth * width)
+            .sum(axis=0)
+        )
+        cu = pc.unique(t["cand"].combine_chunks().flatten())
+        return pa.table({"sketch": pa.array([merged]), "cand": pa.array([cu.to_pylist()])})
+
+    reduced = (
         ds.select_columns([text_col])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+        .map_batches(merge_rows, batch_format="pyarrow", batch_size=64)
     )
+    # stream the reduced rows (no driver-side list()), summing vectorized
     sk = np.zeros(depth * width, np.int64)
     cands: set = set()
-    for bt in parts:
-        for row in bt["sketch"].to_pylist():
-            sk += np.asarray(row, np.int64)  # CMS partials merge by addition
-        for cl in bt["cand"].to_pylist():
-            cands.update(cl)
+    for bt in reduced.iter_batches(batch_size=None, batch_format="pyarrow"):
+        col = bt["sketch"].combine_chunks()
+        sk += col.flatten().to_numpy(zero_copy_only=False).reshape(-1, depth * width).sum(axis=0)
+        cands.update(bt["cand"].combine_chunks().flatten().to_pylist())
     sk = sk.reshape(depth, width)
     if not cands:
         return pa.table({"token": pa.array([], pa.string()), "n_est": pa.array([], pa.int64())})

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .text import _fp_powers
@@ -26,29 +27,75 @@ _BASE = 131
 _BUCKETS = 10_000
 
 
-def _rank_of(keys: list, salt: str) -> np.ndarray:
-    """Vectorized Horner hash mod 2^31-1 of ``salt + ':' + str(key)``,
-    then the non-linear mix ``(h^2 + 48271*h) mod M`` — Horner alone is
-    linear, so consecutive keys (or salts differing in one character)
-    would land in consecutive buckets and a salt change would barely
-    reshuffle assignments. Null keys hash the literal 'None'
-    representation — deterministic, never errors. Full [0, 2^31-1)
-    resolution (the sampling rank); bucket consumers modulo it down."""
-    strs = [f"{salt}:{k}" for k in keys]
-    lens = np.array([len(s) for s in strs], dtype=np.int64)
+def _horner_mix(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Shared hash core: per-row Horner hash (base 131 mod 2^31-1) over
+    the flat codepoint stream ``codes`` segmented by ``lens``, then the
+    non-linear mix ``(h^2 + 48271*h) mod M`` — Horner alone is linear,
+    so consecutive keys (or salts differing in one character) would land
+    in consecutive buckets and a salt change would barely reshuffle
+    assignments."""
     total = int(lens.sum())
-    h = np.zeros(len(strs), dtype=np.uint64)
+    h = np.zeros(len(lens), dtype=np.uint64)
     if total:
-        codes = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
         ends = np.cumsum(lens)
         rev = np.repeat(ends - 1, lens) - np.arange(total, dtype=np.int64)
         w = _fp_powers(_BASE, int(lens.max()))
-        terms = (codes * w[rev]) % _M
+        terms = (codes.astype(np.uint64) * w[rev]) % _M
         h = np.add.reduceat(terms, ends - lens) % _M
+        h[lens == 0] = 0  # reduceat repeats the next segment for empties
     return (h * h + np.uint64(48271) * h) % _M  # < 2^62 + 2^47: no overflow
 
 
-def _bucket_of(keys: list, salt: str) -> np.ndarray:
+def _rank_of(keys, salt: str) -> np.ndarray:
+    """Vectorized Horner-mix hash mod 2^31-1 of ``salt + ':' + str(key)``.
+
+    ``keys`` may be an Arrow array/chunked array (string or integer
+    types take a fully-Arrow path: cast + fill_null('None') + prefix
+    concat in C++, codepoints read straight off the utf8 buffer when
+    ASCII) or any python iterable (row-wise str() fallback, kept for
+    float/bool keys whose Arrow cast rendering differs from str()).
+    Null keys hash the literal 'None' representation — deterministic,
+    never errors. Full [0, 2^31-1) resolution (the sampling rank);
+    bucket consumers modulo it down."""
+    arr = None
+    if isinstance(keys, pa.ChunkedArray):
+        arr = keys.combine_chunks()
+    elif isinstance(keys, pa.Array):
+        arr = keys
+    if arr is not None and (
+        pa.types.is_string(arr.type)
+        or pa.types.is_large_string(arr.type)
+        or pa.types.is_integer(arr.type)
+        or pa.types.is_null(arr.type)
+    ):
+        s = arr if pa.types.is_string(arr.type) else arr.cast(pa.string())
+        s = pc.fill_null(s, "None")
+        s = pc.binary_join_element_wise(f"{salt}:", s, "")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        nbytes = pc.binary_length(s).to_numpy().astype(np.int64)
+        lens = pc.utf8_length(s).to_numpy().astype(np.int64)
+        if np.array_equal(lens, nbytes):
+            # pure-ASCII fast path: utf8 bytes ARE the codepoints — read
+            # them zero-copy off the value buffer between the row offsets
+            off = np.frombuffer(s.buffers()[1], dtype=np.int32)
+            off = off[s.offset : s.offset + len(s) + 1]
+            buf = np.frombuffer(s.buffers()[2], dtype=np.uint8)
+            codes = buf[off[0] : off[-1]]
+        else:
+            one = pa.ListArray.from_arrays(pa.array([0, len(s)], pa.int32()), s)
+            big = pc.binary_join(one, "")[0].as_py()
+            codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        return _horner_mix(codes, lens)
+    if arr is not None:
+        keys = arr.to_pylist()
+    strs = [f"{salt}:{k}" for k in keys]
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    codes = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+    return _horner_mix(codes, lens)
+
+
+def _bucket_of(keys, salt: str) -> np.ndarray:
     return (_rank_of(keys, salt) % np.uint64(_BUCKETS)).astype(np.int64)
 
 
@@ -82,7 +129,7 @@ def hash_split(
     labels, bounds = label_bounds(ratios)
 
     def fn(t: pa.Table) -> pa.Table:
-        b = _bucket_of(t.column(key_col).to_pylist(), salt)
+        b = _bucket_of(t.column(key_col), salt)
         li = np.searchsorted(bounds, b, side="right")
         out = np.array(labels, dtype=object)[np.minimum(li, len(labels) - 1)]
         return t.append_column(out_col, pa.array(out, pa.string()))
@@ -139,7 +186,7 @@ def uniform_sample_k(
     def prune(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        h = _rank_of(t.column(key_col).to_pylist(), salt).astype(np.int64)
+        h = _rank_of(t.column(key_col), salt).astype(np.int64)
         t2 = t.append_column("__usk_h", pa.array(h))
         if t.num_rows <= k:
             return t2

@@ -109,10 +109,10 @@ def test_repetition_score_hand_computed():
     assert r0["n_words"] == 4
     assert r0["dup_word_frac"] == pytest.approx(1 - 2 / 4)
     assert r0["top_word_frac"] == pytest.approx(3 / 4)
-    assert r0["dup_bigram_frac"] == pytest.approx(1 - 2 / 3)
+    assert r0["dup_bigram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
     r1 = rows[1]  # all distinct
     assert (r1["n_words"], r1["dup_word_frac"], r1["dup_bigram_frac"]) == (3, 0.0, 0.0)
-    assert r1["top_word_frac"] == pytest.approx(1 / 3)
+    assert r1["top_word_frac"] == pytest.approx(1 / 3, abs=1e-6)
     for r in rows[2:4]:  # empty + null -> all zeros
         assert (r["n_words"], r["dup_word_frac"], r["top_word_frac"], r["dup_bigram_frac"]) == (
             0, 0.0, 0.0, 0.0,
@@ -120,7 +120,7 @@ def test_repetition_score_hand_computed():
     r4 = rows[4]  # go x4: one distinct word, one distinct bigram
     assert r4["dup_word_frac"] == pytest.approx(3 / 4)
     assert r4["top_word_frac"] == 1.0
-    assert r4["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert r4["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
 
 
 def test_repetition_score_tokenizer_matches_oracle_class():

@@ -1,6 +1,6 @@
 """Direct tests for the partitioned grace hash join (joins/hashjoin.py):
-all four modes vs a pandas merge oracle, null-key semantics, nested
-payload re-attachment, and collision validation."""
+all six modes vs a pandas merge oracle, null-key semantics, composite
+keys, nested payload re-attachment, and collision validation."""
 
 import numpy as np
 import pandas as pd
@@ -31,20 +31,39 @@ RIGHT = pa.table(
 
 def _oracle(how):
     l = LEFT.to_pandas()
-    r = RIGHT.to_pandas().dropna(subset=["rk"])  # null keys never match
+    r = RIGHT.to_pandas()
+    rnn = r.dropna(subset=["rk"])  # null keys never match
+    lnn = l.dropna(subset=["lk"])
     if how == "inner":
-        m = l.dropna(subset=["lk"]).merge(r, left_on="lk", right_on="rk")
-        return m[["lk", "lv", "rv"]]
+        return lnn.merge(rnn, left_on="lk", right_on="rk")[["lk", "lv", "rv"]]
     if how == "left_outer":
-        m = l.merge(r, left_on="lk", right_on="rk", how="left")
+        return l.merge(rnn, left_on="lk", right_on="rk", how="left")[["lk", "lv", "rv"]]
+    if how == "right_outer":
+        m = lnn.merge(r, left_on="lk", right_on="rk", how="right")
+        m["lk"] = m["rk"]  # key coalesces to the (always-present) right value
         return m[["lk", "lv", "rv"]]
-    matched = l["lk"].isin(r["rk"])
+    if how == "full_outer":
+        m = l.merge(r, left_on="lk", right_on="rk", how="outer")
+        # pandas outer merge matches NaN==NaN keys; split them back out
+        nulls = m["lk"].isna() & m["rk"].isna() & m["lv"].notna() & m["rv"].notna()
+        if nulls.any():
+            fixed = []
+            for _, row in m[nulls].iterrows():
+                fixed.append({"lk": None, "lv": row["lv"], "rv": None})
+                fixed.append({"lk": None, "lv": None, "rv": row["rv"]})
+            m = pd.concat([m[~nulls], pd.DataFrame(fixed)], ignore_index=True)
+        m["lk"] = m["lk"].fillna(m["rk"])
+        return m[["lk", "lv", "rv"]]
+    matched = l["lk"].isin(rnn["rk"])
     if how == "left_semi":
         return l[matched][["lk", "lv"]]
     return l[~matched][["lk", "lv"]]
 
 
-@pytest.mark.parametrize("how", ["inner", "left_outer", "left_semi", "left_anti"])
+@pytest.mark.parametrize(
+    "how",
+    ["inner", "left_outer", "left_semi", "left_anti", "right_outer", "full_outer"],
+)
 @pytest.mark.parametrize("nparts", [1, 4])
 def test_hash_join_modes_vs_pandas(how, nparts):
     out = hash_join(
@@ -64,6 +83,69 @@ def test_hash_join_modes_vs_pandas(how, nparts):
     assert got == exp, how
 
 
+@pytest.mark.parametrize("how", ["inner", "left_outer", "right_outer", "full_outer"])
+def test_hash_join_composite_keys_vs_pandas(how):
+    rng = np.random.default_rng(11)
+    n = 300
+    l = pd.DataFrame(
+        {
+            "a": rng.integers(0, 8, n),
+            "b": rng.choice(["p", "q", "r", None], n),
+            "lv": np.arange(n),
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "c": rng.integers(0, 8, n),
+            "d": rng.choice(["p", "q", "r", None], n),
+            "rv": np.arange(n) * 10,
+        }
+    )
+    out = hash_join(
+        rd.from_arrow(pa.Table.from_pandas(l)),
+        rd.from_arrow(pa.Table.from_pandas(r)),
+        ["a", "b"],
+        ["c", "d"],
+        how=how,
+        num_partitions=5,
+    ).take_all()
+    # oracle built by hand because pandas outer merges match NaN==NaN
+    # keys (the engine's rule is null-never-matches): inner join of the
+    # null-key-free sides, plus unmatched rows per mode
+    lnn = l.dropna(subset=["a", "b"])
+    rnn = r.dropna(subset=["c", "d"])
+    inner = lnn.merge(rnn, left_on=["a", "b"], right_on=["c", "d"])
+    parts = [inner[["a", "b", "lv", "rv"]]]
+    if how in ("left_outer", "full_outer"):
+        um = l[~l["lv"].isin(inner["lv"])].copy()
+        um["rv"] = np.nan
+        parts.append(um[["a", "b", "lv", "rv"]])
+    if how in ("right_outer", "full_outer"):
+        um = r[~r["rv"].isin(inner["rv"])].copy()
+        um = um.rename(columns={"c": "a", "d": "b"})
+        um["lv"] = np.nan
+        parts.append(um[["a", "b", "lv", "rv"]])
+    exp = inner[["a", "b", "lv", "rv"]] if how == "inner" else pd.concat(parts, ignore_index=True)
+    key = lambda t: tuple((v is None, str(v)) for v in t)
+    got = sorted(
+        (tuple(None if pd.isna(v) else v for v in d.values()) for d in out), key=key
+    )
+    want = sorted(
+        (tuple(None if pd.isna(v) else v for v in row) for row in exp.itertuples(index=False)),
+        key=key,
+    )
+    assert got == want, how
+
+
+def test_hash_join_same_named_keys():
+    l = rd.from_arrow(pa.table({"k": [1, 2], "v": ["a", "b"]}))
+    r = rd.from_arrow(pa.table({"k": [2, 3], "w": ["x", "y"]}))
+    out = hash_join(l, r, "k", "k", how="full_outer").take_all()
+    assert sorted(
+        (d["k"], d["v"], d["w"]) for d in out
+    ) == [(1, "a", None), (2, "b", "x"), (3, None, "y")]
+
+
 def test_hash_join_nested_payload_reattached():
     left = rd.from_arrow(
         pa.table({"k": [1, 2], "emb": [[1.0, 2.0], [3.0, 4.0]]})
@@ -76,11 +158,21 @@ def test_hash_join_nested_payload_reattached():
     ]
 
 
+def test_hash_join_nested_payload_outer_modes():
+    left = rd.from_arrow(pa.table({"k": [1, 2], "emb": [[1.0], [3.0]]}))
+    right = rd.from_arrow(pa.table({"rk": [2, 3], "tag": [["p"], ["q"]]}))
+    out = hash_join(left, right, "k", "rk", how="full_outer").take_all()
+    norm = sorted(
+        (d["k"], tuple(d["emb"] or ()), tuple(d["tag"] or ())) for d in out
+    )
+    assert norm == [(1, (1.0,), ()), (2, (3.0,), ("p",)), (3, (), ("q",))]
+
+
 def test_hash_join_collision_and_empty():
     l = rd.from_arrow(pa.table({"k": [1], "v": ["a"]}))
-    r = rd.from_arrow(pa.table({"k": [1], "w": ["b"]}))
+    r = rd.from_arrow(pa.table({"rk": [1], "v": ["b"]}))
     with pytest.raises(ValueError, match="collision"):
-        hash_join(l, r, "k", "k")
+        hash_join(l, r, "k", "rk")
     # empty right side with explicit schema: left_outer pads, anti passes all
     empty = rd.from_arrow(pa.table({"rk": pa.nulls(0, pa.int64()), "w": pa.nulls(0, pa.string())}))
     sch = pa.schema([("rk", pa.int64()), ("w", pa.string())])
