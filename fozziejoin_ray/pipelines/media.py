@@ -24,6 +24,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 MEDIA_SCHEMA = pa.schema(
@@ -60,11 +61,46 @@ def synth_media_table(n: int, *, seed: int = 5, kind: str = "image") -> pa.Table
     )
 
 
-class ImageFeatureExtractor:
-    """Actor-pool stage: payload -> fixed-size float32 feature vector.
+def media_from_documents(
+    docs: rd.Dataset,
+    *,
+    kind: str = "image",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Deterministic MEDIA_SCHEMA rows derived from a text corpus — the
+    SQL-mirrorable stand-in for a real (media_ref -> object-store
+    payload) read: ``payload`` is the utf8 bytes of the text and the
+    dimensions/duration are fixed arithmetic over the byte length, so a
+    DuckDB oracle can reproduce every derived value."""
 
-    Real deployment: ``__init__`` loads the codec + model ONCE per actor;
-    ``__call__`` decodes and embeds a batch. Here the decode is stubbed.
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column(text_col), "")
+        ln = pc.binary_length(txt).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        refs = pc.binary_join_element_wise("m://", t.column(id_col).cast(pa.string()), "")
+        dur = (ln * 131) % 60000 if kind != "image" else np.zeros(len(ln), np.int64)
+        return pa.table(
+            {
+                "media_ref": refs,
+                "kind": pa.array([kind] * t.num_rows),
+                "payload": txt.cast(pa.binary()),
+                "width": pa.array((16 + ln % 497).astype(np.int32)),
+                "height": pa.array((16 + (ln * 7) % 497).astype(np.int32)),
+                "duration_ms": pa.array(dur.astype(np.int32)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: payload -> fixed-size feature vector.
+
+    Real deployment: ``__init__`` loads the codec + model ONCE per actor
+    and emits float32 model embeddings; ``__call__`` decodes and embeds
+    a batch. Here the decode is stubbed: the fake path derives
+    ``feature[j] = ((crc32(payload) * (j+1)) % 1000003) / 1000003.0``
+    (float64 so the arithmetic is bit-identical to a SQL oracle's).
     """
 
     FEATURE_DIM = 32
@@ -72,19 +108,20 @@ class ImageFeatureExtractor:
     def __init__(self, fake: bool = True):
         self.fake = fake
         # real impl: self.codec = load_image_codec(); self.model = load_model()
+        self._j = np.arange(1, self.FEATURE_DIM + 1, dtype=np.int64)
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if not self.fake:
             raise NotImplementedError(
                 "image decode requires an image codec library, not present in this environment"
             )
-        # deterministic fake: bytes -> seeded feature vector
-        rng = np.random.RandomState(zlib.crc32(payload) % (2**31 - 1))
-        return rng.rand(self.FEATURE_DIM).astype(np.float32)
+        # deterministic fake: exact integer arithmetic over the payload crc
+        c = np.int64(zlib.crc32(payload))
+        return ((c * self._j) % 1000003) / 1000003.0
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats = [self._decode(p) for p in t.column("payload").to_pylist()]
-        arr = pa.array([f.tolist() for f in feats], pa.list_(pa.float32(), self.FEATURE_DIM))
+        arr = pa.array([f.tolist() for f in feats], pa.list_(pa.float64(), self.FEATURE_DIM))
         return pa.table(
             {
                 "media_ref": t["media_ref"],

@@ -162,6 +162,24 @@ def test_lang_id():
     assert rows["d4"] == "es"
 
 
+def test_media_from_documents_formula():
+    import zlib
+
+    from fozziejoin_ray.pipelines.media import media_from_documents
+
+    docs = rd.from_arrow(pa.table({"doc_id": ["a", "b"], "text": ["hello", None]}))
+    media = media_from_documents(docs, kind="video")
+    rows = {r["media_ref"]: r for r in media.take_all()}
+    assert rows["m://a"]["payload"] == b"hello"
+    assert rows["m://a"]["duration_ms"] == (5 * 131) % 60000
+    assert rows["m://b"]["payload"] == b""  # null text -> empty payload
+    feats = extract_image_features(media, fake=True).take_all()
+    c = zlib.crc32(b"hello")
+    got = next(r for r in feats if r["media_ref"] == "m://a")["features"]
+    assert got[0] == ((c * 1) % 1000003) / 1000003.0
+    assert got[17] == ((c * 18) % 1000003) / 1000003.0
+
+
 def test_media_plumbing():
     media = rd.from_arrow(synth_media_table(20, seed=5))
     feats = extract_image_features(media, fake=True).take_all()
