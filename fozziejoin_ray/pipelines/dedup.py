@@ -14,7 +14,10 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
+
+_EMPTY_U64 = np.empty(0, np.uint64)
 
 from ..cluster.union_find import connected_components
 from ..joins.hashjoin import hash_join
@@ -1116,20 +1119,26 @@ def lsh_fused_edges(
     """Fused LSH candidate generation + verification -> (a, b, score),
     each surviving pair exactly once with a < b.
 
-    Emission rows carry only (numeric bucket = band<<32 | band_hash, id,
-    text). Each bucket-hash partition builds candidate pairs with one
-    vectorized triu expansion per bucket-size class and verifies them in
-    ONE ``score_fn(list_a, list_b) -> (keep_mask, scores)`` call; a final
-    distributed ``groupby(a, b)`` dedups pairs that met in several bands.
+    Emission rows carry (numeric bucket = band<<32 | band_hash, id,
+    text, the row's full band-hash vector). Each bucket-hash partition
+    builds candidate pairs with one vectorized triu expansion per
+    bucket-size class and verifies them in ONE ``score_fn(list_a,
+    list_b) -> (keep_mask, scores)`` call.
 
-    Design note (measured on the 120k-doc bench corpus): junk candidate
-    pairs co-bucket in ~1 band, so a first-agreeing-band check would
-    eliminate only ~4% of verifications while costing a per-pair gather
-    over carried band-hash vectors and a 32x band-vector shuffle payload.
-    Scoring every co-bucketed pair and deduping the (orders of magnitude
-    smaller) SURVIVING edge set is both cheaper and slimmer: the shuffle
-    carries no band vectors at all, and the dedup exchange is
-    O(matching pairs), not O(candidates).
+    Exactly-once is enforced by FIRST-AGREEING-BAND OWNERSHIP, not a
+    dedup exchange: a candidate pair is kept only in the partition of
+    the first band whose (non-capped) bucket contains both rows — a
+    vectorized compare over the carried band-hash vectors. Round-3
+    measured the alternative (score every co-bucketed pair, dedup the
+    survivors with a pair-keyed groupby) at 20.5M scored rows for 2.0M
+    unique edges on the 120k bench corpus: MATCHING pairs agree in ~10
+    of 32 bands, so the dedup exchange moved 10x the final edge volume
+    and verification scored each match 10x. Ownership removes both at
+    the cost of ``4*bands`` bytes per emission row and one tiny
+    bucket-count exchange (u64+count) to broadcast the globally-capped
+    bucket set, keeping the capped-bucket semantics — pair survives iff
+    ANY non-capped band co-buckets it — bit-identical to the dedup
+    design.
 
     Signatures are batch-vectorized (segment-min over the batch's
     concatenated shingles, :func:`minhash_signatures_batch`); rows with
@@ -1176,6 +1185,7 @@ def lsh_fused_edges(
                     id_col: pa.array([], idc.type),
                     text_col: pa.array([], pa.string()),
                     "__lsh_side": pa.array([], pa.int8()),
+                    "__bh": pa.array([], pa.list_(pa.uint32(), bands)),
                 }
                 if prefilter is not None:
                     cols["__sk"] = pa.array([], pa.list_(pa.uint64(), skw))
@@ -1193,6 +1203,11 @@ def lsh_fused_edges(
                 id_col: idc.take(take),
                 text_col: tc.take(take),
                 "__lsh_side": pa.array(np.full(len(bucket), side_num, np.int8)),
+                # every emission row carries its source row's FULL
+                # band-hash vector — the ownership filter's input
+                "__bh": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(BH, bands, axis=0).ravel(), pa.uint32()), bands
+                ),
             }
             if prefilter is not None:
                 SK = prefilter.sketch([kv[i] for i in vrows], shingles=sh)  # (m, width) uint64
@@ -1209,7 +1224,7 @@ def lsh_fused_edges(
         h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
         return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
 
-    def score_part(t: pa.Table) -> pa.Table:
+    def score_part(t: pa.Table, capped_ref=None) -> pa.Table:
         idt = t.schema.field(id_col).type
         empty = pa.table(
             {
@@ -1241,6 +1256,34 @@ def lsh_fused_edges(
             ai, bi = _triu_pairs_by_bucket(bucket, max_bucket=max_bucket)
         if not len(ai):
             return empty
+        # first-agreeing-band ownership: keep the pair only when THIS
+        # band is the first non-capped band whose bucket holds both rows
+        bharr = t["__bh"].combine_chunks() if isinstance(t["__bh"], pa.ChunkedArray) else t["__bh"]
+        BHp = bharr.flatten().to_numpy(zero_copy_only=False).reshape(-1, bands)
+        capped = ray.get(capped_ref) if capped_ref is not None else _EMPTY_U64
+        # capped buckets are RARE: unpack them per band so exclusion is a
+        # handful of vector compares, never a sort-based isin
+        cap_by_band: dict[int, np.ndarray] = {}
+        for cb in capped:
+            b = int(cb >> np.uint64(32))
+            cap_by_band.setdefault(b, []).append(np.uint32(cb & np.uint64(0xFFFFFFFF)))
+        cap_by_band = {b: np.array(v, np.uint32) for b, v in cap_by_band.items()}
+        j_band = (bucket[ai] >> np.uint64(32)).astype(np.int64)
+        own = np.empty(len(ai), bool)
+        for c0 in range(0, len(ai), 262_144):
+            sl = slice(c0, c0 + 262_144)
+            A = BHp[ai[sl]]
+            agree = A == BHp[bi[sl]]
+            for b, hv in cap_by_band.items():
+                col = A[:, b]
+                hit = col == hv[0]
+                for h in hv[1:]:
+                    hit |= col == h
+                agree[:, b] &= ~hit
+            own[sl] = np.argmax(agree, axis=1) == j_band[sl]
+        ai, bi = ai[own], bi[own]
+        if not len(ai):
+            return empty
         kv = (
             t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
         ).to_numpy(zero_copy_only=False)
@@ -1270,12 +1313,80 @@ def lsh_fused_edges(
         emitted = emitted.union(
             right.map_batches(make_buckets(1, rtc, ric), batch_format="pyarrow")
         )
-    scored = (
+    # Globally-capped buckets (the stop-word cap), broadcast so every
+    # partition's ownership check agrees: a tiny u64+count exchange over
+    # per-batch PARTIAL counts — never the payload columns. Emitted is
+    # materialized once to feed both the count pass and the main shuffle.
+    emitted = emitted.materialize()
+
+    def _sided(t: pa.Table) -> np.ndarray:
+        col = (
+            t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+        ).to_numpy(zero_copy_only=False)
+        if two_table:
+            sd = t["__lsh_side"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # capped is per (bucket, side) in two-table mode
+            col = (col << np.uint64(1)) | sd
+        return col
+
+    # Pass 1 (pigeonhole prune): a bucket with global count > max_bucket
+    # over B blocks must have >= ceil((max_bucket+1)/B) rows in SOME
+    # block, so per-block partials below that threshold can't belong to
+    # a capped bucket and are dropped before they reach the driver.
+    n_blocks = max(1, emitted.num_blocks())
+    part_thresh = -(-(max_bucket + 1) // n_blocks)  # ceil
+
+    def candidate_counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(_sided(t), return_counts=True)
+        big = c >= part_thresh
+        return pa.table({"__bucket": pa.array(u[big], pa.uint64())})
+
+    cand = np.unique(
+        np.concatenate(
+            [
+                bt["__bucket"].to_numpy(zero_copy_only=False)
+                for bt in emitted.map_batches(
+                    candidate_counts, batch_format="pyarrow"
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.uint64)]
+        )
+    )
+    capped_ids = _EMPTY_U64
+    if len(cand):
+        # Pass 2: exact global counts for the (rare) candidates only
+        cand_ref = ray.put(cand)
+
+        def exact_counts(t: pa.Table) -> pa.Table:
+            want = ray.get(cand_ref)
+            col = _sided(t)
+            col = col[np.isin(col, want)]
+            u, c = np.unique(col, return_counts=True)
+            return pa.table({"__bucket": pa.array(u, pa.uint64()), "n": pa.array(c.astype(np.int64))})
+
+        tot: dict = {}
+        for bt in emitted.map_batches(exact_counts, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            for u, c in zip(bt["__bucket"].to_pylist(), bt["n"].to_pylist()):
+                tot[u] = tot.get(u, 0) + c
+        capped_ids = np.sort(
+            np.array([u for u, c in tot.items() if c > max_bucket], dtype=np.uint64)
+        )
+    if two_table and len(capped_ids):
+        # a capped side caps the whole bucket for ownership eligibility
+        capped_ids = np.unique(capped_ids >> np.uint64(1))
+    capped_ref = ray.put(capped_ids)
+
+    import functools
+
+    return (
         emitted.map_batches(add_bp, batch_format="pyarrow")
         .groupby("__bp")
-        .map_groups(score_part, batch_format="pyarrow")
+        .map_groups(
+            functools.partial(score_part, capped_ref=capped_ref), batch_format="pyarrow"
+        )
     )
-    return _dedup_scored_edges(scored, num_partitions)
 
 
 def _dedup_scored_edges(scored: rd.Dataset, num_partitions: int) -> rd.Dataset:
