@@ -1099,6 +1099,106 @@ def _cross_pairs_by_bucket(
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+def _own_pairs_mask(
+    bucket: np.ndarray,
+    BHp: np.ndarray,
+    ai: np.ndarray,
+    bi: np.ndarray,
+    capped: np.ndarray,
+    bands: int,
+) -> np.ndarray:
+    """First-agreeing-band ownership mask: True where the band of
+    ``bucket[ai]`` is the FIRST non-capped band whose band hashes agree
+    for the pair. Capped buckets are RARE, so exclusion is unpacked per
+    band into a handful of vector compares — never a sort-based isin."""
+    cap_by_band: dict[int, np.ndarray] = {}
+    for cb in capped:
+        b = int(cb >> np.uint64(32))
+        cap_by_band.setdefault(b, []).append(np.uint32(cb & np.uint64(0xFFFFFFFF)))
+    cap_by_band = {b: np.array(v, np.uint32) for b, v in cap_by_band.items()}
+    j_band = (bucket[ai] >> np.uint64(32)).astype(np.int64)
+    own = np.empty(len(ai), bool)
+    for c0 in range(0, len(ai), 262_144):
+        sl = slice(c0, c0 + 262_144)
+        A = BHp[ai[sl]]
+        agree = A == BHp[bi[sl]]
+        for b, hv in cap_by_band.items():
+            col = A[:, b]
+            hit = col == hv[0]
+            for h in hv[1:]:
+                hit |= col == h
+            agree[:, b] &= ~hit
+        own[sl] = np.argmax(agree, axis=1) == j_band[sl]
+    return own
+
+
+def _capped_bucket_ids(
+    emitted: rd.Dataset, max_bucket: int, two_table: bool = False
+) -> np.ndarray:
+    """Sorted u64 ids of globally-capped LSH buckets (count > max_bucket;
+    per (bucket, side) in two-table mode, collapsed back to bucket ids).
+
+    Two cheap passes over the materialized emission — the counts never
+    shuffle. Pass 1 (pigeonhole prune): a bucket with global count >
+    max_bucket over B blocks must have >= ceil((max_bucket+1)/B) rows in
+    SOME block, so per-block partials below that threshold can't belong
+    to a capped bucket and are dropped before reaching the driver. Pass
+    2 exact-counts only the (rare) surviving candidates."""
+
+    def _sided(t: pa.Table) -> np.ndarray:
+        col = (
+            t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+        ).to_numpy(zero_copy_only=False)
+        if two_table:
+            sd = t["__lsh_side"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            col = (col << np.uint64(1)) | sd
+        return col
+
+    n_blocks = max(1, emitted.num_blocks())
+    part_thresh = -(-(max_bucket + 1) // n_blocks)  # ceil
+
+    def candidate_counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(_sided(t), return_counts=True)
+        big = c >= part_thresh
+        return pa.table({"__bucket": pa.array(u[big], pa.uint64())})
+
+    cand = np.unique(
+        np.concatenate(
+            [
+                bt["__bucket"].to_numpy(zero_copy_only=False)
+                for bt in emitted.map_batches(
+                    candidate_counts, batch_format="pyarrow"
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [_EMPTY_U64]
+        )
+    )
+    capped_ids = _EMPTY_U64
+    if len(cand):
+        cand_ref = ray.put(cand)
+
+        def exact_counts(t: pa.Table) -> pa.Table:
+            want = ray.get(cand_ref)
+            col = _sided(t)
+            col = col[np.isin(col, want)]
+            u, c = np.unique(col, return_counts=True)
+            return pa.table({"__bucket": pa.array(u, pa.uint64()), "n": pa.array(c.astype(np.int64))})
+
+        tot: dict = {}
+        for bt in emitted.map_batches(exact_counts, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            for u, c in zip(bt["__bucket"].to_pylist(), bt["n"].to_pylist()):
+                tot[u] = tot.get(u, 0) + c
+        capped_ids = np.sort(
+            np.array([u for u, c in tot.items() if c > max_bucket], dtype=np.uint64)
+        )
+    if two_table and len(capped_ids):
+        # a capped side caps the whole bucket for ownership eligibility
+        capped_ids = np.unique(capped_ids >> np.uint64(1))
+    return capped_ids
+
+
 def lsh_fused_edges(
     ds: rd.Dataset,
     text_col: str,
@@ -1261,26 +1361,7 @@ def lsh_fused_edges(
         bharr = t["__bh"].combine_chunks() if isinstance(t["__bh"], pa.ChunkedArray) else t["__bh"]
         BHp = bharr.flatten().to_numpy(zero_copy_only=False).reshape(-1, bands)
         capped = ray.get(capped_ref) if capped_ref is not None else _EMPTY_U64
-        # capped buckets are RARE: unpack them per band so exclusion is a
-        # handful of vector compares, never a sort-based isin
-        cap_by_band: dict[int, np.ndarray] = {}
-        for cb in capped:
-            b = int(cb >> np.uint64(32))
-            cap_by_band.setdefault(b, []).append(np.uint32(cb & np.uint64(0xFFFFFFFF)))
-        cap_by_band = {b: np.array(v, np.uint32) for b, v in cap_by_band.items()}
-        j_band = (bucket[ai] >> np.uint64(32)).astype(np.int64)
-        own = np.empty(len(ai), bool)
-        for c0 in range(0, len(ai), 262_144):
-            sl = slice(c0, c0 + 262_144)
-            A = BHp[ai[sl]]
-            agree = A == BHp[bi[sl]]
-            for b, hv in cap_by_band.items():
-                col = A[:, b]
-                hit = col == hv[0]
-                for h in hv[1:]:
-                    hit |= col == h
-                agree[:, b] &= ~hit
-            own[sl] = np.argmax(agree, axis=1) == j_band[sl]
+        own = _own_pairs_mask(bucket, BHp, ai, bi, capped, bands)
         ai, bi = ai[own], bi[own]
         if not len(ai):
             return empty
@@ -1314,69 +1395,10 @@ def lsh_fused_edges(
             right.map_batches(make_buckets(1, rtc, ric), batch_format="pyarrow")
         )
     # Globally-capped buckets (the stop-word cap), broadcast so every
-    # partition's ownership check agrees: a tiny u64+count exchange over
-    # per-batch PARTIAL counts — never the payload columns. Emitted is
-    # materialized once to feed both the count pass and the main shuffle.
+    # partition's ownership check agrees. Emitted is materialized once
+    # to feed both the count pass and the main shuffle.
     emitted = emitted.materialize()
-
-    def _sided(t: pa.Table) -> np.ndarray:
-        col = (
-            t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
-        ).to_numpy(zero_copy_only=False)
-        if two_table:
-            sd = t["__lsh_side"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            # capped is per (bucket, side) in two-table mode
-            col = (col << np.uint64(1)) | sd
-        return col
-
-    # Pass 1 (pigeonhole prune): a bucket with global count > max_bucket
-    # over B blocks must have >= ceil((max_bucket+1)/B) rows in SOME
-    # block, so per-block partials below that threshold can't belong to
-    # a capped bucket and are dropped before they reach the driver.
-    n_blocks = max(1, emitted.num_blocks())
-    part_thresh = -(-(max_bucket + 1) // n_blocks)  # ceil
-
-    def candidate_counts(t: pa.Table) -> pa.Table:
-        u, c = np.unique(_sided(t), return_counts=True)
-        big = c >= part_thresh
-        return pa.table({"__bucket": pa.array(u[big], pa.uint64())})
-
-    cand = np.unique(
-        np.concatenate(
-            [
-                bt["__bucket"].to_numpy(zero_copy_only=False)
-                for bt in emitted.map_batches(
-                    candidate_counts, batch_format="pyarrow"
-                ).iter_batches(batch_size=None, batch_format="pyarrow")
-            ]
-            or [np.empty(0, np.uint64)]
-        )
-    )
-    capped_ids = _EMPTY_U64
-    if len(cand):
-        # Pass 2: exact global counts for the (rare) candidates only
-        cand_ref = ray.put(cand)
-
-        def exact_counts(t: pa.Table) -> pa.Table:
-            want = ray.get(cand_ref)
-            col = _sided(t)
-            col = col[np.isin(col, want)]
-            u, c = np.unique(col, return_counts=True)
-            return pa.table({"__bucket": pa.array(u, pa.uint64()), "n": pa.array(c.astype(np.int64))})
-
-        tot: dict = {}
-        for bt in emitted.map_batches(exact_counts, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        ):
-            for u, c in zip(bt["__bucket"].to_pylist(), bt["n"].to_pylist()):
-                tot[u] = tot.get(u, 0) + c
-        capped_ids = np.sort(
-            np.array([u for u, c in tot.items() if c > max_bucket], dtype=np.uint64)
-        )
-    if two_table and len(capped_ids):
-        # a capped side caps the whole bucket for ownership eligibility
-        capped_ids = np.unique(capped_ids >> np.uint64(1))
-    capped_ref = ray.put(capped_ids)
+    capped_ref = ray.put(_capped_bucket_ids(emitted, max_bucket, two_table))
 
     import functools
 
@@ -1453,16 +1475,16 @@ def lsh_index_edges(
     :class:`DocShingleIndex` -> (a, b, score), each surviving pair once.
 
     The slim sibling of :func:`lsh_fused_edges` for when the doc table
-    fits a broadcast: band emissions carry ONLY (numeric bucket, id) —
-    16 bytes per band per doc, no text, no sketch vector — because each
+    fits a broadcast: band emissions carry (numeric bucket, id, the
+    row's band-hash vector) — no text, no sketch vector — because each
     bucket-partition task verifies pairs by gathering bitset rows from
     the shared index (zero-copy ``ray.get``). The size-bound prefilter
     (``J <= min|S|/max|S|``) is applied from the index's length column,
-    shipped nowhere. Candidates are NOT pre-deduped (a pair that meets
-    in k bands is popcount-scored k times — cheaper than an
-    O(candidates) distinct exchange); only the surviving edge set is
-    deduped (:func:`_dedup_scored_edges`). Identical output to the
-    fused/text path: same bucket math, caps, and exact jaccard."""
+    shipped nowhere. Exactly-once comes from the same first-agreeing-
+    band ownership as the fused path (:func:`_own_pairs_mask` — a pair
+    agreeing in k bands is popcount-scored ONCE, not k times, and no
+    pair-dedup exchange runs). Identical output to the fused/text path:
+    same bucket math, caps, and exact jaccard."""
     import pandas as pd
 
     rows_per_band = num_perm // bands
@@ -1477,7 +1499,11 @@ def lsh_index_edges(
         vrows = np.nonzero(np.fromiter((v is not None for v in kv), bool, count=len(kv)))[0]
         if not len(vrows):
             return pa.table(
-                {"__bucket": pa.array([], pa.uint64()), id_col: pa.array([], idc.type)}
+                {
+                    "__bucket": pa.array([], pa.uint64()),
+                    id_col: pa.array([], idc.type),
+                    "__bh": pa.array([], pa.list_(pa.uint32(), bands)),
+                }
             )
         sh = [char_shingles(kv[i], shingle_k) for i in vrows]
         SIG = minhash_signatures_batch(sh, ma, mb)
@@ -1490,6 +1516,9 @@ def lsh_index_edges(
             {
                 "__bucket": pa.array(bucket),
                 id_col: idc.take(pa.array(np.repeat(vrows, bands))),
+                "__bh": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(BH, bands, axis=0).ravel(), pa.uint32()), bands
+                ),
             }
         )
 
@@ -1500,7 +1529,7 @@ def lsh_index_edges(
 
     filt = JaccardSizeBoundFilter(thr)
 
-    def score_part(t: pa.Table) -> pa.Table:
+    def score_part(t: pa.Table, capped_ref=None) -> pa.Table:
         idt = t.schema.field(id_col).type
         empty = pa.table(
             {
@@ -1517,15 +1546,22 @@ def lsh_index_edges(
         bucket = (
             t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
         ).to_numpy(zero_copy_only=False)
+        bharr = t["__bh"].combine_chunks() if isinstance(t["__bh"], pa.ChunkedArray) else t["__bh"]
+        BHp = bharr.flatten().to_numpy(zero_copy_only=False).reshape(-1, bands)
         ok = gidx >= 0
         if not ok.all():
             keep_rows = np.nonzero(ok)[0]
-            gidx, bucket = gidx[keep_rows], bucket[keep_rows]
+            gidx, bucket, BHp = gidx[keep_rows], bucket[keep_rows], BHp[keep_rows]
             idc = idc.take(pa.array(keep_rows))
         S = index.lens[gidx].astype(np.uint64).reshape(-1, 1)
         ai, bi = _triu_pairs_by_bucket(
             bucket, max_bucket=max_bucket, sketch=S, keep_fn=filt.keep
         )
+        if not len(ai):
+            return empty
+        capped = ray.get(capped_ref) if capped_ref is not None else _EMPTY_U64
+        own = _own_pairs_mask(bucket, BHp, ai, bi, capped, bands)
+        ai, bi = ai[own], bi[own]
         if not len(ai):
             return empty
         sims = index.jaccard_idx(gidx[ai], gidx[bi])
@@ -1542,13 +1578,17 @@ def lsh_index_edges(
             }
         )
 
-    scored = (
-        ds.map_batches(buckets, batch_format="pyarrow")
-        .map_batches(add_bp, batch_format="pyarrow")
+    import functools
+
+    emitted = ds.map_batches(buckets, batch_format="pyarrow").materialize()
+    capped_ref = ray.put(_capped_bucket_ids(emitted, max_bucket))
+    return (
+        emitted.map_batches(add_bp, batch_format="pyarrow")
         .groupby("__bp")
-        .map_groups(score_part, batch_format="pyarrow")
+        .map_groups(
+            functools.partial(score_part, capped_ref=capped_ref), batch_format="pyarrow"
+        )
     )
-    return _dedup_scored_edges(scored, num_partitions)
 
 
 class JaccardSizeBoundFilter:
