@@ -133,26 +133,29 @@ class ImageFeatureExtractor:
 
 class FrameSampler:
     """Actor-pool stage: video payload -> k sampled frame references.
-    Decode stubbed; emits deterministic frame offsets."""
+    Decode stubbed; emits deterministic frame offsets, fully vectorized
+    (repeat/tile expansion, integer frame-timestamp math)."""
 
     def __init__(self, k: int = 4, fake: bool = True):
         self.k = k
         self.fake = fake
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        refs, frame_idx, ts = [], [], []
-        for ref, dur in zip(t.column("media_ref").to_pylist(), t.column("duration_ms").to_pylist()):
-            if not self.fake:
-                raise NotImplementedError("video decode not available in this environment")
-            for i in range(self.k):
-                refs.append(ref)
-                frame_idx.append(i)
-                ts.append(int(dur * i / max(1, self.k)))
+        if not self.fake:
+            raise NotImplementedError("video decode not available in this environment")
+        n = t.num_rows
+        k = max(1, self.k)
+        refs = t.column("media_ref")
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        dur = t.column("duration_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        frame = np.tile(np.arange(self.k, dtype=np.int64), n)
+        ts = np.repeat(dur, self.k) * frame // k
         return pa.table(
             {
-                "media_ref": pa.array(refs),
-                "frame": pa.array(frame_idx, pa.int32()),
-                "ts_ms": pa.array(ts, pa.int32()),
+                "media_ref": refs.take(pa.array(np.repeat(np.arange(n), self.k))),
+                "frame": pa.array(frame.astype(np.int32)),
+                "ts_ms": pa.array(ts.astype(np.int32)),
             }
         )
 

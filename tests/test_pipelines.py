@@ -59,6 +59,45 @@ def test_minhash_lsh_dedup_finds_near_dups():
     assert out["d3"] != out["d0"]
 
 
+def test_lsh_ownership_with_capped_buckets():
+    """The first-agreeing-band ownership must stay exactly-once AND keep
+    a pair discoverable through a LATER band when its first agreeing
+    bucket is capped: 60 near-identical docs force giant buckets in
+    every band; with max_bucket=8 most buckets are globally capped, yet
+    the two distinctive near-dup docs must still pair exactly once."""
+    from fozziejoin_ray.pipelines.dedup import lsh_fused_edges
+
+    texts = ["the quick brown fox jumps over the lazy dog %d" % (i % 3) for i in range(60)]
+    texts += [
+        "zebras graze quietly beside the riverbank at dawn",
+        "zebras graze quietly beside the riverbank at dusk",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [f"x{i:03d}" for i in range(len(texts))], "text": texts})
+    ).repartition(4)
+
+    def jac(a_list, b_list):
+        sims = np.array(
+            [
+                len(char_shingles(a, 5) & char_shingles(b, 5))
+                / max(1, len(char_shingles(a, 5) | char_shingles(b, 5)))
+                for a, b in zip(a_list, b_list)
+            ]
+        )
+        keep = sims >= 0.5
+        return keep, sims[keep]
+
+    edges = lsh_fused_edges(
+        ds, "text", "doc_id", jac, num_perm=64, bands=16, shingle_k=5,
+        num_partitions=4, max_bucket=8,
+    ).take_all()
+    pairs = [(r["a"], r["b"]) for r in edges]
+    # exactly-once: no duplicate pairs even though near-dups agree in many bands
+    assert len(pairs) == len(set(pairs))
+    # the zebra pair must survive despite heavy capping elsewhere
+    assert ("x060", "x061") in set(pairs)
+
+
 def test_ngram_jaccard_dedup_matches_bruteforce():
     thresh = 0.5
     out = {r["doc_id"]: r["dup_group"] for r in ngram_jaccard_dedup(
