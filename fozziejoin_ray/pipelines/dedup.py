@@ -339,7 +339,7 @@ def _triu_pairs_by_bucket(
     max_bucket: int = 4096,
     sketch: np.ndarray | None = None,
     keep_fn=None,
-    chunk_pairs: int = 262_144,
+    chunk_pairs: int = 65_536,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All within-bucket position pairs (i, j), i-position before
     j-position, for every bucket with ``min_bucket <= size <=
@@ -352,9 +352,15 @@ def _triu_pairs_by_bucket(
     once per bucket member (not once per pair), pair expansion reads
     them from the cache-resident per-class matrix, and only surviving
     positions are emitted. ``chunk_pairs`` bounds the expansion slabs;
-    keep them small enough to stay cache-resident per task — measured
-    16-way concurrent: 64k-pair slabs run ~3.8x faster than 2M-pair
-    slabs (big slabs thrash the shared cache and contend for DRAM)."""
+    keep them small enough that a slab's temporaries stay cache-resident
+    per task under full-node concurrency. Measured 32-way concurrent on
+    the real 480k-doc emission (330M raw pairs, idle host): 64k and
+    256k slabs are statistically tied (~30s stage wall) ONCE the
+    ownership kernel reuses preallocated slab buffers; before that fix,
+    big slabs amplified allocator mmap/page-zero churn under
+    concurrency (observed 16-29s/task vs 7-10s/task). 64k is kept as
+    the default because it bounds peak per-task temporaries (~6 MB)
+    without measurable cost."""
     n = len(bucket)
     if n == 0:
         return np.empty(0, np.int32), np.empty(0, np.int32)
@@ -1059,7 +1065,7 @@ def _cross_pairs_by_bucket(
     max_bucket: int = 4096,
     sketch: np.ndarray | None = None,
     keep_fn=None,
-    chunk_pairs: int = 262_144,
+    chunk_pairs: int = 65_536,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Two-table analog of :func:`_triu_pairs_by_bucket`: within every
     bucket, all (side-0 position, side-1 position) pairs, vectorized —
@@ -1106,29 +1112,52 @@ def _own_pairs_mask(
     bi: np.ndarray,
     capped: np.ndarray,
     bands: int,
+    slab: int = 8_192,
 ) -> np.ndarray:
     """First-agreeing-band ownership mask: True where the band of
     ``bucket[ai]`` is the FIRST non-capped band whose band hashes agree
     for the pair. Capped buckets are RARE, so exclusion is unpacked per
-    band into a handful of vector compares — never a sort-based isin."""
+    band into a handful of vector compares — never a sort-based isin.
+
+    ``slab`` bounds the per-chunk temporaries, and the chunk buffers are
+    preallocated ONCE and refilled with ``np.take(..., out=)`` /
+    ``np.equal(..., out=)``: the band-hash table itself is a few MB and
+    cache-resident, so with throwaway slab temporaries this kernel's
+    cost is pure allocator+DRAM churn (measured 4 µs/pair at 32-way
+    concurrency for 262k-pair slabs — every temp is an mmap+page-zero
+    cycle). 8k-pair slabs keep the whole working set (~2.6 MB) inside a
+    private 2 MB L2 + allocator reuse, which is what lets 8->32 CPU
+    scaling hold on this stage."""
+    n = len(ai)
+    own = np.empty(n, bool)
+    if n == 0:
+        return own
     cap_by_band: dict[int, np.ndarray] = {}
     for cb in capped:
         b = int(cb >> np.uint64(32))
         cap_by_band.setdefault(b, []).append(np.uint32(cb & np.uint64(0xFFFFFFFF)))
     cap_by_band = {b: np.array(v, np.uint32) for b, v in cap_by_band.items()}
     j_band = (bucket[ai] >> np.uint64(32)).astype(np.int64)
-    own = np.empty(len(ai), bool)
-    for c0 in range(0, len(ai), 262_144):
-        sl = slice(c0, c0 + 262_144)
-        A = BHp[ai[sl]]
-        agree = A == BHp[bi[sl]]
+    BHc = np.ascontiguousarray(BHp)
+    A = np.empty((min(slab, n), bands), BHc.dtype)
+    B = np.empty((min(slab, n), bands), BHc.dtype)
+    agree = np.empty((min(slab, n), bands), bool)
+    hit = np.empty(min(slab, n), bool)
+    hit2 = np.empty(min(slab, n), bool)
+    for c0 in range(0, n, slab):
+        m = min(slab, n - c0)
+        sl = slice(c0, c0 + m)
+        Av, Bv, agv = A[:m], B[:m], agree[:m]
+        np.take(BHc, ai[sl], axis=0, out=Av)
+        np.take(BHc, bi[sl], axis=0, out=Bv)
+        np.equal(Av, Bv, out=agv)
         for b, hv in cap_by_band.items():
-            col = A[:, b]
-            hit = col == hv[0]
+            col = Av[:, b]
+            hv0 = np.equal(col, hv[0], out=hit[:m])
             for h in hv[1:]:
-                hit |= col == h
-            agree[:, b] &= ~hit
-        own[sl] = np.argmax(agree, axis=1) == j_band[sl]
+                hv0 |= np.equal(col, h, out=hit2[:m])
+            agv[:, b] &= ~hv0
+        own[sl] = np.argmax(agv, axis=1) == j_band[sl]
     return own
 
 

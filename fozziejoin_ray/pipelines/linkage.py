@@ -124,18 +124,22 @@ class JaroCharBoundFilter:
             return (s * cls._ONES) >> np.uint64(56)
 
     def keep(self, SA: np.ndarray, SB: np.ndarray) -> np.ndarray:
-        m = (
-            self._nsum(self._nmin(SA[:, 0], SB[:, 0]))
-            + self._nsum(self._nmin(SA[:, 1], SB[:, 1]))
-        ).astype(np.float64)
-        la = (SA[:, 2] & np.uint64(0xFFFFFFFF)).astype(np.float64)
-        lb = (SB[:, 2] & np.uint64(0xFFFFFFFF)).astype(np.float64)
-        unsafe = ((SA[:, 2] | SB[:, 2]) >> np.uint64(32)) != 0
-        bypass = unsafe | (la == 0) | (lb == 0)
-        m = np.minimum(m, np.minimum(la, lb))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jmax = (m / la + m / lb + 1.0) / 3.0
-        return bypass | (1.0 - jmax <= self.maxd + 1e-9)
+        # division-free form of (m/la + m/lb + 1)/3 >= 1 - maxd - eps:
+        #   m*(la+lb) >= (2 - 3*maxd - 3*eps) * la*lb
+        # (la==0 or lb==0 makes both sides 0 -> kept, same as the bypass)
+        m = self._nsum(self._nmin(SA[:, 0], SB[:, 0])) + self._nsum(
+            self._nmin(SA[:, 1], SB[:, 1])
+        )
+        wa = SA[:, 2]
+        wb = SB[:, 2]
+        la = wa & np.uint64(0xFFFFFFFF)
+        lb = wb & np.uint64(0xFFFFFFFF)
+        m = np.minimum(m, np.minimum(la, lb)).astype(np.float64)
+        laf = la.astype(np.float64)
+        lbf = lb.astype(np.float64)
+        out = m * (laf + lbf) >= (2.0 - 3.0 * self.maxd - 3e-9) * (laf * lbf)
+        out |= ((wa | wb) >> np.uint64(32)) != 0  # cap-overflow bypass
+        return out
 
 
 def match_edges(
