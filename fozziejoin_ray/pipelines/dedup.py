@@ -1077,8 +1077,6 @@ def _cross_pairs_by_bucket(
     n = len(bucket)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    from ..blocking.strategies import _cross_expand
-
     order = np.lexsort((side, bucket))
     bs, ss = bucket[order], side[order]
     starts = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
@@ -1087,21 +1085,78 @@ def _cross_pairs_by_bucket(
     l_cnt = cs[ends] - cs[starts]
     r_cnt = (ends - starts) - l_cnt
     kept = (l_cnt >= 1) & (r_cnt >= 1) & (l_cnt <= max_bucket) & (r_cnt <= max_bucket)
-    rep, al, bl = _cross_expand(l_cnt[kept], r_cnt[kept])
-    if not len(rep):
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    ks, kl = starts[kept], l_cnt[kept]
-    ai = order[ks[rep] + al]
-    bi = order[ks[rep] + kl[rep] + bl]
+    ks, kl, kr = starts[kept], l_cnt[kept], r_cnt[kept]
     if keep_fn is None or sketch is None:
-        return ai, bi
+        from ..blocking.strategies import _cross_expand
+
+        rep, al, bl = _cross_expand(kl, kr)
+        if not len(rep):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return order[ks[rep] + al], order[ks[rep] + kl[rep] + bl]
+    # FUSED filter path: survivors-only materialization — never the
+    # full raw cross (which for a hot partition is GBs of int64 churn;
+    # the unfused expand-then-filter shape measured 7x slower under
+    # full-node concurrency on the 480k-doc corpus).
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
-    for c0 in range(0, len(ai), chunk_pairs):
-        ac, bc = ai[c0 : c0 + chunk_pairs], bi[c0 : c0 + chunk_pairs]
-        m = keep_fn(sketch[ac], sketch[bc])
-        out_a.append(ac[m])
-        out_b.append(bc[m])
+    pairs_per = kl * kr
+    # Tiny buckets (bulk of a long-tail partition): per-(l,r)-class
+    # overhead would dominate, so walk their concatenated pair-index
+    # space in bounded slabs (searchsorted + div per pair is fine at
+    # this volume). Bigger buckets take the class-matrix path below —
+    # same shape as _triu_pairs_by_bucket, ~3x cheaper per pair.
+    tiny = pairs_per <= 4096
+    if tiny.any():
+        tks, tkl, tkr = ks[tiny], kl[tiny], kr[tiny]
+        cum = np.r_[np.int64(0), np.cumsum(tkl * tkr)]
+        total = int(cum[-1])
+        for p0 in range(0, total, chunk_pairs):
+            idx = np.arange(p0, min(p0 + chunk_pairs, total), dtype=np.int64)
+            g = np.searchsorted(cum, idx, side="right") - 1
+            off = idx - cum[g]
+            al = off // tkr[g]
+            bl = off - al * tkr[g]
+            ac = order[tks[g] + al]
+            bc = order[tks[g] + tkl[g] + bl]
+            m = keep_fn(sketch[ac], sketch[bc])
+            out_a.append(ac[m])
+            out_b.append(bc[m])
+    big = ~tiny
+    if big.any():
+        bks, bkl, bkr = ks[big], kl[big], kr[big]
+        cls = (bkl << np.int64(32)) | bkr
+        for key in np.unique(cls):
+            sel = cls == key
+            l = int(key >> np.int64(32))
+            r = int(key & np.int64(0xFFFFFFFF))
+            b_starts = bks[sel]
+            span = l + r
+            # (k, l+r) position matrix; one sketch gather per MEMBER
+            mat = order[b_starts[:, None] + np.arange(span, dtype=np.int64)[None, :]]
+            ii = np.repeat(np.arange(l, dtype=np.int64), r)
+            jj = l + np.tile(np.arange(r, dtype=np.int64), l)
+            per = l * r
+            skm = sketch[mat]  # (k, l+r, w)
+            for p0 in range(0, per, chunk_pairs):
+                iis = ii[p0 : p0 + chunk_pairs]
+                jjs = jj[p0 : p0 + chunk_pairs]
+                kb = max(1, chunk_pairs // max(len(iis), 1))
+                for c0 in range(0, mat.shape[0], kb):
+                    sub = mat[c0 : c0 + kb]
+                    sks = skm[c0 : c0 + kb]
+                    w = sks.shape[2]
+                    m = keep_fn(
+                        sks[:, iis, :].reshape(-1, w), sks[:, jjs, :].reshape(-1, w)
+                    )
+                    idx = np.nonzero(m)[0]
+                    if not len(idx):
+                        continue
+                    rows = idx // len(iis)
+                    cols = idx - rows * len(iis)
+                    out_a.append(sub[rows, iis[cols]])
+                    out_b.append(sub[rows, jjs[cols]])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
@@ -1161,18 +1216,33 @@ def _own_pairs_mask(
     return own
 
 
-def _capped_bucket_ids(
-    emitted: rd.Dataset, max_bucket: int, two_table: bool = False
-) -> np.ndarray:
-    """Sorted u64 ids of globally-capped LSH buckets (count > max_bucket;
-    per (bucket, side) in two-table mode, collapsed back to bucket ids).
+def _bucket_census(
+    emitted: rd.Dataset,
+    max_bucket: int,
+    tile_bucket: int | None = None,
+    two_table: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Global LSH bucket census: (capped_ids, tile_ids, tile_nb).
+
+    ``capped_ids`` — sorted u64 ids of globally-capped buckets (count >
+    max_bucket; per (bucket, side) in two-table mode, collapsed back to
+    bucket ids): the stop-word cap, dropped entirely.
+
+    ``tile_ids``/``tile_nb`` (only when ``tile_bucket`` is set) — sorted
+    ids and block counts of LARGE buckets (tile_bucket < count <=
+    max_bucket; max over sides in two-table mode). Their quadratic pair
+    expansion is an indivisible straggler atom when one partition owns
+    the whole bucket (a near-cap bucket is ~max_bucket^2/2 pairs — tens
+    of seconds of one core while the rest of the node idles), so
+    lsh_fused_edges tiles them: rows split into nb = ceil(count /
+    tile_bucket) blocks and each block-pair routes to its own partition.
 
     Two cheap passes over the materialized emission — the counts never
-    shuffle. Pass 1 (pigeonhole prune): a bucket with global count >
-    max_bucket over B blocks must have >= ceil((max_bucket+1)/B) rows in
-    SOME block, so per-block partials below that threshold can't belong
-    to a capped bucket and are dropped before reaching the driver. Pass
-    2 exact-counts only the (rare) surviving candidates."""
+    shuffle. Pass 1 (pigeonhole prune): a bucket with global count > T
+    over B blocks must have >= ceil((T+1)/B) rows in SOME block, so
+    per-block partials below that threshold can't belong to a candidate
+    and never reach the driver. Pass 2 exact-counts only the surviving
+    candidates, folded vectorized (unique + bincount), no Python rows."""
 
     def _sided(t: pa.Table) -> np.ndarray:
         col = (
@@ -1183,8 +1253,12 @@ def _capped_bucket_ids(
             col = (col << np.uint64(1)) | sd
         return col
 
+    # prune with the smaller threshold so BOTH capped and tile-large
+    # candidates survive pass 1 (tile_bucket > max_bucket just disables
+    # tiling — every bucket that big is capped anyway)
+    census_thresh = min(tile_bucket, max_bucket) if tile_bucket is not None else max_bucket
     n_blocks = max(1, emitted.num_blocks())
-    part_thresh = -(-(max_bucket + 1) // n_blocks)  # ceil
+    part_thresh = -(-(census_thresh + 1) // n_blocks)  # ceil
 
     def candidate_counts(t: pa.Table) -> pa.Table:
         u, c = np.unique(_sided(t), return_counts=True)
@@ -1202,7 +1276,8 @@ def _capped_bucket_ids(
             or [_EMPTY_U64]
         )
     )
-    capped_ids = _EMPTY_U64
+    uu = _EMPTY_U64
+    tot = np.empty(0, np.int64)
     if len(cand):
         cand_ref = ray.put(cand)
 
@@ -1213,19 +1288,48 @@ def _capped_bucket_ids(
             u, c = np.unique(col, return_counts=True)
             return pa.table({"__bucket": pa.array(u, pa.uint64()), "n": pa.array(c.astype(np.int64))})
 
-        tot: dict = {}
+        us: list[np.ndarray] = []
+        cs: list[np.ndarray] = []
         for bt in emitted.map_batches(exact_counts, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow"
         ):
-            for u, c in zip(bt["__bucket"].to_pylist(), bt["n"].to_pylist()):
-                tot[u] = tot.get(u, 0) + c
-        capped_ids = np.sort(
-            np.array([u for u, c in tot.items() if c > max_bucket], dtype=np.uint64)
-        )
+            us.append(bt["__bucket"].to_numpy(zero_copy_only=False))
+            cs.append(bt["n"].to_numpy(zero_copy_only=False))
+        if us:
+            u_all = np.concatenate(us)
+            c_all = np.concatenate(cs)
+            uu, inv = np.unique(u_all, return_inverse=True)
+            tot = np.bincount(inv, weights=c_all).astype(np.int64)
+
+    capped_ids = uu[tot > max_bucket]
     if two_table and len(capped_ids):
         # a capped side caps the whole bucket for ownership eligibility
         capped_ids = np.unique(capped_ids >> np.uint64(1))
-    return capped_ids
+
+    tile_ids = _EMPTY_U64
+    tile_nb = np.empty(0, np.int64)
+    if tile_bucket is not None and len(uu):
+        lm = (tot > tile_bucket) & (tot <= max_bucket)
+        if two_table:
+            lb = uu[lm] >> np.uint64(1)
+            ub, invb = np.unique(lb, return_inverse=True)
+            mx = np.zeros(len(ub), np.int64)
+            np.maximum.at(mx, invb, tot[lm])
+            keep = ~np.isin(ub, capped_ids)
+            tile_ids, sz = ub[keep], mx[keep]
+        else:
+            tile_ids, sz = uu[lm], tot[lm]
+        # block count per tiled bucket; int8 block labels downstream
+        tile_nb = np.minimum(-(-sz // tile_bucket), 127).astype(np.int64)
+    return capped_ids, tile_ids, tile_nb
+
+
+def _capped_bucket_ids(
+    emitted: rd.Dataset, max_bucket: int, two_table: bool = False
+) -> np.ndarray:
+    """Sorted u64 ids of globally-capped LSH buckets (see _bucket_census)."""
+    capped, _, _ = _bucket_census(emitted, max_bucket, None, two_table)
+    return capped
 
 
 def lsh_fused_edges(
@@ -1240,6 +1344,7 @@ def lsh_fused_edges(
     seed: int = 13,
     num_partitions: int = 64,
     max_bucket: int = 4096,
+    tile_bucket: int | None = None,
     prefilter=None,
     right: rd.Dataset | None = None,
     right_text_col: str | None = None,
@@ -1247,6 +1352,29 @@ def lsh_fused_edges(
 ) -> rd.Dataset:
     """Fused LSH candidate generation + verification -> (a, b, score),
     each surviving pair exactly once with a < b.
+
+    LARGE-BUCKET TILING (``tile_bucket``): a bucket's pair expansion is
+    an indivisible atom owned by one partition task — ~count^2/2 pairs
+    of ONE core while the rest of the node drains. Buckets with
+    tile_bucket < count <= max_bucket (known from the same census pass
+    that finds capped buckets) are split into nb = ceil(count /
+    tile_bucket) blocks by hash(id) % nb, and every block pair (lo <=
+    hi) routes to its own partition: each row is replicated nb times
+    (to the nb block pairs containing its block), diagonal tiles pair
+    via triu, off-diagonal tiles via the two-side cross kernel. The
+    union over tiles is exactly the bucket's triu, each pair exactly
+    once; ownership/cap semantics are untouched because they read the
+    original ``__bucket``/``__bh`` columns, which tiling never
+    modifies (verified bit-identical in tests).
+
+    DEFAULT OFF: with the default ``max_bucket=4096`` the worst atom is
+    ~8.4M pairs — single-digit seconds — and the 480k-doc corpus
+    measured tiling as a net LOSS there (+60% stage cpu-s: the off-
+    diagonal cross path costs ~1.5x the triu class-matrix per pair and
+    census-large rows double the emission exchange). Enable it (e.g.
+    tile_bucket = max_bucket // 2) when RAISING max_bucket for full
+    recall on hot buckets — a 100k-row bucket is 5e9 pairs, hours of
+    one core, and tiling is what makes that cap feasible.
 
     Emission rows carry (numeric bucket = band<<32 | band_hash, id,
     text, the row's full band-hash vector). Each bucket-hash partition
@@ -1348,10 +1476,69 @@ def lsh_fused_edges(
 
         return buckets
 
-    def add_bp(t: pa.Table) -> pa.Table:
-        col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
-        h = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)), categorize=False)
-        return t.append_column("__bp", pa.array((h % num_partitions).astype(np.int64)))
+    def _route_plain(t: pa.Table, bp: np.ndarray, n: int) -> pa.Table:
+        return (
+            t.append_column("__bp", pa.array(bp))
+            .append_column("__tp", pa.array(np.full(n, -1, np.int16)))
+            .append_column("__tc", pa.array(np.zeros(n, np.int8)))
+        )
+
+    def make_route(tiles):
+        """Partition router. Untiled rows go to hash(bucket) % P as one
+        copy; rows of census-large buckets are replicated once per peer
+        block and each (bucket, block-pair) routes independently."""
+
+        def route(t: pa.Table) -> pa.Table:
+            col = t["__bucket"].combine_chunks() if isinstance(t["__bucket"], pa.ChunkedArray) else t["__bucket"]
+            bk = np.asarray(col.to_numpy(zero_copy_only=False))
+            h = pd.util.hash_array(bk, categorize=False)
+            bp = (h % num_partitions).astype(np.int64)
+            n = len(bk)
+            if tiles is None or n == 0:
+                return _route_plain(t, bp, n)
+            lid, lnb = tiles
+            pos = np.minimum(np.searchsorted(lid, bk), len(lid) - 1)
+            isbig = lid[pos] == bk
+            if not isbig.any():
+                return _route_plain(t, bp, n)
+            small_idx = np.nonzero(~isbig)[0]
+            big_idx = np.nonzero(isbig)[0]
+            nbv = lnb[pos[big_idx]]
+            ids = (
+                t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+            ).to_numpy(zero_copy_only=False)
+            hid = pd.util.hash_array(np.asarray(ids[big_idx]), categorize=False)
+            c_own = (hid % nbv.astype(np.uint64)).astype(np.int64)
+            # one copy per peer block: vectorized ragged arange
+            reps = np.repeat(big_idx, nbv)
+            tot = int(nbv.sum())
+            c2 = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(nbv) - nbv, nbv)
+            co = np.repeat(c_own, nbv)
+            if two_table:
+                sd = t["__lsh_side"].to_numpy(zero_copy_only=False)[reps].astype(np.int64)
+                lo = np.where(sd == 0, co, c2)  # (left block, right block)
+                hi = np.where(sd == 0, c2, co)
+            else:
+                lo = np.minimum(co, c2)
+                hi = np.maximum(co, c2)
+            tp_big = (lo << 7 | hi).astype(np.int16)  # nb <= 127
+            hb_big = h[reps] ^ (
+                (tp_big.astype(np.uint64) + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+            )
+            take_idx = np.concatenate([small_idx, reps])
+            out = t.take(pa.array(take_idx))
+            tp_all = np.concatenate([np.full(len(small_idx), -1, np.int16), tp_big])
+            tc_all = np.concatenate([np.zeros(len(small_idx), np.int8), co.astype(np.int8)])
+            bp_all = np.concatenate(
+                [bp[small_idx], (hb_big % np.uint64(num_partitions)).astype(np.int64)]
+            )
+            return (
+                out.append_column("__bp", pa.array(bp_all))
+                .append_column("__tp", pa.array(tp_all))
+                .append_column("__tc", pa.array(tc_all))
+            )
+
+        return route
 
     def score_part(t: pa.Table, capped_ref=None) -> pa.Table:
         idt = t.schema.field(id_col).type
@@ -1371,18 +1558,60 @@ def lsh_fused_edges(
         if prefilter is not None:
             skarr = t["__sk"].combine_chunks() if isinstance(t["__sk"], pa.ChunkedArray) else t["__sk"]
             S = skarr.flatten().to_numpy(zero_copy_only=False).reshape(-1, skw)
+        keepf = prefilter.keep if prefilter is not None else None
+        # pairing group key: (bucket, tile-pair) when any row is tiled —
+        # lexsort-factorized so two tiles of one bucket (or of colliding
+        # buckets) never merge; plain bucket otherwise (fast path)
+        tparr = t["__tp"].to_numpy(zero_copy_only=False)
+        tiled = bool((tparr != -1).any())
+        if tiled:
+            tp64 = tparr.astype(np.int64)
+            order = np.lexsort((tp64, bucket))
+            bs, ts = bucket[order], tp64[order]
+            brk = np.r_[True, (bs[1:] != bs[:-1]) | (ts[1:] != ts[:-1])]
+            gk = np.empty(len(bucket), np.int64)
+            gk[order] = np.cumsum(brk) - 1
+        else:
+            gk = bucket
         if two_table:
+            # tiles are (left block, right block) pairs: the one cross
+            # call over the composite key handles tiled and plain alike
             side = t["__lsh_side"].to_numpy(zero_copy_only=False)
             ai, bi = _cross_pairs_by_bucket(
-                bucket, side, max_bucket=max_bucket, sketch=S,
-                keep_fn=prefilter.keep if prefilter is not None else None,
+                gk, side, max_bucket=max_bucket, sketch=S, keep_fn=keepf
             )
-        elif prefilter is not None:
+        elif not tiled:
             ai, bi = _triu_pairs_by_bucket(
-                bucket, max_bucket=max_bucket, sketch=S, keep_fn=prefilter.keep
+                gk, max_bucket=max_bucket, sketch=S, keep_fn=keepf
             )
         else:
-            ai, bi = _triu_pairs_by_bucket(bucket, max_bucket=max_bucket)
+            # diagonal tiles (and untiled buckets) pair via triu;
+            # off-diagonal tiles via the two-side cross kernel with
+            # side = (this row's block == the tile's high block)
+            lo, hi = tp64 >> 7, tp64 & 127
+            diag = (tparr == -1) | (lo == hi)
+            d_idx = np.nonzero(diag)[0]
+            c_idx = np.nonzero(~diag)[0]
+            pa_parts: list[np.ndarray] = []
+            pb_parts: list[np.ndarray] = []
+            if len(d_idx):
+                aid, bid = _triu_pairs_by_bucket(
+                    gk[d_idx], max_bucket=max_bucket,
+                    sketch=S[d_idx] if S is not None else None, keep_fn=keepf,
+                )
+                pa_parts.append(d_idx[aid])
+                pb_parts.append(d_idx[bid])
+            if len(c_idx):
+                tc = t["__tc"].to_numpy(zero_copy_only=False).astype(np.int64)
+                sidec = (tc[c_idx] == hi[c_idx]).astype(np.int8)
+                aic, bic = _cross_pairs_by_bucket(
+                    gk[c_idx], sidec, max_bucket=max_bucket,
+                    sketch=S[c_idx] if S is not None else None, keep_fn=keepf,
+                )
+                pa_parts.append(c_idx[aic])
+                pb_parts.append(c_idx[bic])
+            ai = np.concatenate(pa_parts) if pa_parts else np.empty(0, np.int64)
+            bi = np.concatenate(pb_parts) if pb_parts else np.empty(0, np.int64)
         if not len(ai):
             return empty
         # first-agreeing-band ownership: keep the pair only when THIS
@@ -1423,16 +1652,21 @@ def lsh_fused_edges(
         emitted = emitted.union(
             right.map_batches(make_buckets(1, rtc, ric), batch_format="pyarrow")
         )
-    # Globally-capped buckets (the stop-word cap), broadcast so every
-    # partition's ownership check agrees. Emitted is materialized once
-    # to feed both the count pass and the main shuffle.
+    # One census over the materialized emission feeds both broadcasts:
+    # globally-capped buckets (the stop-word cap, so every partition's
+    # ownership check agrees) and census-large buckets (tiled so no
+    # single partition owns a near-cap bucket's quadratic expansion).
     emitted = emitted.materialize()
-    capped_ref = ray.put(_capped_bucket_ids(emitted, max_bucket, two_table))
+    capped, tile_ids, tile_nb = _bucket_census(
+        emitted, max_bucket, tile_bucket, two_table
+    )
+    capped_ref = ray.put(capped)
+    tiles = (tile_ids, tile_nb) if len(tile_ids) else None
 
     import functools
 
     return (
-        emitted.map_batches(add_bp, batch_format="pyarrow")
+        emitted.map_batches(make_route(tiles), batch_format="pyarrow")
         .groupby("__bp")
         .map_groups(
             functools.partial(score_part, capped_ref=capped_ref), batch_format="pyarrow"

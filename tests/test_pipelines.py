@@ -98,6 +98,65 @@ def test_lsh_ownership_with_capped_buckets():
     assert ("x060", "x061") in set(pairs)
 
 
+def test_lsh_large_bucket_tiling_bit_identical():
+    """Tiling census-large buckets across partitions (the straggler-atom
+    fix) must be invisible in the output: same edges, same scores, still
+    exactly-once — single-table (triu + cross tiles) AND two-table
+    (left-block x right-block tiles)."""
+    import pandas as pd
+
+    from fozziejoin_ray.pipelines.dedup import lsh_fused_edges
+
+    def mk(n, pre):
+        words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        rows = [
+            (
+                f"{pre}{i:05d}",
+                " ".join(words[(i % 12 + j) % 5] for j in range(6))
+                + f" tail{i % 12} {'x' * (i % 3)}",
+            )
+            for i in range(n)
+        ]
+        return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def jac(a_list, b_list):
+        sims = np.array([1.0 if a == b else 0.6 for a, b in zip(a_list, b_list)])
+        keep = sims >= 0.5
+        return keep, sims[keep]
+
+    df = mk(600, "d")
+
+    def run_self(tile):
+        edges = lsh_fused_edges(
+            rd.from_pandas(df), "text", "doc_id", jac,
+            num_perm=64, bands=16, shingle_k=3, num_partitions=8,
+            max_bucket=4096, tile_bucket=tile,
+        ).take_all()
+        return sorted((r["a"], r["b"], round(r["score"], 9)) for r in edges)
+
+    plain = run_self(None)
+    tiled = run_self(7)  # families of ~50 docs force buckets >> 7
+    assert len(plain) == len(set(plain)) and plain
+    assert plain == tiled
+
+    L, R = mk(400, "L"), mk(300, "R")
+
+    def run_two(tile):
+        edges = lsh_fused_edges(
+            rd.from_pandas(L), "text", "doc_id", jac,
+            num_perm=64, bands=16, shingle_k=3, num_partitions=8,
+            max_bucket=4096, tile_bucket=tile,
+            right=rd.from_pandas(R), right_text_col="text", right_id_col="doc_id",
+        ).take_all()
+        return sorted((r["a"], r["b"], round(r["score"], 9)) for r in edges)
+
+    plain2 = run_two(None)
+    tiled2 = run_two(7)
+    assert len(plain2) == len(set(plain2)) and plain2
+    assert plain2 == tiled2
+    assert all(a.startswith("L") and b.startswith("R") for a, b, _ in tiled2)
+
+
 def test_ngram_jaccard_dedup_matches_bruteforce():
     thresh = 0.5
     out = {r["doc_id"]: r["dup_group"] for r in ngram_jaccard_dedup(
