@@ -387,6 +387,7 @@ def build_edges_lsh(
     num_perm: int = 64,
     bands: int = 64,
     shingle_k: int = 2,
+    tile_bucket: int | None = None,
 ) -> rd.Dataset:
     """Two-table LSH-blocked edges (see fuzzy_string_join strategy='lsh').
     Both sides emit banded-MinHash buckets over their key's shingles; the
@@ -423,6 +424,7 @@ def build_edges_lsh(
         bands=bands,
         shingle_k=shingle_k,
         num_partitions=num_partitions,
+        tile_bucket=tile_bucket,
         prefilter=(
             JaroCharBoundFilter(max_distance) if method == "jaro_winkler" else None
         ),

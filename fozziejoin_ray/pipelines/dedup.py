@@ -619,6 +619,7 @@ def minhash_lsh_dedup(
     id_type=None,
     broadcast_doc_limit: int = 2_000_000,
     carry_cutoff: int = 128,
+    tile_bucket: int | None = None,
 ) -> rd.Dataset:
     """Near-duplicate classes via MinHash+LSH: shingle -> minhash ->
     banded buckets -> candidate pairs -> exact-jaccard verify ->
@@ -684,6 +685,7 @@ def minhash_lsh_dedup(
             shingle_k=shingle_k,
             seed=seed,
             num_partitions=num_partitions,
+            tile_bucket=tile_bucket,
             prefilter=JaccardSizeBoundFilter(threshold),
         )
     elif small:

@@ -155,6 +155,7 @@ def match_edges(
     minhash_bands: int = 32,
     minhash_perm: int = 64,
     shingle_k: int = 2,
+    tile_bucket: int | None = None,
     ckpt_parts: tuple[int, list[int], str] | None = None,
 ) -> rd.Dataset:
     """Self-join the key table under fozziejoin string semantics; edges
@@ -274,6 +275,7 @@ def match_edges(
         bands=minhash_bands,
         shingle_k=shingle_k,
         num_partitions=num_partitions,
+        tile_bucket=tile_bucket,
         prefilter=(
             JaroCharBoundFilter(max_distance)
             if canon_method(method) == "jaro_winkler"
