@@ -305,21 +305,24 @@ def run_scaling():
     #   latency (ray+worker startup, the doc_rep exchange, stage
     #   scheduling) would dominate. 960k restores minutes of parallel
     #   work per leg.
-    # - GRAFT_SCALING_CPUS (default "2,8"): the measurement levels.
-    #   2-vs-8 is the default because it keeps BOTH legs below the
-    #   single node's DRAM-bandwidth saturation point, which is the
-    #   regime that models a real cluster (every added node brings its
-    #   own memory system). 8-vs-32 on ONE memory system measures the
-    #   shared-DRAM ceiling instead: the Ray-free control experiment
-    #   (tools/bench_kernel_contention.py, committed JSON) shows the
-    #   bare pair kernels — fork pool, process-local data, zero
-    #   orchestration — lose 1.32x CPU-seconds to memory contention at
-    #   32-way, capping any 8v32 reading near 0.76 regardless of how
-    #   well the engine parallelizes. Set GRAFT_SCALING_CPUS=8,32 to
-    #   reproduce the saturated-regime series in BASELINE.md.
+    # - GRAFT_SCALING_CPUS (default "4,16"): the measurement levels.
+    #   4-vs-16 is the default because it is the single-node regime
+    #   with the fewest proxy artifacts. The two artifacts bracket the
+    #   true N-vs-4N-node number from opposite sides (full 960k series
+    #   in BASELINE.md): at the bottom (2 cpus), Ray's fixed service
+    #   threads compete with the 2 workers and INFLATE the small leg —
+    #   the measured 2v8 efficiency is a superlinear 1.22; at the top
+    #   (32 cpus), both legs share ONE DRAM system — the Ray-free
+    #   control experiment (tools/bench_kernel_contention.py, committed
+    #   JSON) shows the bare pair kernels, with zero orchestration,
+    #   lose 1.32x CPU-seconds to memory contention at 32-way, capping
+    #   any 8v32 reading near 0.76 regardless of how well the engine
+    #   parallelizes (a real 4x-node cluster brings 4x the DRAM).
+    #   Set GRAFT_SCALING_CPUS=2,8 / 8,32 / 16,32 to reproduce the
+    #   bracketing series in BASELINE.md.
     n_scaling = os.environ.get("GRAFT_N_DOCS_SCALING", "960000")
     lo_cpu, hi_cpu = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
     )
 
     def run(ncpu: int) -> dict:
