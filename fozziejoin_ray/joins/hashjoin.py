@@ -150,7 +150,6 @@ def hash_join(
     nested_l = [n for n, typ in lfields if _is_nested(typ) and n not in lkeys]
     nested_r = [n for n, typ in rfields if _is_nested(typ) and n not in rkeys]
     right_in_out = how in ("inner", "left_outer", "right_outer", "full_outer")
-    left_in_out = how != "right_semi"  # all supported modes emit left cols
 
     def join_part(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
@@ -192,7 +191,7 @@ def hash_join(
                 out = out.rename_columns(
                     [lk if c == rk_tmp[i] else c for c in out.column_names]
                 )
-        if nested_l and left_in_out:
+        if nested_l:  # every supported mode emits left columns
             idx = out["__hj_lrow"]
             for c in nested_l:
                 out = out.append_column(c, lt[c].take(idx))

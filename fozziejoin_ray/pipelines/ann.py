@@ -113,7 +113,7 @@ def ivf_topk(
     query_ids: list,
     *,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     embed_col: str = "embedding",
     id_col: str = "vec_id",
@@ -137,7 +137,9 @@ def ivf_topk(
     the same ``nprobe``; they are L2-normalized here since bucket
     assignment is by cosine."""
     if centroids is not None:
-        if n_centroids != 16 and n_centroids != len(centroids):
+        # None-default sentinel: only an EXPLICIT n_centroids can
+        # conflict with a provided centroids array
+        if n_centroids is not None and n_centroids != len(centroids):
             raise ValueError(
                 f"n_centroids={n_centroids} conflicts with the provided "
                 f"centroids array of {len(centroids)} rows; pass one or the other"
@@ -147,7 +149,7 @@ def ivf_topk(
         centroids = _normalize(np.asarray(centroids, dtype=dtype))
         n_centroids = len(centroids)
     else:
-        centroids = _sample_centroids(ds, embed_col, n_centroids, seed)
+        centroids = _sample_centroids(ds, embed_col, n_centroids or 16, seed)
     cref = ray.put(centroids)
 
     def assign(t: pa.Table) -> pa.Table:

@@ -645,7 +645,12 @@ def minhash_lsh_dedup(
 
     All three paths compute the same exact set-jaccard over the same
     candidate set (same bucket math, same ``max_bucket`` cap), so
-    results are identical."""
+    results are identical.
+
+    ``tile_bucket`` (large-bucket pair-expansion tiling) is honored by
+    the fused layout only; the index/join-back layouts verify per bucket
+    partition against an index, where the knob does not apply — a
+    warning is emitted if it would be ignored."""
     import ray
 
     from fozziejoin_ray.joins.string_join import _collect_right
@@ -674,6 +679,16 @@ def minhash_lsh_dedup(
         tl = pa.compute.binary_length(pa.compute.fill_null(sample[text_col], ""))
         mean_len = float(pa.compute.mean(tl).as_py() or 0.0)
 
+    if mean_len > carry_cutoff and tile_bucket is not None:
+        import warnings
+
+        warnings.warn(
+            "tile_bucket is honored only by the fused (short-text) LSH "
+            "layout; this corpus selects the "
+            + ("broadcast-index" if small else "join-back")
+            + " layout, which verifies per bucket partition and ignores it",
+            stacklevel=2,
+        )
     if mean_len <= carry_cutoff:
         edges = lsh_fused_edges(
             ds,
@@ -1271,8 +1286,11 @@ def _bucket_census(
         np.concatenate(
             [
                 bt["__bucket"].to_numpy(zero_copy_only=False)
+                # batch_size=None (one batch per block) is REQUIRED for
+                # the pigeonhole bound: part_thresh is valid only if
+                # each block's counts are seen whole, never split
                 for bt in emitted.map_batches(
-                    candidate_counts, batch_format="pyarrow"
+                    candidate_counts, batch_format="pyarrow", batch_size=None
                 ).iter_batches(batch_size=None, batch_format="pyarrow")
             ]
             or [_EMPTY_U64]

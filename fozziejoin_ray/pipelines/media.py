@@ -82,7 +82,7 @@ def media_from_documents(
         return pa.table(
             {
                 "media_ref": refs,
-                "kind": pa.array([kind] * t.num_rows),
+                "kind": pa.array([kind] * t.num_rows, pa.string()),
                 "payload": txt.cast(pa.binary()),
                 "width": pa.array((16 + ln % 497).astype(np.int32)),
                 "height": pa.array((16 + (ln * 7) % 497).astype(np.int32)),
