@@ -762,6 +762,51 @@ def _equi_right_query(sf_dir: str):
     )
 
 
+def _equi_right_semi_query(sf_dir: str):
+    """Right-semi equality join: customers with at least one big order,
+    emitted from the RIGHT side of the same partitioned hash join (the
+    probe side never materializes its payload columns). The key
+    surfaces under the left name (o_custkey) per the hash_join
+    contract."""
+    from fozziejoin_ray.joins.hashjoin import hash_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], 350000.0)).select(["o_custkey"])
+
+    return hash_join(
+        orders.map_batches(big, batch_format="pyarrow"),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        how="right_semi",
+        num_partitions=16,
+    )
+
+
+def _equi_right_anti_query(sf_dir: str):
+    """Right-anti equality join: customers with NO very-big order —
+    the mirror of equi_anti driven from the right side."""
+    from fozziejoin_ray.joins.hashjoin import hash_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], 420000.0)).select(["o_custkey"])
+
+    return hash_join(
+        orders.map_batches(big, batch_format="pyarrow"),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        how="right_anti",
+        num_partitions=16,
+    )
+
+
 def _equi_composite_query(sf_dir: str):
     """Composite-key equality join: heavy lineitems back onto the
     per-(partkey, suppkey) aggregate of the same table — a distributed
@@ -1250,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_anti": _equi_anti_query,
         "equi_full": _equi_full_query,
         "equi_right": _equi_right_query,
+        "equi_right_semi": _equi_right_semi_query,
+        "equi_right_anti": _equi_right_anti_query,
         "equi_composite": _equi_composite_query,
         "json_extract": _json_extract_query,
         # event windowing
@@ -1291,7 +1338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences", "gopher_rules", "dup_ngram_frac", "lm_score",
         "ppl_buckets", "curate_corpus", "dedup_paragraphs",
         "normalize_text", "inverted_index", "equi_inner", "equi_anti",
-        "equi_full", "equi_right", "equi_composite", "json_extract",
+        "equi_full", "equi_right", "equi_right_semi", "equi_right_anti",
+        "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
         "dup_spans", "sample_k", "pmi_colloc", "bm25_topk",
@@ -1898,6 +1946,16 @@ def oracle_sql() -> dict[str, str]:
                    o.o_totalprice, c.c_name, c.c_nationkey
             FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
             RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "equi_right_semi": """
+            SELECT c_custkey AS o_custkey, c_name, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 350000.0)""",
+        "equi_right_anti": """
+            SELECT c_custkey AS o_custkey, c_name, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 420000.0)""",
         "equi_composite": """
             WITH agg AS (
               SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,

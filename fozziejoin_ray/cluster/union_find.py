@@ -305,16 +305,38 @@ def connected_components(
             node_type,
         )
 
-    e = edges.map_batches(
-        lambda t, s=src, d=dst: pa.table({"a": t[s], "b": t[d]}), batch_format="pyarrow"
+    def to_ab(t: pa.Table, s=src, d=dst) -> pa.Table:
+        return pa.table({"a": t[s], "b": t[d]})
+
+    def only_loops(t: pa.Table) -> pa.Table:
+        # self-loop edges (a == b) would silently vanish inside the
+        # contraction/star rounds (their node never reaches the label
+        # stage, unlike in the driver kernel, which keeps every
+        # factorized node); split them out here and re-union them at
+        # each exit so "every node appearing in any edge gets one
+        # output row" holds on both paths
+        return t.filter(pa.compute.equal(t["a"], t["b"]))
+
+    ab = edges.map_batches(to_ab, batch_format="pyarrow").materialize()
+    loops = ab.map_batches(only_loops, batch_format="pyarrow")
+    e = ab.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["a"], t["b"])),
+        batch_format="pyarrow",
     ).materialize()
+
+    def _with_loops(batches):
+        yield from batches
+        yield from loops.iter_batches(batch_size=None, batch_format="pyarrow")
 
     for _ in range(max(0, contract_rounds)):
         e = _contract_round(e, num_partitions).materialize()
         n2 = e.count()
         if driver_threshold is not None and n2 <= driver_threshold:
             return _driver_union_find_batches(
-                e.iter_batches(batch_size=None, batch_format="pyarrow"), "a", "b", node_type
+                _with_loops(e.iter_batches(batch_size=None, batch_format="pyarrow")),
+                "a",
+                "b",
+                node_type,
             )
         if n2 >= 0.7 * n:  # contraction stalled; fall through to star rounds
             break
@@ -339,7 +361,14 @@ def connected_components(
             }
         )
 
-    lab = e.map_batches(labels_emit, batch_format="pyarrow").groupby(NODE).min(CLUSTER)
+    # loop rows (x, x) re-enter here: labels_emit yields node=x,
+    # cluster=x, and the min() groupby keeps any smaller real label
+    lab = (
+        e.union(loops)
+        .map_batches(labels_emit, batch_format="pyarrow")
+        .groupby(NODE)
+        .min(CLUSTER)
+    )
     return lab.map_batches(
         lambda t: pa.table({NODE: t[NODE], CLUSTER: t[f"min({CLUSTER})"]}),
         batch_format="pyarrow",

@@ -38,6 +38,8 @@ _MODES = {
     "left_semi": "left semi",
     "left_anti": "left anti",
     "right_outer": "right outer",
+    "right_semi": "right semi",
+    "right_anti": "right anti",
     "full_outer": "full outer",
 }
 
@@ -80,13 +82,16 @@ def hash_join(
     column name or a same-length list of names for composite keys).
 
     ``how``: "inner" | "left_outer" | "left_semi" | "left_anti" |
-    "right_outer" | "full_outer".
+    "right_outer" | "right_semi" | "right_anti" | "full_outer".
     Output columns: all left columns ++ right columns minus ``right_on``
     (keys survive under their left names, coalesced across sides in the
-    outer modes). Column names must not collide otherwise (callers
-    pre-suffix). Pass ``left_schema``/``right_schema`` when a side may be
-    empty — Ray reports ``schema() is None`` for datasets whose blocks
-    were all empty.
+    outer modes); the semi/anti modes emit only their own side's rows —
+    ``right_semi``/``right_anti`` return right rows with the keys renamed
+    to the left names, so the contract's key naming holds in every mode.
+    Column names must not collide otherwise (callers pre-suffix). Pass
+    ``left_schema``/``right_schema`` when a side may be empty — Ray
+    reports ``schema() is None`` for datasets whose blocks were all
+    empty.
     """
     if how not in _MODES:
         raise ValueError(f"how must be one of {sorted(_MODES)}, got {how!r}")
@@ -149,7 +154,9 @@ def hash_join(
 
     nested_l = [n for n, typ in lfields if _is_nested(typ) and n not in lkeys]
     nested_r = [n for n, typ in rfields if _is_nested(typ) and n not in rkeys]
-    right_in_out = how in ("inner", "left_outer", "right_outer", "full_outer")
+    left_in_out = how not in ("right_semi", "right_anti")
+    right_in_out = how not in ("left_semi", "left_anti") and left_in_out
+    right_only = not left_in_out  # right_semi / right_anti emit right cols
 
     def join_part(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
@@ -159,10 +166,10 @@ def hash_join(
         # null keys never match: pre-filter rows that cannot join AND
         # would not survive as unmatched output in this mode (Acero
         # already applies SQL null semantics; this just sheds work)
-        if how in ("inner", "left_semi", "right_outer"):
+        if how in ("inner", "left_semi", "right_outer", "right_semi", "right_anti"):
             for lk in lkeys:
                 lt = lt.filter(pa.compute.is_valid(lt[lk]))
-        if how in ("inner", "left_semi", "left_anti", "left_outer"):
+        if how in ("inner", "left_semi", "left_anti", "left_outer", "right_semi"):
             for rk in rk_tmp:
                 rt = rt.filter(pa.compute.is_valid(rt[rk]))
         # Acero rejects nested (list/struct) non-key columns: carry row
@@ -191,19 +198,23 @@ def hash_join(
                 out = out.rename_columns(
                     [lk if c == rk_tmp[i] else c for c in out.column_names]
                 )
-        if nested_l:  # every supported mode emits left columns
+        if nested_l and left_in_out:
             idx = out["__hj_lrow"]
             for c in nested_l:
                 out = out.append_column(c, lt[c].take(idx))
         if "__hj_lrow" in out.column_names:
             out = out.drop_columns(["__hj_lrow"])
-        if nested_r and right_in_out:
+        if nested_r and (right_in_out or right_only):
             idx = out["__hj_rrow"]
             for c in nested_r:
                 out = out.append_column(c, rt[c].take(idx))
         if "__hj_rrow" in out.column_names:
             out = out.drop_columns(["__hj_rrow"])
-        return out.select(lcols + rcols) if right_in_out else out.select(lcols)
+        if right_in_out:
+            return out.select(lcols + rcols)
+        if right_only:
+            return out.select(lkeys + rcols)
+        return out.select(lcols)
 
     grouped = unioned.groupby(_PART)
     return grouped.map_groups(join_part, batch_format="pyarrow")

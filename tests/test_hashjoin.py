@@ -1,5 +1,5 @@
 """Direct tests for the partitioned grace hash join (joins/hashjoin.py):
-all six modes vs a pandas merge oracle, null-key semantics, composite
+all eight modes vs a pandas merge oracle, null-key semantics, composite
 keys, nested payload re-attachment, and collision validation."""
 
 import numpy as np
@@ -54,6 +54,11 @@ def _oracle(how):
             m = pd.concat([m[~nulls], pd.DataFrame(fixed)], ignore_index=True)
         m["lk"] = m["lk"].fillna(m["rk"])
         return m[["lk", "lv", "rv"]]
+    if how in ("right_semi", "right_anti"):
+        rmatched = r["rk"].isin(lnn["lk"])  # NaN keys never match -> anti keeps them
+        m = (r[rmatched] if how == "right_semi" else r[~rmatched]).copy()
+        m["lk"] = m["rk"]  # right-only modes surface keys under the left name
+        return m[["lk", "rv"]]
     matched = l["lk"].isin(rnn["rk"])
     if how == "left_semi":
         return l[matched][["lk", "lv"]]
@@ -62,7 +67,16 @@ def _oracle(how):
 
 @pytest.mark.parametrize(
     "how",
-    ["inner", "left_outer", "left_semi", "left_anti", "right_outer", "full_outer"],
+    [
+        "inner",
+        "left_outer",
+        "left_semi",
+        "left_anti",
+        "right_outer",
+        "right_semi",
+        "right_anti",
+        "full_outer",
+    ],
 )
 @pytest.mark.parametrize("nparts", [1, 4])
 def test_hash_join_modes_vs_pandas(how, nparts):
@@ -166,6 +180,15 @@ def test_hash_join_nested_payload_outer_modes():
         (d["k"], tuple(d["emb"] or ()), tuple(d["tag"] or ())) for d in out
     )
     assert norm == [(1, (1.0,), ()), (2, (3.0,), ("p",)), (3, (), ("q",))]
+
+
+def test_hash_join_nested_payload_right_only_modes():
+    left = rd.from_arrow(pa.table({"k": [2], "emb": [[9.0]]}))
+    right = rd.from_arrow(pa.table({"rk": [2, 3], "tag": [["p"], ["q"]]}))
+    semi = hash_join(left, right, "k", "rk", how="right_semi").take_all()
+    assert [(d["k"], tuple(d["tag"])) for d in semi] == [(2, ("p",))]
+    anti = hash_join(left, right, "k", "rk", how="right_anti").take_all()
+    assert [(d["k"], tuple(d["tag"])) for d in anti] == [(3, ("q",))]
 
 
 def test_hash_join_collision_and_empty():

@@ -151,6 +151,27 @@ def test_cc_chain_converges():
         assert len(rows) == 6
 
 
+def test_cc_self_loops_survive_both_paths():
+    # a node appearing ONLY in a self-loop edge must still get an
+    # output row (docstring contract: every node in any edge), on the
+    # driver kernel AND through the contraction/star rounds
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": ["a", "b", "lonely", "b"],
+                "dst": ["b", "c", "lonely", "b"],
+            }
+        )
+    )
+    for thresh in (2_000_000, None):
+        rows = connected_components(
+            edges, driver_threshold=thresh, num_partitions=4
+        ).take_all()
+        got = {r["node"]: r["cluster"] for r in rows}
+        assert got == {"a": "a", "b": "a", "c": "a", "lonely": "lonely"}, thresh
+        assert len(rows) == 4, thresh  # exactly one row per node
+
+
 def test_minhash_blocking_recall(docs_and_labels):
     """The scale path (minhash candidate generation + kernel verify) must
     recover nearly all of the exact blocking's edges on mutated names."""
