@@ -305,24 +305,24 @@ def connected_components(
             node_type,
         )
 
-    def to_ab(t: pa.Table, s=src, d=dst) -> pa.Table:
-        return pa.table({"a": t[s], "b": t[d]})
+    # self-loop edges (a == b) would silently vanish inside the
+    # contraction/star rounds (their node never reaches the label stage,
+    # unlike in the driver kernel, which keeps every factorized node);
+    # split them out here and re-union them at each exit so "every node
+    # appearing in any edge gets one output row" holds on both paths.
+    # Both streams filter the already-materialized input — no extra
+    # full-edge materialization on this (flagship) path; `loops` stays
+    # lazy because match/dup producers never emit self-loops.
+    def split(keep_loops: bool):
+        def fn(t: pa.Table, s=src, d=dst) -> pa.Table:
+            ab = pa.table({"a": t[s], "b": t[d]})
+            eq = pa.compute.equal(ab["a"], ab["b"])
+            return ab.filter(eq if keep_loops else pa.compute.invert(eq))
 
-    def only_loops(t: pa.Table) -> pa.Table:
-        # self-loop edges (a == b) would silently vanish inside the
-        # contraction/star rounds (their node never reaches the label
-        # stage, unlike in the driver kernel, which keeps every
-        # factorized node); split them out here and re-union them at
-        # each exit so "every node appearing in any edge gets one
-        # output row" holds on both paths
-        return t.filter(pa.compute.equal(t["a"], t["b"]))
+        return fn
 
-    ab = edges.map_batches(to_ab, batch_format="pyarrow").materialize()
-    loops = ab.map_batches(only_loops, batch_format="pyarrow")
-    e = ab.map_batches(
-        lambda t: t.filter(pa.compute.not_equal(t["a"], t["b"])),
-        batch_format="pyarrow",
-    ).materialize()
+    loops = edges.map_batches(split(True), batch_format="pyarrow")
+    e = edges.map_batches(split(False), batch_format="pyarrow").materialize()
 
     def _with_loops(batches):
         yield from batches
