@@ -75,20 +75,46 @@ def _min_label_cc(ea: np.ndarray, eb: np.ndarray, n: int) -> np.ndarray:
     return total
 
 
+def _normalize_edge_table(t: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Engine NA rule applied to edges: a null endpoint never asserts
+    connectivity, but the non-null endpoint must still surface as a
+    node — rewrite (x, null) / (null, y) to self-loops (x, x) / (y, y)
+    and drop (null, null) rows. Output columns are always (a, b), both
+    non-null. Without this, pd.factorize's -1 code for None corrupts
+    the driver kernel's indexing, and null-mask filters silently drop
+    the rows on the distributed path."""
+    import pyarrow.compute as pc
+
+    a, b = t[a_col], t[b_col]
+    av, bv = pc.is_valid(a), pc.is_valid(b)
+    out = [pa.table({"a": a, "b": b}).filter(pc.and_(av, bv))]
+    a_only = pc.and_(av, pc.invert(bv))
+    if pc.any(a_only).as_py():
+        out.append(pa.table({"a": a, "b": a}).filter(a_only))
+    b_only = pc.and_(bv, pc.invert(av))
+    if pc.any(b_only).as_py():
+        out.append(pa.table({"a": b, "b": b}).filter(b_only))
+    return pa.concat_tables(out)
+
+
 def _driver_union_find_batches(batches, src: str, dst: str, node_type=None) -> "rd.Dataset":
     """Exact connected components on the driver for small edge sets —
     factorize both endpoint columns to int codes, then run the
     vectorized min-label propagation (:func:`_min_label_cc`)."""
     import pandas as pd
 
-    tables = [t for t in batches if t.num_rows]
+    tables = [
+        nt
+        for nt in (_normalize_edge_table(t, src, dst) for t in batches if t.num_rows)
+        if nt.num_rows
+    ]
     if not tables:
         return rd.from_arrow(
             pa.table({NODE: pa.array([], node_type), CLUSTER: pa.array([], node_type)})
         )
     t = pa.concat_tables(tables)
-    a = t[src].combine_chunks().to_numpy(zero_copy_only=False)
-    b = t[dst].combine_chunks().to_numpy(zero_copy_only=False)
+    a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+    b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
     codes, uniques = pd.factorize(np.concatenate([a, b]), sort=False)
     n = len(uniques)
     ea = codes[: len(a)]
@@ -305,18 +331,20 @@ def connected_components(
             node_type,
         )
 
-    # self-loop edges (a == b) would silently vanish inside the
-    # contraction/star rounds (their node never reaches the label stage,
-    # unlike in the driver kernel, which keeps every factorized node);
-    # split them out here and re-union them at each exit so "every node
-    # appearing in any edge gets one output row" holds on both paths.
-    # Both streams filter the already-materialized input — no extra
-    # full-edge materialization on this (flagship) path; `loops` stays
-    # lazy because match/dup producers never emit self-loops.
+    # self-loop edges (a == b, including the (x, x) rewrites of
+    # null-partner edges from _normalize_edge_table) would silently
+    # vanish inside the contraction/star rounds (their node never
+    # reaches the label stage, unlike in the driver kernel, which keeps
+    # every factorized node); split them out here and re-union them at
+    # each exit so "every node appearing in any edge gets one output
+    # row" holds on both paths. Both streams filter the already-
+    # materialized input — no extra full-edge materialization on this
+    # (flagship) path; `loops` stays lazy because match/dup producers
+    # never emit self-loops.
     def split(keep_loops: bool):
         def fn(t: pa.Table, s=src, d=dst) -> pa.Table:
-            ab = pa.table({"a": t[s], "b": t[d]})
-            eq = pa.compute.equal(ab["a"], ab["b"])
+            ab = _normalize_edge_table(t, s, d)
+            eq = pa.compute.equal(ab["a"], ab["b"])  # never null post-normalize
             return ab.filter(eq if keep_loops else pa.compute.invert(eq))
 
         return fn
@@ -327,6 +355,18 @@ def connected_components(
     def _with_loops(batches):
         yield from batches
         yield from loops.iter_batches(batch_size=None, batch_format="pyarrow")
+
+    # recount on the REAL (non-loop) edge set: the pre-split count gates
+    # the driver fast path but would skew the contraction-stall ratio
+    # (and a loop-heavy set may now fit the driver threshold outright)
+    n = e.count()
+    if driver_threshold is not None and n <= driver_threshold:
+        return _driver_union_find_batches(
+            _with_loops(e.iter_batches(batch_size=None, batch_format="pyarrow")),
+            "a",
+            "b",
+            node_type,
+        )
 
     for _ in range(max(0, contract_rounds)):
         e = _contract_round(e, num_partitions).materialize()

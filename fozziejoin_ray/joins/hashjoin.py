@@ -109,6 +109,14 @@ def hash_join(
 
     lfields = list(zip(lschema.names, lschema.types))
     rfields = list(zip(rschema.names, rschema.types))
+    # semi/anti modes never emit the other side's payload — shrink that
+    # side to its key columns BEFORE the unified-schema shuffle so only
+    # keys cross the exchange (collision validation above still saw the
+    # full declared schemas)
+    if how in ("left_semi", "left_anti"):
+        rfields = [(n, t) for n, t in rfields if n in rkeys]
+    elif how in ("right_semi", "right_anti"):
+        lfields = [(n, t) for n, t in lfields if n in lkeys]
     all_fields = lfields + [(n, t) for n, t in rfields if n not in rkeys]
     # unified shuffle schema: every column of both sides + part + side;
     # right keys are carried in the LEFT keys' slots (cast to left types).

@@ -149,7 +149,11 @@ def ivf_topk(
         centroids = _normalize(np.asarray(centroids, dtype=dtype))
         n_centroids = len(centroids)
     else:
-        centroids = _sample_centroids(ds, embed_col, n_centroids or 16, seed)
+        if n_centroids is not None and n_centroids < 1:
+            raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+        centroids = _sample_centroids(
+            ds, embed_col, 16 if n_centroids is None else n_centroids, seed
+        )
     cref = ray.put(centroids)
 
     def assign(t: pa.Table) -> pa.Table:

@@ -172,6 +172,45 @@ def test_cc_self_loops_survive_both_paths():
         assert len(rows) == 4, thresh  # exactly one row per node
 
 
+def test_cc_mid_contraction_driver_exit_keeps_loops():
+    # K5 (10 edges) + a self-loop, driver_threshold=4: the pre-split
+    # count (11) and non-loop count (10) both exceed the threshold, one
+    # contraction round collapses K5 to a 4-edge star <= 4 — exercising
+    # the _with_loops mid-contraction driver exit, which must still
+    # surface the loop-only node
+    nodes = [f"k{i}" for i in range(5)]
+    src, dst = zip(*[(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]])
+    edges = rd.from_arrow(
+        pa.table({"src": list(src) + ["solo"], "dst": list(dst) + ["solo"]})
+    )
+    rows = connected_components(
+        edges, driver_threshold=4, num_partitions=1, contract_rounds=3
+    ).take_all()
+    got = {r["node"]: r["cluster"] for r in rows}
+    assert got == {**{n: "k0" for n in nodes}, "solo": "solo"}
+    assert len(rows) == 6
+
+
+def test_cc_null_endpoints_follow_na_rule():
+    # engine NA rule: a null endpoint never asserts connectivity, but
+    # the non-null endpoint still surfaces as its own node; (null, null)
+    # rows vanish — identical on the driver and distributed paths
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["x", None, None, "p"], pa.string()),
+                "dst": pa.array([None, "y", None, "q"], pa.string()),
+            }
+        )
+    )
+    for thresh in (2_000_000, None):
+        rows = connected_components(
+            edges, driver_threshold=thresh, num_partitions=4
+        ).take_all()
+        got = {r["node"]: r["cluster"] for r in rows}
+        assert got == {"x": "x", "y": "y", "p": "p", "q": "p"}, thresh
+
+
 def test_minhash_blocking_recall(docs_and_labels):
     """The scale path (minhash candidate generation + kernel verify) must
     recover nearly all of the exact blocking's edges on mutated names."""
