@@ -484,6 +484,17 @@ def _ann_ivf_exhaustive_query(sf_dir: str):
     return _round_col(out, "cosine", 4)
 
 
+def _topk_pairs_query(sf_dir: str):
+    """Exact global top-25 most-similar embedding pairs via the tiled
+    self-cross-join (pipelines/ann.py:topk_similar_pairs); the
+    (rounded cosine DESC, a, b) total order makes the k-boundary
+    deterministic in both engines."""
+    from fozziejoin_ray.pipelines.ann import topk_similar_pairs
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return topk_similar_pairs(emb, 25, tile_rows=512)
+
+
 def _ann_ivf_query(sf_dir: str):
     from fozziejoin_ray.pipelines.ann import ivf_topk
 
@@ -1266,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_bucketed": _embedding_dup_bucketed_query,
         "embedding_dedup": _embedding_dedup_query,
         "ann_topk": _ann_topk_query,
+        "topk_pairs": _topk_pairs_query,
         "ann_ivf": _ann_ivf_query,
         "ann_ivf_exhaustive": _ann_ivf_exhaustive_query,
         "kmeans_clusters": _kmeans_query,
@@ -1344,7 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
         "dup_spans", "sample_k", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
-        "media_features", "frame_sample",
+        "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
         "string_lv_inner", "string_lv_left", "string_lv_right",
         "string_lv_full", "string_lv_semi", "string_lv_anti",
@@ -2165,6 +2177,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
             FROM e a, e b
             WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4""",
+        # exact global top-k pairs: the ROUND-then-order total order is
+        # realized identically by the engine (pipelines/ann.py:
+        # topk_similar_pairs rounds before its per-tile and global top-k)
+        "topk_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                 p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                              ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+                       FROM e a, e b WHERE a.vec_id < b.vec_id)
+            SELECT a, b, cosine FROM p ORDER BY cosine DESC, a, b LIMIT 25""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
                  s AS (SELECT q.query_id, e.vec_id,

@@ -421,6 +421,109 @@ def embedding_dedup(
     return _dup_groups(proj, pairs, id_col, num_partitions, id_type)
 
 
+@ray.remote
+def _pair_tile_topk(left, right, k: int, cfg: dict) -> pa.Table:
+    """Score one tile pair and return its local top-k under the global
+    (rounded cosine DESC, a ASC, b ASC) total order. ``right=None``
+    means the self tile (upper triangle only, so every unordered pair
+    in the corpus is scored by exactly one task)."""
+    import pyarrow.compute as pc
+
+    id_col, embed_col, nd = cfg["id_col"], cfg["embed_col"], cfg["round_to"]
+    same = right is None
+    R = left if same else right
+    idt = left.schema.field(id_col).type
+    empty = pa.table(
+        {"a": pa.array([], idt), "b": pa.array([], idt), "cosine": pa.array([], pa.float64())}
+    )
+    if left.num_rows == 0 or R.num_rows == 0 or (same and left.num_rows < 2):
+        return empty
+    XL = _normalize(_embed_matrix(left, embed_col, np.float64))
+    XR = XL if same else _normalize(_embed_matrix(R, embed_col, np.float64))
+    ids_l = left.column(id_col).to_numpy(zero_copy_only=False)
+    ids_r = ids_l if same else R.column(id_col).to_numpy(zero_copy_only=False)
+    sims = XL @ XR.T
+    if same:
+        li, ri = np.triu_indices(len(XL), 1)
+        flat = sims[li, ri]
+    else:
+        flat = sims.ravel()
+    if flat.shape[0] == 0:
+        return empty
+    # candidate prune on RAW cosine: rounding moves a value by <= q/2,
+    # so every pair whose ROUNDED value ties-or-beats the k-th raw
+    # pair's rounded value has raw >= kth_raw - q — the pruned set is a
+    # superset of this task's top-k under the rounded total order
+    quantum = 10.0 ** (-nd)
+    if flat.shape[0] > k:
+        kth = np.partition(flat, flat.shape[0] - k)[flat.shape[0] - k]
+        sel = np.nonzero(flat >= kth - quantum)[0]
+    else:
+        sel = np.arange(flat.shape[0])
+    if same:
+        ai, bi = li[sel], ri[sel]
+    else:
+        ai, bi = np.divmod(sel, XR.shape[0])
+    a, b = ids_l[ai], ids_r[bi]
+    lt = a < b  # elementwise; tiles are disjoint and ids unique, never ==
+    aa, bb = np.where(lt, a, b), np.where(lt, b, a)
+    cos = pc.round(
+        pa.array(flat[sel], pa.float64()), ndigits=nd, round_mode="half_towards_infinity"
+    )
+    t = pa.table({"a": pa.array(aa, idt), "b": pa.array(bb, idt), "cosine": cos})
+    return t.sort_by(
+        [("cosine", "descending"), ("a", "ascending"), ("b", "ascending")]
+    ).slice(0, k)
+
+
+def topk_similar_pairs(
+    ds: rd.Dataset,
+    k: int,
+    *,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    tile_rows: int = 2048,
+    round_to: int = 4,
+) -> rd.Dataset:
+    """EXACT global top-``k`` most-similar pairs by cosine over an
+    embedding column — the all-pairs complement of the thresholded
+    :func:`embedding_dup_pairs` family. Output: ``(a, b, cosine)`` with
+    ``a < b``, ranked by (cosine rounded to ``round_to`` DESC, a, b) —
+    a total order both this engine and the SQL oracle realize
+    identically, so the k-boundary is deterministic.
+
+    Scale shape: all N(N-1)/2 pairs are inherently touched (this is the
+    exact path; IVF/LSH cover the approximate regime), so the job is
+    tiled — the projection is materialized into ~``tile_rows``-row
+    Arrow blocks held once in the object store, and each of the
+    T(T+1)/2 tile pairs is one Ray task reading two shared zero-copy
+    blocks and returning <= k rows. Raw tasks rather than Dataset ops
+    because a self cross-join is not expressible in Ray Data without
+    replicating every tile T times through a shuffle; the object-store
+    fan-out ships each tile once per node instead. Driver holds only
+    the T(T+1)/2 * k candidate rows (k is small by contract).
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    proj = ds.select_columns([id_col, embed_col]).materialize()
+    n = proj.count()
+    tiles = proj.repartition(max(1, math.ceil(n / tile_rows))).materialize()
+    refs = tiles.to_arrow_refs()
+    cfg = {"id_col": id_col, "embed_col": embed_col, "round_to": round_to}
+    futs = []
+    for i in range(len(refs)):
+        futs.append(_pair_tile_topk.remote(refs[i], None, k, cfg))
+        for j in range(i + 1, len(refs)):
+            futs.append(_pair_tile_topk.remote(refs[i], refs[j], k, cfg))
+    merged = pa.concat_tables(ray.get(futs)).combine_chunks()
+    out = merged.sort_by(
+        [("cosine", "descending"), ("a", "ascending"), ("b", "ascending")]
+    ).slice(0, k)
+    return rd.from_arrow(out)
+
+
 def kmeans_embeddings(
     ds: rd.Dataset,
     *,

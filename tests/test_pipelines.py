@@ -237,6 +237,36 @@ def test_embedding_dup_pairs():
     assert all(r["a"] < r["b"] for r in pairs)
 
 
+def test_topk_similar_pairs_exact_vs_numpy():
+    from fozziejoin_ray.pipelines.ann import topk_similar_pairs
+
+    M = _rand_embeddings(60, 8)
+    k = 12
+    # tile_rows=16 forces a 4-tile grid (10 tile-pair tasks)
+    got = topk_similar_pairs(emb_ds(M), k, tile_rows=16).take_all()
+    Mn = M.astype(np.float64) / np.linalg.norm(M.astype(np.float64), axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    li, ri = np.triu_indices(len(M), 1)
+    cos = sims[li, ri]
+    r = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4  # half away from zero
+    order = np.lexsort((ri, li, -r))[:k]
+    expected = [(int(li[i]), int(ri[i]), float(r[i])) for i in order]
+    assert [(g["a"], g["b"], g["cosine"]) for g in got] == expected
+    assert all(g["a"] < g["b"] for g in got)
+
+
+def test_topk_similar_pairs_k_exceeds_pairs():
+    from fozziejoin_ray.pipelines.ann import topk_similar_pairs
+
+    M = _rand_embeddings(5, 8)
+    got = topk_similar_pairs(emb_ds(M), 100, tile_rows=2).take_all()
+    assert len(got) == 10  # all 5*4/2 pairs, k clipped to available
+    import pytest
+
+    with pytest.raises(ValueError):
+        topk_similar_pairs(emb_ds(M), 0)
+
+
 def test_token_count():
     rows = {r["doc_id"]: r for r in token_count(docs_ds()).take_all()}
     assert rows["d0"]["n_tokens_ws"] == 9
