@@ -567,6 +567,16 @@ def _stratified_sample_query(sf_dir: str):
     return stratified_sample(docs, "doc_id", "lang", _STRATA, default=0.1, salt="r3")
 
 
+def _sample_group_query(sf_dir: str):
+    """Deterministic 20-row draw per language (hash-rank per-group
+    sample, pipelines/split.py:sample_per_group) — balanced per-domain
+    eval draws with an exact window-function oracle."""
+    from fozziejoin_ray.pipelines.split import sample_per_group
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return sample_per_group(docs, "doc_id", "lang", 20, salt="g1")
+
+
 def _pii_augment(t: pa.Table) -> pa.Table:
     """Inject deterministic PII spans (email/phone/ip/ssn) derived from
     doc_id so the scrubber has real work on the synthetic corpus; the
@@ -1321,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _chunk_docs_query,
         "dup_spans": _dup_spans_query,
         "sample_k": _sample_k_query,
+        "sample_group": _sample_group_query,
         "pmi_colloc": _pmi_query,
         "bm25_topk": _bm25_query,
         "heavy_hitters": _heavy_hitters_query,
@@ -1354,7 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
-        "dup_spans", "sample_k", "pmi_colloc", "bm25_topk",
+        "dup_spans", "sample_k", "sample_group", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
         "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
@@ -1547,6 +1558,16 @@ _SAMPLE_K_SQL = (
     + " AS h FROM documents ORDER BY h, doc_id LIMIT 100)"
 )
 
+# per-group analog: same mixed hash, row_number over the group partition
+# (pipelines/split.py:sample_per_group)
+_SAMPLE_GROUP_SQL = (
+    "SELECT doc_id, lang, source FROM ("
+    "SELECT doc_id, lang, source, row_number() OVER ("
+    "PARTITION BY lang ORDER BY "
+    + _rank_sql_expr("doc_id", salt="g1")
+    + ", doc_id) AS rn FROM documents) WHERE rn <= 20"
+)
+
 
 def oracle_sql() -> dict[str, str]:
     from fozziejoin_ray.pipelines.text import STOPWORDS
@@ -1672,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
         # (pipelines/split.py:split_sql_expr), evaluated inline
         "hash_split": _HASH_SPLIT_SQL,
         "sample_k": _SAMPLE_K_SQL,
+        "sample_group": _SAMPLE_GROUP_SQL,
         # per-group quantile_disc at each q, unpivoted to (lang, q, value)
         "grouped_quantiles": r"""
             WITH tc AS (SELECT lang,

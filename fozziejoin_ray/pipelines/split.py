@@ -208,6 +208,58 @@ def uniform_sample_k(
     )
 
 
+def sample_per_group(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> rd.Dataset:
+    """Deterministic sample of EXACTLY ``min(k, group size)`` rows per
+    ``group_col`` group: each group's k smallest rows under the
+    (mixed-hash(key), key) total order — the per-group analog of
+    :func:`uniform_sample_k` (same hash, same SQL mirror via
+    ``rank_sql_expr`` + ``row_number() OVER (PARTITION BY ...)``), for
+    balanced per-domain/per-language eval draws and quota inspection
+    samples. Stable across reruns, partitionings and engines; requires
+    unique keys for the order to be total.
+
+    Scale shape: each batch prunes locally to <= k candidates per group
+    present in the batch (one C++ sort + a vectorized run-position
+    mask), so the single group exchange moves <= k * num_batches rows
+    per group, never the dataset; no driver-side collection. Groups are
+    hash-partitioned by the exchange — a group with fewer than
+    k * num_batches candidate rows is never a skew hazard."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = _rank_of(t.column(key_col), salt).astype(np.int64)
+        t2 = t.append_column("__spg_h", pa.array(h))
+        if t.num_rows <= k:
+            return t2
+        srt = t2.sort_by(
+            [(group_col, "ascending"), ("__spg_h", "ascending"), (key_col, "ascending")]
+        )
+        g = srt.column(group_col).to_numpy(zero_copy_only=False)
+        codes = pd.factorize(g, use_na_sentinel=False)[0]  # runs are contiguous
+        new = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, np.int64(len(codes))])
+        pos = np.arange(len(codes)) - np.repeat(starts, lens)
+        return srt.filter(pa.array(pos < k))
+
+    def final(t: pa.Table) -> pa.Table:
+        srt = t.sort_by([("__spg_h", "ascending"), (key_col, "ascending")])
+        return srt.slice(0, k).drop_columns(["__spg_h"])
+
+    cand = ds.map_batches(prune, batch_format="pyarrow")
+    return cand.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
 def split_sql_expr(key_expr: str, ratios: dict[str, float], *, salt: str = "") -> str:
     """The DuckDB expression computing the SAME label as
     :func:`hash_split` for column/expression ``key_expr`` — used by the

@@ -87,3 +87,27 @@ def test_uniform_sample_k_null_keys():
     ds = rd.from_arrow(pa.table({"id": pa.array(keys, pa.string())}))
     out = uniform_sample_k(ds, "id", 20, salt="z").take_all()
     assert len(out) == 20  # no crash; nulls participate via their hash
+
+
+def test_sample_per_group_matches_pandas_oracle():
+    from fozziejoin_ray.pipelines.split import _rank_of, sample_per_group
+
+    ids = list(range(500))
+    grp = [f"g{i % 7}" for i in ids]
+    ds = rd.from_arrow(pa.table({"id": ids, "g": grp, "v": [i * 3 for i in ids]}))
+    got = sample_per_group(ds.repartition(5), "id", "g", 9, salt="pg").take_all()
+    # brute-force oracle: per-group 9 smallest under (rank, key)
+    h = _rank_of(ids, "pg").astype(np.int64)
+    import pandas as pd
+
+    df = pd.DataFrame({"id": ids, "g": grp, "h": h})
+    exp = df.sort_values(["h", "id"]).groupby("g").head(9)
+    assert sorted(d["id"] for d in got) == sorted(exp["id"].tolist())
+    assert len(got) == 7 * 9
+    # payload rides along; helper dropped
+    assert set(got[0]) == {"id", "g", "v"}
+    # k exceeding a group's size returns the whole group
+    small = rd.from_arrow(pa.table({"id": [1, 2, 3], "g": ["a", "a", "b"]}))
+    assert len(sample_per_group(small, "id", "g", 10).take_all()) == 3
+    with pytest.raises(ValueError, match="k must be"):
+        sample_per_group(ds, "id", "g", 0)
