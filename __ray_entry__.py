@@ -651,6 +651,28 @@ def _decontam_query(sf_dir: str):
     return out.select_columns(["doc_id", "n_hits", "contaminated"])
 
 
+def _decontam_shuffle_query(sf_dir: str):
+    """Same contamination semantics via the hash-partitioned semi-join
+    tier (pipelines/curation.py:decontaminate_shuffle, join_back=
+    "shuffle"): no benchmark broadcast, no driver-side flag routing —
+    the path for web-scale benchmarks; output (and oracle) identical to
+    decontaminate up to a 64-bit gram-hash collision."""
+    from fozziejoin_ray.pipelines.curation import decontaminate_shuffle
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    out = decontaminate_shuffle(
+        docs, bench, text_col="text", n=4, mode="flag", join_back="shuffle",
+        num_partitions=16,
+    )
+    return out.select_columns(["doc_id", "n_hits", "contaminated"])
+
+
 def _gopher_query(sf_dir: str):
     """Gopher (MassiveText) rule filter — every signal is a fixed RE2
     count the DuckDB oracle replicates verbatim; the pass flag is
@@ -1302,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _pii_scrub_query,
         "repetition_score": _repetition_query,
         "decontaminate": _decontam_query,
+        "decontaminate_shuffle": _decontam_shuffle_query,
         "token_quantiles": _token_quantiles_query,
         "pack_sequences": _pack_query,
         "gopher_rules": _gopher_query,
@@ -1365,7 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
-        "dup_spans", "sample_k", "sample_group", "pmi_colloc", "bm25_topk",
+        "dup_spans", "sample_k", "sample_group", "decontaminate_shuffle", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
         "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
@@ -2343,6 +2366,26 @@ def oracle_sql() -> dict[str, str]:
         # the doc_id % 20 == 0 benchmark slice, same ASCII tokenizer —
         # pipelines/curation.py:decontaminate
         "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(ws[i : i + 3], ' ') AS g
+              FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+              FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        # the shuffle tier computes the same contamination relation
+        # (hash-partitioned semi-join instead of broadcast): same oracle
+        "decontaminate_shuffle": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
               FROM documents

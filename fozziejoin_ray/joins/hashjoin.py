@@ -133,7 +133,13 @@ def hash_join(
                 if name in key_map and key_map[name] in t.column_names:
                     cols[name] = t[key_map[name]].cast(key_types[name])
                 elif name in t.column_names:
-                    cols[name] = t[name]
+                    col = t[name]
+                    # upstream stages can emit degraded block dtypes for
+                    # empty/all-null batches (e.g. arrow `null` from an
+                    # empty pandas block); pin every column to the
+                    # declared schema so per-partition Acero never sees
+                    # a null-typed non-key field
+                    cols[name] = col if col.type == typ else col.cast(typ)
                 else:
                     cols[name] = pa.nulls(n, type=typ)
             keys = [
@@ -167,6 +173,15 @@ def hash_join(
     right_only = not left_in_out  # right_semi / right_anti emit right cols
 
     def join_part(t: pa.Table) -> pa.Table:
+        # Ray's sort shuffle can degrade an all-null int64 column to
+        # arrow `null` type when a partition holds rows from ONE side
+        # only (observed at num_partitions > distinct-key spread); pin
+        # the unified schema before Acero sees the table — it rejects
+        # null-typed non-key fields
+        for name, typ in all_fields:
+            i = t.schema.get_field_index(name)
+            if t.schema.field(i).type != typ:
+                t = t.set_column(i, name, t[name].cast(typ))
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).select(lcols)
         rt = t.filter(pa.array(side == 1)).select(lkeys + rcols)

@@ -382,6 +382,148 @@ def decontaminate(
     )
 
 
+def decontaminate_shuffle(
+    docs: rd.Dataset,
+    benchmark: rd.Dataset,
+    *,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    mode: str = "flag",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    join_back: str = "broadcast",
+) -> rd.Dataset:
+    """Benchmark decontamination WITHOUT broadcasting the benchmark —
+    the hash-partitioned semi-join tier :func:`decontaminate`'s
+    docstring reserves for benchmark gram sets that strain the object
+    store. Same semantics and output schema as
+    ``decontaminate(hash_grams=True)``: ``n_hits`` counts a document's
+    DISTINCT word ``n``-grams whose 64-bit siphash also occurs in the
+    benchmark (a false flag needs a hash collision, ~G^2/2^64).
+
+    Scale shape: both sides reduce per batch to distinct gram hashes
+    ((id, hash) pairs on the corpus side), then ONE grace semi-join
+    partitioned by gram hash matches each shard of the corpus against
+    only its shard of the benchmark — no full benchmark copy exists on
+    any node — and a combiner groupby counts hits per document.
+    ``join_back="broadcast"`` re-attaches flags via one ``ray.put`` of
+    the contaminated (id, n_hits) rows — bounded by the contaminated
+    subset, the usual case; ``join_back="shuffle"`` uses the grace
+    outer/anti join instead and never routes flags through the driver
+    (for when contamination itself is web-scale)."""
+    import ray
+
+    from ..joins.hashjoin import hash_join
+    from .stats import group_aggregate
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if join_back not in ("broadcast", "shuffle"):
+        raise ValueError(f"join_back must be 'broadcast' or 'shuffle', got {join_back!r}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bcol = text_col if bench_text_col is None else bench_text_col
+
+    def doc_pairs(t: pa.Table) -> pa.Table:
+        parents, grams = _doc_grams(t, text_col, n)
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        if len(grams):
+            dp, dg = _distinct_parent_grams(parents, grams)
+            gh = _gram_hashes(dg).view(np.int64)
+            ids = idc.take(pa.array(dp))
+        else:
+            gh = np.empty(0, np.int64)
+            ids = idc.slice(0, 0)
+        return pa.table({id_col: ids, "__gh": pa.array(gh)})
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        _, g = _doc_grams(t, bcol, n)
+        gh = (
+            np.unique(_gram_hashes(np.unique(g))).view(np.int64)
+            if len(g)
+            else np.empty(0, np.int64)
+        )
+        return pa.table({"__bh": pa.array(gh)})
+
+    dsch = docs.schema()
+    if dsch is None:
+        raise ValueError("docs has no observable schema (empty dataset)")
+    idt = dict(zip(dsch.names, dsch.types))[id_col]
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        doc_pairs, batch_format="pyarrow"
+    )
+    bench = benchmark.select_columns([bcol]).map_batches(
+        bench_hashes, batch_format="pyarrow"
+    )
+    # explicit schemas: a clean corpus / empty benchmark leaves a side
+    # with only empty blocks, whose schema Ray cannot observe
+    hit_pairs = hash_join(
+        pairs, bench, "__gh", "__bh", how="left_semi", num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, idt), ("__gh", pa.int64())]),
+        right_schema=pa.schema([("__bh", pa.int64())]),
+    )
+    hits = group_aggregate(
+        hit_pairs, [id_col], {"n_hits": ("count", "*")}, num_partitions=num_partitions
+    )
+
+    if join_back == "shuffle":
+        # hits can be all-empty-blocks (clean corpus): give the join an
+        # explicit right schema so it never depends on observing one
+        hschema = pa.schema([(id_col, idt), ("n_hits", pa.int64())])
+        if mode == "drop":
+            return hash_join(
+                docs, hits, id_col, id_col, how="left_anti",
+                num_partitions=num_partitions, right_schema=hschema,
+            )
+        joined = hash_join(
+            docs, hits, id_col, id_col, how="left_outer",
+            num_partitions=num_partitions, right_schema=hschema,
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            nh = pc.fill_null(t["n_hits"], 0)
+            i = t.column_names.index("n_hits")
+            return t.set_column(i, "n_hits", nh).append_column(
+                "contaminated", pc.greater(nh, 0)
+            )
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
+    # broadcast join-back: only contaminated (id, n_hits) rows cross the
+    # driver — document the bound, mirroring remove_dup_spans' pattern
+    parts = list(hits.iter_batches(batch_size=None, batch_format="pyarrow"))
+    ht = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({id_col: pa.array([], idt), "n_hits": pa.array([], pa.int64())})
+    )
+    href = ray.put(ht)
+
+    class _Annotate:
+        def __init__(self):
+            import pandas as pd
+
+            h = ray.get(href)
+            self.idx = pd.Index(h[id_col].to_numpy(zero_copy_only=False))
+            self.nh = h["n_hits"].to_numpy(zero_copy_only=False)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(self.nh) == 0:
+                nh = np.zeros(t.num_rows, np.int64)
+            else:
+                loc = self.idx.get_indexer(t[id_col].to_numpy(zero_copy_only=False))
+                nh = np.where(loc >= 0, self.nh[np.maximum(loc, 0)], 0).astype(np.int64)
+            if mode == "drop":
+                return t.filter(pa.array(nh == 0))
+            return t.append_column("n_hits", pa.array(nh)).append_column(
+                "contaminated", pa.array(nh > 0)
+            )
+
+    return docs.map_batches(_Annotate, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
 def dup_ngram_frac(
     ds: rd.Dataset,
     *,

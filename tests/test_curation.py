@@ -417,3 +417,48 @@ def test_remove_dup_spans():
         assert out[i]["n_removed"] == len(tk) - len(kept)
     with pytest.raises(ValueError, match="min_count"):
         remove_dup_spans(ds, n=5, min_count=1)
+
+
+def test_decontaminate_shuffle_matches_broadcast():
+    from fozziejoin_ray.pipelines.curation import decontaminate, decontaminate_shuffle
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "a completely different document entirely here",
+        "quick brown fox jumps twice quick brown fox jumps",
+        "",
+        None,
+    ]
+    bench = ["we saw the quick brown fox jumps away", "unrelated benchmark text"]
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(len(corpus))), "text": corpus}))
+    b = rd.from_arrow(pa.table({"text": bench}))
+
+    ref = sorted(
+        decontaminate(docs, b, text_col="text", n=4, mode="flag").take_all(),
+        key=lambda d: d["doc_id"],
+    )
+    for jb in ("broadcast", "shuffle"):
+        got = sorted(
+            decontaminate_shuffle(
+                docs, b, text_col="text", n=4, mode="flag", join_back=jb,
+                num_partitions=8,
+            ).take_all(),
+            key=lambda d: d["doc_id"],
+        )
+        assert got == ref, jb
+
+    kept = decontaminate_shuffle(
+        docs, b, text_col="text", n=4, mode="drop", join_back="shuffle"
+    ).take_all()
+    assert sorted(d["doc_id"] for d in kept) == [1, 3, 4]
+
+    # empty benchmark: every doc clean on both join-back paths
+    empty_b = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    for jb in ("broadcast", "shuffle"):
+        out = decontaminate_shuffle(docs, empty_b, n=2, join_back=jb).take_all()
+        assert all(not d["contaminated"] for d in out) and len(out) == 5
+
+    with pytest.raises(ValueError):
+        decontaminate_shuffle(docs, b, mode="nope")
+    with pytest.raises(ValueError):
+        decontaminate_shuffle(docs, b, join_back="nope")

@@ -201,3 +201,26 @@ def test_hash_join_collision_and_empty():
     sch = pa.schema([("rk", pa.int64()), ("w", pa.string())])
     out = hash_join(l, empty, "k", "rk", how="left_outer", right_schema=sch).take_all()
     assert out == [{"k": 1, "v": "a", "w": None}]
+
+
+def test_left_outer_sparse_right_many_partitions():
+    """Regression: with num_partitions much larger than the right side's
+    key spread, whole partitions hold left rows only and Ray's sort
+    shuffle degraded the all-null right column to arrow `null` type,
+    which Acero rejects; join_part must pin the unified schema."""
+    import pandas as pd
+
+    from fozziejoin_ray.joins.hashjoin import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(range(200), pa.int64()), "lv": pa.array(range(200), pa.int64())})
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([5, 7], pa.int64()), "n_hits": pa.array([1, 2], pa.int64())})
+    )
+    out = hash_join(left, right, "k", "rk", how="left_outer", num_partitions=64)
+    df = pd.DataFrame(out.take_all()).sort_values("k").reset_index(drop=True)
+    assert len(df) == 200
+    assert df.loc[df.k == 5, "n_hits"].iloc[0] == 1
+    assert df.loc[df.k == 7, "n_hits"].iloc[0] == 2
+    assert df.n_hits.isna().sum() == 198
