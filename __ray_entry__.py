@@ -514,6 +514,17 @@ def _ann_ivf_query(sf_dir: str):
 # ----------------------------------------------------------------- text ops
 
 
+def _semdedup_query(sf_dir: str):
+    """SemDeDup (kmeans blocking + within-cluster cosine components,
+    pipelines/ann.py:semdedup). Rows-only by design: iterative k-means
+    is not SQL-expressible; pytest verifies the per-cluster dedup
+    against a brute NumPy reference on the same assignments."""
+    from fozziejoin_ray.pipelines.ann import semdedup
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(emb, n_clusters=8, iters=3, seed=11, threshold=0.9)
+
+
 def _token_count_query(sf_dir: str):
     from fozziejoin_ray.pipelines.text import token_count
 
@@ -1313,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _ann_ivf_query,
         "ann_ivf_exhaustive": _ann_ivf_exhaustive_query,
         "kmeans_clusters": _kmeans_query,
+        "semdedup": _semdedup_query,
         # text analysis
         "token_count": _token_count_query,
         "quality_score": _quality_query,
@@ -1399,7 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_int_any", "regex_inner", "cluster_words",
         "dedup_minhash",
     ]
-    rows_only_last = ["ann_ivf", "kmeans_clusters", "cms_heavy_hitters"]
+    rows_only_last = ["ann_ivf", "kmeans_clusters", "cms_heavy_hitters", "semdedup"]
     ordered = {k: qs[k] for k in priority}
     ordered.update({k: v for k, v in qs.items() if k not in ordered and k not in rows_only_last})
     ordered.update({k: qs[k] for k in rows_only_last})

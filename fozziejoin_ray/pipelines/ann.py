@@ -532,6 +532,7 @@ def kmeans_embeddings(
     k: int = 8,
     iters: int = 5,
     seed: int = 42,
+    return_centroids: bool = False,
 ) -> rd.Dataset:
     """Distributed Lloyd's k-means over an embedding column: the
     canonical iterative broadcast-partial algorithm (and the proper
@@ -629,4 +630,111 @@ def kmeans_embeddings(
             }
         )
 
-    return ds.map_batches(assign, batch_format="pyarrow")
+    out = ds.map_batches(assign, batch_format="pyarrow")
+    if return_centroids:
+        return out, cents  # (assignments, (k, dim) float64 array)
+    return out
+
+
+def _local_components(n: int, li: np.ndarray, ri: np.ndarray) -> np.ndarray:
+    """Connected-component label (min member index) per node 0..n-1 given
+    undirected edges (li, ri) — vectorized min-label propagation to
+    fixpoint, no per-edge Python."""
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        m = np.minimum(lab[li], lab[ri])
+        before = lab.copy()
+        np.minimum.at(lab, li, m)
+        np.minimum.at(lab, ri, m)
+        lab = lab[lab]  # pointer-jump: compress one level per round
+        if np.array_equal(lab, before):
+            return lab
+
+
+def semdedup(
+    ds: rd.Dataset,
+    *,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+    threshold: float = 0.95,
+    dtype=np.float64,
+) -> rd.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    over the embedding column, then WITHIN each cluster drop all but one
+    member of every near-duplicate group (cosine >= ``threshold``
+    connected components; the kept member is the min id — deterministic,
+    where the paper keeps a random/centroid-farthest one). Output:
+    ``(id_col, cluster, dup_group, keep)`` for every input row, with
+    ``dup_group`` the component's min id and ``keep`` true on the one
+    retained row per group (singletons keep themselves).
+
+    Scale shape: clustering is the streamed Lloyd's pass
+    (:func:`kmeans_embeddings` — broadcast centroids, k x batches
+    partial rows); the dedup is ONE cluster-keyed exchange and a
+    per-cluster chunked gram matrix + vectorized min-label components —
+    the cluster IS the blocking key, which is the point of SemDeDup:
+    only same-cluster pairs are ever scored. A skewed/giant cluster
+    bounds memory via the chunked gram but stays O(|c|^2) compute —
+    raise ``n_clusters`` to shrink clusters (the paper runs k ~ sqrt(N)).
+    No SQL oracle (iterative k-means is not SQL-expressible); pytest
+    verifies the per-cluster dedup against a brute NumPy reference on
+    the same assignments."""
+    assigned, cents = kmeans_embeddings(
+        ds, embed_col=embed_col, id_col=id_col, k=n_clusters, iters=iters,
+        seed=seed, return_centroids=True,
+    )
+    del assigned  # the in-batch re-assignment below carries the vectors too
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _embed_matrix(t, embed_col, dtype=np.float64)
+        d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        a = np.argmin(d2, axis=1)
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        emb = t[embed_col].combine_chunks() if isinstance(t[embed_col], pa.ChunkedArray) else t[embed_col]
+        return pa.table(
+            {id_col: idc, "cluster": pa.array(a.astype(np.int64)), embed_col: emb}
+        )
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")  # min-label == min id
+        t = t.take(pa.array(order))
+        ids = ids[order]
+        X = _normalize(_embed_matrix(t, embed_col, dtype))
+        n = len(X)
+        lis, ris = [], []
+        chunk = max(1, 8_000_000 // max(1, n))
+        for s in range(0, n, chunk):
+            sims = X[s : s + chunk] @ X.T
+            li, ri = np.nonzero(sims >= threshold)
+            m = (li + s) < ri  # upper triangle only
+            if m.any():
+                lis.append(li[m] + s)
+                ris.append(ri[m])
+        if lis:
+            lab = _local_components(n, np.concatenate(lis), np.concatenate(ris))
+        else:
+            lab = np.arange(n, dtype=np.int64)
+        grp = ids[lab]
+        keep = lab == np.arange(n)
+        idt = t.schema.field(id_col).type
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": t["cluster"],
+                "dup_group": pa.array(grp, idt),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, embed_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )

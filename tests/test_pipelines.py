@@ -771,3 +771,49 @@ def test_ivf_topk_with_trained_centroids():
         )
 
     assert canon(got.take_all()) == canon(exact.take_all())
+
+
+def test_semdedup_matches_bruteforce_per_cluster():
+    from fozziejoin_ray.pipelines.ann import kmeans_embeddings, semdedup
+
+    M = _rand_embeddings(80, 8, seed=7)
+    M[2] = M[0] * 1.5  # exact-direction dup of 0
+    M[11] = M[10] + 0.001 * M[3]  # near-dup of 10
+    ds = emb_ds(M)
+    got = sorted(
+        semdedup(ds, n_clusters=4, iters=3, seed=1, threshold=0.97).take_all(),
+        key=lambda d: d["vec_id"],
+    )
+    assert len(got) == len(M)
+    # brute reference on the SAME assignments
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_embeddings(ds, k=4, iters=3, seed=1).take_all()
+    }
+    Mn = M.astype(np.float64) / np.linalg.norm(M.astype(np.float64), axis=1, keepdims=True)
+    exp_group = {}
+    for c in set(assigned.values()):
+        ids = sorted(i for i, cc in assigned.items() if cc == c)
+        lab = {i: i for i in ids}
+        changed = True
+        while changed:  # tiny brute CC
+            changed = False
+            for x in ids:
+                for y in ids:
+                    if x < y and float(Mn[x] @ Mn[y]) >= 0.97:
+                        m = min(lab[x], lab[y])
+                        if lab[x] != m or lab[y] != m:
+                            lab[x] = lab[y] = m
+                            changed = True
+        # propagate to fixpoint
+        for _ in ids:
+            lab = {i: lab[lab[i]] for i in ids}
+        exp_group.update(lab)
+    for r in got:
+        assert r["cluster"] == assigned[r["vec_id"]]
+        assert r["dup_group"] == exp_group[r["vec_id"]], r
+        assert r["keep"] == (r["dup_group"] == r["vec_id"])
+    # the planted dups are grouped (same cluster => same group)
+    by_id = {r["vec_id"]: r for r in got}
+    if by_id[0]["cluster"] == by_id[2]["cluster"]:
+        assert by_id[2]["dup_group"] == 0 and not by_id[2]["keep"]
