@@ -514,6 +514,30 @@ def _ann_ivf_query(sf_dir: str):
 # ----------------------------------------------------------------- text ops
 
 
+def _count_distinct_query(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): distinct parts and suppliers
+    shipped per returnflag (pipelines/stats.py:group_count_distinct —
+    pair-hash exchange of DISTINCT tuples, additive per-partition
+    counts)."""
+    from fozziejoin_ray.pipelines.stats import group_count_distinct
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    return group_count_distinct(
+        li, ["l_returnflag"], "l_partkey", out_col="n_parts", num_partitions=16
+    )
+
+
+def _hll_distinct_query(sf_dir: str):
+    """HyperLogLog distinct users over the event stream
+    (pipelines/sketch.py:hll_count_distinct). Rows-only by design (the
+    sketch is the point); pytest pins the error bound and the
+    linear-counting regime."""
+    from fozziejoin_ray.pipelines.sketch import hll_count_distinct
+
+    ev = _t(sf_dir, "events", ["user_id"])
+    return hll_count_distinct(ev, "user_id")
+
+
 def _semdedup_query(sf_dir: str):
     """SemDeDup (kmeans blocking + within-cluster cosine components,
     pipelines/ann.py:semdedup). Rows-only by design: iterative k-means
@@ -1325,6 +1349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": _ann_ivf_exhaustive_query,
         "kmeans_clusters": _kmeans_query,
         "semdedup": _semdedup_query,
+        "count_distinct": _count_distinct_query,
+        "hll_distinct": _hll_distinct_query,
         # text analysis
         "token_count": _token_count_query,
         "quality_score": _quality_query,
@@ -1400,7 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
-        "dup_spans", "sample_k", "sample_group", "decontaminate_shuffle", "pmi_colloc", "bm25_topk",
+        "dup_spans", "sample_k", "sample_group", "decontaminate_shuffle", "count_distinct", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
         "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
@@ -1411,7 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_int_any", "regex_inner", "cluster_words",
         "dedup_minhash",
     ]
-    rows_only_last = ["ann_ivf", "kmeans_clusters", "cms_heavy_hitters", "semdedup"]
+    rows_only_last = ["ann_ivf", "kmeans_clusters", "cms_heavy_hitters", "semdedup", "hll_distinct"]
     ordered = {k: qs[k] for k in priority}
     ordered.update({k: v for k, v in qs.items() if k not in ordered and k not in rows_only_last})
     ordered.update({k: qs[k] for k in rows_only_last})
@@ -1728,6 +1754,10 @@ def oracle_sql() -> dict[str, str]:
         # (pipelines/split.py:split_sql_expr), evaluated inline
         "hash_split": _HASH_SPLIT_SQL,
         "sample_k": _SAMPLE_K_SQL,
+        # exact per-group distinct counting — stats.py:group_count_distinct
+        "count_distinct": """
+            SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag""",
         "sample_group": _SAMPLE_GROUP_SQL,
         # per-group quantile_disc at each q, unpivoted to (lang, q, value)
         "grouped_quantiles": r"""

@@ -168,3 +168,89 @@ def cms_heavy_hitters(
             "n_est": pa.array(est[order], pa.int64()),
         }
     )
+
+
+def hll_count_distinct(
+    ds: rd.Dataset,
+    col: str,
+    *,
+    p: int = 12,
+) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT ``col``) via HyperLogLog (Flajolet et
+    al. 2007) — the sketch sibling of
+    :func:`fozziejoin_ray.pipelines.stats.group_count_distinct`, for
+    key spaces too large to exchange even as distinct pairs (URLs, raw
+    n-grams, user ids at web scale). ``m = 2**p`` registers; standard
+    error ~ ``1.04/sqrt(m)`` (~1.6% at the default p=12). Deterministic:
+    the value hash is the fixed-key siphash used engine-wide, so the
+    estimate is a pure function of the data. Uses linear counting below
+    the classic ``2.5m`` small-range threshold (near-exact there).
+
+    Scale shape: every batch reduces to ONE m-byte register row
+    (vectorized: top-``p`` hash bits index the register, the rank is
+    the leading-zero count of the remaining ``64-p`` bits — exact in
+    float64 for p >= 11 since 64-p <= 53); rows tree-merge by
+    elementwise MAX (the defining HLL property) in ``map_batches``
+    levels of 64, and the driver folds the few survivors. Output: one
+    row ``(n_distinct, n_exact_registers...)``: the rounded estimate
+    plus the sketch parameters for auditability. No SQL oracle (the
+    sketch is the point); pytest pins the error bound on large
+    cardinalities and near-exactness in the linear-counting regime."""
+    import pandas as pd
+
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    wbits = 64 - p  # <= 53 for p >= 11; np.frexp is exact up to 2^53
+    if wbits > 53:
+        raise ValueError(f"p={p} leaves {wbits} rank bits > float64 mantissa; use p >= 11")
+    mask = np.uint64((1 << wbits) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(vals), categorize=False)
+        # drop nulls AFTER hashing is wrong (hash(None) is a value);
+        # mask them out first, SQL COUNT(DISTINCT) semantics
+        valid = ~pd.isna(vals)
+        h = h[valid]
+        reg = np.zeros(m, dtype=np.uint8)
+        if len(h):
+            idx = (h >> shift).astype(np.int64)
+            w = (h & mask).astype(np.uint64)
+            _, e = np.frexp(w.astype(np.float64))
+            rank = np.where(w > 0, wbits - e + 1, wbits + 1).astype(np.uint8)
+            np.maximum.at(reg, idx, rank)
+        return pa.table({"reg": pa.array([reg])})
+
+    def merge_rows(t: pa.Table) -> pa.Table:
+        rs = t["reg"].combine_chunks()
+        merged = (
+            rs.flatten().to_numpy(zero_copy_only=False).reshape(-1, m).max(axis=0)
+        ).astype(np.uint8)
+        return pa.table({"reg": pa.array([merged])})
+
+    reduced = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(merge_rows, batch_format="pyarrow", batch_size=64)
+    )
+    reg = np.zeros(m, dtype=np.uint8)
+    for bt in reduced.iter_batches(batch_size=None, batch_format="pyarrow"):
+        part = bt["reg"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        reg = np.maximum(reg, part.reshape(-1, m).max(axis=0).astype(np.uint8))
+
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting (small range)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_distinct": pa.array([int(round(est))], pa.int64()),
+                "p": pa.array([p], pa.int64()),
+                "zero_registers": pa.array([zeros], pa.int64()),
+            }
+        )
+    )

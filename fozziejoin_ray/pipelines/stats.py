@@ -291,3 +291,54 @@ def grouped_quantiles(
         .groupby("__kp")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def group_count_distinct(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    *,
+    out_col: str = "n_distinct",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """EXACT ``COUNT(DISTINCT col)`` per key tuple — the aggregate
+    :func:`group_aggregate` cannot express with one-row-per-key
+    partials (distinctness is a property of the pair set, not a
+    mergeable scalar). SQL semantics: NULL ``col`` values are ignored;
+    NULL keys form their own group.
+
+    Scale shape: each batch first reduces to its DISTINCT
+    (keys..., col) tuples, then ONE exchange partitions those by the
+    hash of the FULL tuple — a given pair lands in exactly one
+    partition, so the per-partition dedup + per-key counts are globally
+    additive — and a second tiny exchange sums at most
+    ``num_partitions`` count rows per key. Nothing driver-side; the
+    wide exchange moves distinct pairs, never input rows. For pair sets
+    too large even for that, :func:`fozziejoin_ray.pipelines.sketch.
+    hll_count_distinct` is the sketch sibling."""
+    import pandas as pd
+
+    if not keys:
+        raise ValueError("keys must name at least one grouping column")
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[keys + [col]].dropna(subset=[col]).drop_duplicates()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        df = df.copy()
+        df["__cd"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return df
+
+    def count_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop(columns=["__cd"]).drop_duplicates()
+        g = df.groupby(keys, sort=False, dropna=False).size()
+        return g.rename(out_col).reset_index()
+
+    part = (
+        ds.select_columns(list(dict.fromkeys(keys + [col])))
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__cd")
+        .map_groups(count_part, batch_format="pandas")
+    )
+    return group_aggregate(
+        part, keys, {out_col: ("sum", out_col)}, num_partitions=num_partitions
+    )

@@ -190,3 +190,64 @@ def test_heavy_hitters_exact_and_cms():
     assert all(est - truth[tok] <= 2 * sum(truth.values()) // 4096 for tok, est in got)
     with pytest.raises(ValueError, match=">= 1"):
         cms_heavy_hitters(ds, top_k=0)
+
+
+def test_group_count_distinct_vs_pandas():
+    import pandas as pd
+
+    from fozziejoin_ray.pipelines.stats import group_count_distinct
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", None], n),
+            "v": rng.randint(0, 80, n).astype(float),
+        }
+    )
+    df.loc[rng.choice(n, 100, replace=False), "v"] = np.nan  # nulls ignored
+    ds = rd.from_pandas(df).repartition(6)
+    got = (
+        group_count_distinct(ds, ["g"], "v", out_col="nd", num_partitions=8)
+        .to_pandas()
+        .sort_values("g", na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.dropna(subset=["v"])
+        .groupby("g", dropna=False)["v"]
+        .nunique()
+        .rename("nd")
+        .reset_index()
+        .sort_values("g", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got["nd"].astype(int).tolist() == exp["nd"].astype(int).tolist()
+    assert got["g"].fillna("<null>").tolist() == exp["g"].fillna("<null>").tolist()
+    with pytest.raises(ValueError):
+        group_count_distinct(ds, [], "v")
+
+
+def test_hll_count_distinct_bounds():
+    from fozziejoin_ray.pipelines.sketch import hll_count_distinct
+
+    # large cardinality: within 5% (standard error ~1.6% at p=12)
+    n, true = 120_000, 30_000
+    ds = rd.from_arrow(
+        pa.table({"v": pa.array([f"u{i % true}" for i in range(n)])})
+    ).repartition(8)
+    est = hll_count_distinct(ds, "v").take_all()[0]["n_distinct"]
+    assert abs(est - true) / true < 0.05, est
+    # linear-counting regime: near-exact
+    small = rd.from_arrow(pa.table({"v": [f"k{i % 200}" for i in range(4000)]}))
+    est2 = hll_count_distinct(small, "v").take_all()[0]["n_distinct"]
+    assert abs(est2 - 200) <= 4, est2
+    # nulls ignored; partition-invariant (pure function of the value set)
+    withnull = rd.from_arrow(pa.table({"v": pa.array(["a", "b", None, "a"])}))
+    assert hll_count_distinct(withnull, "v").take_all()[0]["n_distinct"] == 2
+    est3 = hll_count_distinct(small.repartition(7), "v").take_all()[0]["n_distinct"]
+    assert est3 == est2
+    with pytest.raises(ValueError):
+        hll_count_distinct(small, "v", p=3)
+    with pytest.raises(ValueError):
+        hll_count_distinct(small, "v", p=10)  # rank bits exceed f64 mantissa
