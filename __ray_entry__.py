@@ -514,6 +514,28 @@ def _ann_ivf_query(sf_dir: str):
 # ----------------------------------------------------------------- text ops
 
 
+def _cross_neardup_query(sf_dir: str):
+    """Cross-corpus near-dup sweep: even-id docs vs odd-id docs at
+    exact jaccard >= 0.5 (pipelines/dedup.py:cross_neardup_pairs).
+    Precision exact (verified jaccard); the oracle match additionally
+    evidences LSH recall 1.0 on this corpus (64 perm / 32 bands,
+    candidate probability 0.9999 at the 0.5 boundary, ~1 above)."""
+    from fozziejoin_ray.pipelines.dedup import cross_neardup_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(par):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == par))
+
+        return fn
+
+    L = docs.map_batches(side(0), batch_format="pyarrow")
+    R = docs.map_batches(side(1), batch_format="pyarrow")
+    return cross_neardup_pairs(L, R, threshold=0.5, num_partitions=16)
+
+
 def _count_distinct_query(sf_dir: str):
     """Exact per-group COUNT(DISTINCT): distinct parts and suppliers
     shipped per returnflag (pipelines/stats.py:group_count_distinct —
@@ -1350,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _kmeans_query,
         "semdedup": _semdedup_query,
         "count_distinct": _count_distinct_query,
+        "cross_neardup": _cross_neardup_query,
         "hll_distinct": _hll_distinct_query,
         # text analysis
         "token_count": _token_count_query,
@@ -1426,7 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
-        "dup_spans", "sample_k", "sample_group", "decontaminate_shuffle", "count_distinct", "pmi_colloc", "bm25_topk",
+        "dup_spans", "sample_k", "sample_group", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
         "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
@@ -2450,6 +2473,28 @@ def oracle_sql() -> dict[str, str]:
         # (injective on this corpus), recursive-CTE connected components
         # with min-id labels matches cluster/union_find.py semantics
         "dedup_ngram_jaccard": _jaccard_cc_sql(0.6),
+        # two-table near-dup pairs over the same exact shingle jaccard
+        # (dedup.py:cross_neardup_pairs; even ids vs odd ids)
+        "cross_neardup": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, substr(text, CAST(i AS INT), 5) AS g
+                FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+                      FROM documents WHERE length(text) >= 5)
+                UNION ALL
+                SELECT doc_id, text AS g FROM documents
+                WHERE length(text) > 0 AND length(text) < 5
+              )
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            it AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.g = b.g
+                   WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                   GROUP BY a.doc_id, b.doc_id)
+            SELECT it.a AS a, it.b AS b,
+                   ROUND(CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i), 6) AS score
+            FROM it JOIN sz sa ON sa.doc_id = it.a JOIN sz sb ON sb.doc_id = it.b
+            WHERE CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i) >= 0.5""",
         # minhash_lsh_dedup verifies every LSH candidate with the SAME
         # exact set-jaccard (dedup.py:jaccard_sets over char_shingles),
         # so its output equals the exact-jaccard components whenever LSH

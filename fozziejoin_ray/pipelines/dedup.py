@@ -2020,3 +2020,69 @@ def dedup_paragraphs(
         .groupby("__dp")
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+def cross_neardup_pairs(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    right_text_col: str | None = None,
+    right_id_col: str | None = None,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 32,
+    seed: int = 13,
+    num_partitions: int = 64,
+    max_bucket: int = 4096,
+    tile_bucket: int | None = None,
+) -> rd.Dataset:
+    """Cross-corpus near-duplicate detection: every (left doc, right
+    doc) pair with exact char-``shingle_k``-gram set-Jaccard >=
+    ``threshold`` — the two-table form of :func:`minhash_lsh_dedup`'s
+    candidate machinery, for contamination sweeps of a training corpus
+    against an eval corpus (or release N against release N-1) where a
+    self-dedup of the union would waste the within-side pairs. Output:
+    ``(a, b, score)`` with ``a`` from the left table, ``b`` from the
+    right, each surviving pair exactly once; ``score`` is the exact
+    verified jaccard (rounded to 6), so precision is exact and recall
+    is the banded-LSH recall (``1-(1-j^r)^bands``, r = num_perm/bands —
+    ~0.9999 at j = 0.5 with the 64/32 defaults, ~1.0 above).
+
+    Scale shape: identical to the fused self-dedup path — band
+    emissions carry (bucket, id, text), one bucket-hash exchange,
+    in-partition cross-side pair expansion with the size-bound
+    prefilter, first-agreeing-band ownership for exactly-once pairs;
+    no driver-side state, both sides stream."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    edges = lsh_fused_edges(
+        left,
+        text_col,
+        id_col,
+        jaccard_score_fn(shingle_k, threshold),
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        num_partitions=num_partitions,
+        max_bucket=max_bucket,
+        tile_bucket=tile_bucket,
+        prefilter=JaccardSizeBoundFilter(threshold),
+        right=right,
+        right_text_col=right_text_col or text_col,
+        right_id_col=right_id_col or id_col,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.column_names.index("score"),
+            "score",
+            pc.round(t["score"], ndigits=6, round_mode="half_towards_infinity"),
+        )
+
+    return edges.map_batches(finish, batch_format="pyarrow")

@@ -817,3 +817,37 @@ def test_semdedup_matches_bruteforce_per_cluster():
     by_id = {r["vec_id"]: r for r in got}
     if by_id[0]["cluster"] == by_id[2]["cluster"]:
         assert by_id[2]["dup_group"] == 0 and not by_id[2]["keep"]
+
+
+def test_cross_neardup_pairs_vs_brute():
+    from fozziejoin_ray.pipelines.dedup import cross_neardup_pairs
+
+    left_texts = TEXTS
+    right_texts = [
+        "the quick brown fox jumps over the lazy dog",  # dup of left d0/d5
+        "nothing like anything on the left side at all",
+        "data processing pipelines shuffle blocks with backpressure!",  # near-dup of d7
+    ]
+    L = docs_ds()
+    R = rd.from_arrow(
+        pa.table({"doc_id": [f"r{i}" for i in range(len(right_texts))], "text": right_texts})
+    )
+    got = sorted(
+        (r["a"], r["b"], round(r["score"], 6))
+        for r in cross_neardup_pairs(
+            L, R, threshold=0.5, num_partitions=4
+        ).take_all()
+    )
+    # brute reference: exact shingle jaccard on the cross product
+    exp = []
+    for i, lt in enumerate(left_texts):
+        for j, rt in enumerate(right_texts):
+            s = jaccard_sets(char_shingles(lt, 5), char_shingles(rt, 5))
+            if s >= 0.5:
+                exp.append((f"d{i}", f"r{j}", round(s, 6)))
+    assert got == sorted(exp) and got  # non-trivial: planted dups found
+    assert all(a.startswith("d") and b.startswith("r") for a, b, _ in got)
+    import pytest
+
+    with pytest.raises(ValueError):
+        cross_neardup_pairs(L, R, threshold=0.0)
