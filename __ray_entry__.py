@@ -634,6 +634,23 @@ def _sample_group_query(sf_dir: str):
     return sample_per_group(docs, "doc_id", "lang", 20, salt="g1")
 
 
+def _weighted_sample_query(sf_dir: str):
+    """Quality-weighted Bernoulli downsampling: each doc kept with
+    probability (n_chars %% 97)/96 (pipelines/split.py:weighted_sample
+    — per-row hash filter, zero shuffle, shared bucket primitive)."""
+    from fozziejoin_ray.pipelines.split import weighted_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def addw(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        return t.append_column("w", pa.array((nc % 97).astype(np.float64) / 96.0))
+
+    return weighted_sample(
+        docs.map_batches(addw, batch_format="pyarrow"), "doc_id", "w", salt="ws"
+    )
+
+
 def _pii_augment(t: pa.Table) -> pa.Table:
     """Inject deterministic PII spans (email/phone/ip/ssn) derived from
     doc_id so the scrubber has real work on the synthetic corpus; the
@@ -1416,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _dup_spans_query,
         "sample_k": _sample_k_query,
         "sample_group": _sample_group_query,
+        "weighted_sample": _weighted_sample_query,
         "pmi_colloc": _pmi_query,
         "bm25_topk": _bm25_query,
         "heavy_hitters": _heavy_hitters_query,
@@ -1449,7 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
-        "dup_spans", "sample_k", "sample_group", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pmi_colloc", "bm25_topk",
+        "dup_spans", "sample_k", "sample_group", "weighted_sample", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
         "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
@@ -1627,6 +1645,7 @@ from fozziejoin_ray.pipelines.pack import pack_sequences_sql as _pack_sequences_
 from fozziejoin_ray.pipelines.curation import (
     stratified_sample_sql_where as _stratified_sample_sql_where,
 )
+from fozziejoin_ray.pipelines.split import bucket_sql_expr as _bucket_sql_expr
 from fozziejoin_ray.pipelines.split import rank_sql_expr as _rank_sql_expr
 from fozziejoin_ray.pipelines.split import split_sql_expr as _split_sql_expr
 
@@ -1644,6 +1663,14 @@ _SAMPLE_K_SQL = (
 
 # per-group analog: same mixed hash, row_number over the group partition
 # (pipelines/split.py:sample_per_group)
+# per-row Bernoulli keep: same bucket primitive, weight column mirror
+# (pipelines/split.py:weighted_sample)
+_WEIGHTED_SAMPLE_SQL = (
+    "SELECT doc_id, n_chars, (n_chars % 97) / 96.0 AS w FROM documents WHERE "
+    + _bucket_sql_expr("doc_id", salt="ws")
+    + " < LEAST(GREATEST((n_chars % 97) / 96.0, 0), 1) * 10000"
+)
+
 _SAMPLE_GROUP_SQL = (
     "SELECT doc_id, lang, source FROM ("
     "SELECT doc_id, lang, source, row_number() OVER ("
@@ -1782,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_returnflag""",
         "sample_group": _SAMPLE_GROUP_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         # per-group quantile_disc at each q, unpivoted to (lang, q, value)
         "grouped_quantiles": r"""
             WITH tc AS (SELECT lang,

@@ -208,6 +208,36 @@ def uniform_sample_k(
     )
 
 
+def weighted_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    *,
+    salt: str = "",
+) -> rd.Dataset:
+    """Deterministic per-row Bernoulli sampling with a PER-ROW keep
+    probability: row survives iff ``bucket(key) < clamp(weight, 0, 1) *
+    10000`` — the generalization of :func:`stratified_sample` from
+    per-group constants to a weight COLUMN (quality-weighted
+    downsampling: keep each document with probability proportional to
+    its quality score, the standard corpus-mixing move). Pure hash
+    filter: zero shuffle, stable across reruns/partitionings/engines
+    (same bucket primitive as ``hash_split``; the SQL mirror is
+    ``bucket_sql_expr(key) < LEAST(GREATEST(w, 0), 1) * 10000``). NULL
+    or NaN weights never keep the row (SQL comparison semantics).
+    Realized rates are exact to the 1e-4 bucket resolution."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column(key_col), salt)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        thr = np.clip(w, 0.0, 1.0) * _BUCKETS  # NaN propagates -> compare False
+        with np.errstate(invalid="ignore"):
+            keep = b < thr
+        return t.filter(pa.array(np.where(np.isnan(thr), False, keep)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sample_per_group(
     ds: rd.Dataset,
     key_col: str,

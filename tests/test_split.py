@@ -111,3 +111,33 @@ def test_sample_per_group_matches_pandas_oracle():
     assert len(sample_per_group(small, "id", "g", 10).take_all()) == 3
     with pytest.raises(ValueError, match="k must be"):
         sample_per_group(ds, "id", "g", 0)
+
+
+def test_weighted_sample_matches_sql_semantics():
+    import duckdb
+
+    from fozziejoin_ray.pipelines.split import bucket_sql_expr, weighted_sample
+
+    n = 2000
+    w = np.r_[np.linspace(0, 1, n - 4), [-0.5, 1.5, 0.25, 0.0]]
+    warr = pa.array(w, pa.float64()).to_pylist()
+    warr[n - 2] = None  # null weight: never kept, mirrorable in SQL
+    t = pa.table({"id": [f"k{i}" for i in range(n)], "w": pa.array(warr, pa.float64())})
+    ds = rd.from_arrow(t).repartition(5)
+    got = sorted(r["id"] for r in weighted_sample(ds, "id", "w", salt="t9").take_all())
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT id FROM t WHERE "
+            + bucket_sql_expr("id", salt="t9")
+            + " < LEAST(GREATEST(w, 0), 1) * 10000"
+        ).fetchall()
+    )
+    assert got == exp
+    # realized rate tracks the mean weight to bucket resolution
+    w[n - 2] = np.nan
+    assert abs(len(got) / n - np.nanmean(np.clip(w, 0, 1))) < 0.03
+    # w=1.5 -> always kept; w=-0.5 / null -> never
+    assert f"k{n-3}" in got and f"k{n-4}" not in got and f"k{n-2}" not in got
