@@ -537,8 +537,8 @@ def _cross_neardup_query(sf_dir: str):
 
 
 def _count_distinct_query(sf_dir: str):
-    """Exact per-group COUNT(DISTINCT): distinct parts and suppliers
-    shipped per returnflag (pipelines/stats.py:group_count_distinct —
+    """Exact per-group COUNT(DISTINCT): distinct parts shipped per
+    returnflag (pipelines/stats.py:group_count_distinct —
     pair-hash exchange of DISTINCT tuples, additive per-partition
     counts)."""
     from fozziejoin_ray.pipelines.stats import group_count_distinct
@@ -1671,6 +1671,27 @@ _WEIGHTED_SAMPLE_SQL = (
     + " < LEAST(GREATEST((n_chars % 97) / 96.0, 0), 1) * 10000"
 )
 
+# one contamination relation, two physical plans: decontaminate
+# (broadcast) and decontaminate_shuffle (grace semi-join) share it
+_DECONTAM_SQL = """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(ws[i : i + 3], ' ') AS g
+              FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+              FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
 _SAMPLE_GROUP_SQL = (
     "SELECT doc_id, lang, source FROM ("
     "SELECT doc_id, lang, source, row_number() OVER ("
@@ -2458,44 +2479,10 @@ def oracle_sql() -> dict[str, str]:
         # benchmark decontamination: distinct 4-word-gram overlap with
         # the doc_id % 20 == 0 benchmark slice, same ASCII tokenizer —
         # pipelines/curation.py:decontaminate
-        "decontaminate": """
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
-              FROM documents
-            ),
-            grams AS (
-              SELECT doc_id, array_to_string(ws[i : i + 3], ' ') AS g
-              FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)
-            ),
-            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
-            hits AS (
-              SELECT doc_id, COUNT(DISTINCT g) AS n_hits
-              FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-                   COALESCE(h.n_hits, 0) > 0 AS contaminated
-            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "decontaminate": _DECONTAM_SQL,
         # the shuffle tier computes the same contamination relation
         # (hash-partitioned semi-join instead of broadcast): same oracle
-        "decontaminate_shuffle": """
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+') AS ws
-              FROM documents
-            ),
-            grams AS (
-              SELECT doc_id, array_to_string(ws[i : i + 3], ' ') AS g
-              FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)
-            ),
-            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
-            hits AS (
-              SELECT doc_id, COUNT(DISTINCT g) AS n_hits
-              FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-                   COALESCE(h.n_hits, 0) > 0 AS contaminated
-            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "decontaminate_shuffle": _DECONTAM_SQL,
         # exact n-gram-Jaccard dup classes: distinct char 5-grams stand in
         # for pipelines/dedup.py:char_shingles's distinct 64-bit hashes
         # (injective on this corpus), recursive-CTE connected components

@@ -682,8 +682,9 @@ def semdedup(
     No SQL oracle (iterative k-means is not SQL-expressible); pytest
     verifies the per-cluster dedup against a brute NumPy reference on
     the same assignments."""
+    proj = ds.select_columns([id_col, embed_col])
     assigned, cents = kmeans_embeddings(
-        ds, embed_col=embed_col, id_col=id_col, k=n_clusters, iters=iters,
+        proj, embed_col=embed_col, id_col=id_col, k=n_clusters, iters=iters,
         seed=seed, return_centroids=True,
     )
     del assigned  # the in-batch re-assignment below carries the vectors too
@@ -733,8 +734,7 @@ def semdedup(
         )
 
     return (
-        ds.select_columns([id_col, embed_col])
-        .map_batches(assign, batch_format="pyarrow")
+        proj.map_batches(assign, batch_format="pyarrow")
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pyarrow")
     )

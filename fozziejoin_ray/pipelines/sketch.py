@@ -198,13 +198,13 @@ def hll_count_distinct(
     cardinalities and near-exactness in the linear-counting regime."""
     import pandas as pd
 
-    if not 4 <= p <= 18:
-        raise ValueError(f"p must be in [4, 18], got {p}")
+    if not 11 <= p <= 18:
+        # lower bound is the float64 mantissa: the rank computation needs
+        # 64-p <= 53 bits exact in np.frexp
+        raise ValueError(f"p must be in [11, 18], got {p}")
     m = 1 << p
     shift = np.uint64(64 - p)
-    wbits = 64 - p  # <= 53 for p >= 11; np.frexp is exact up to 2^53
-    if wbits > 53:
-        raise ValueError(f"p={p} leaves {wbits} rank bits > float64 mantissa; use p >= 11")
+    wbits = 64 - p
     mask = np.uint64((1 << wbits) - 1)
 
     def partial(t: pa.Table) -> pa.Table:

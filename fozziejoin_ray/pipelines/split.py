@@ -224,7 +224,10 @@ def weighted_sample(
     filter: zero shuffle, stable across reruns/partitionings/engines
     (same bucket primitive as ``hash_split``; the SQL mirror is
     ``bucket_sql_expr(key) < LEAST(GREATEST(w, 0), 1) * 10000``). NULL
-    or NaN weights never keep the row (SQL comparison semantics).
+    or NaN weights never keep the row in the ENGINE; the SQL mirror
+    matches for NULL (comparison yields NULL), but DuckDB sorts literal
+    NaN as greatest, so a weight column that can hold NaN needs an
+    ``AND NOT isnan(w)`` guard in the mirror.
     Realized rates are exact to the 1e-4 bucket resolution."""
 
     def fn(t: pa.Table) -> pa.Table:

@@ -322,7 +322,9 @@ def group_count_distinct(
         raise ValueError("keys must name at least one grouping column")
 
     def partial(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df[keys + [col]].dropna(subset=[col]).drop_duplicates()
+        # keep NULL-col tuples too: a key whose values are all NULL must
+        # still surface with count 0 (SQL GROUP BY emits the group)
+        df = df[keys + [col]].drop_duplicates()
         h = pd.util.hash_pandas_object(df, index=False).to_numpy()
         df = df.copy()
         df["__cd"] = (h % np.uint64(num_partitions)).astype(np.int64)
@@ -330,7 +332,9 @@ def group_count_distinct(
 
     def count_part(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.drop(columns=["__cd"]).drop_duplicates()
-        g = df.groupby(keys, sort=False, dropna=False).size()
+        # .count() counts NON-NULL col entries per key; the (key, NULL)
+        # tuple contributes the key with 0, never inflating the sum
+        g = df.groupby(keys, sort=False, dropna=False)[col].count()
         return g.rename(out_col).reset_index()
 
     part = (

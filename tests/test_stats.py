@@ -224,6 +224,15 @@ def test_group_count_distinct_vs_pandas():
     )
     assert got["nd"].astype(int).tolist() == exp["nd"].astype(int).tolist()
     assert got["g"].fillna("<null>").tolist() == exp["g"].fillna("<null>").tolist()
+    # a group whose values are ALL NULL still surfaces, with count 0
+    allnull = rd.from_arrow(
+        pa.table({"g": ["x", "x", "y"], "v": pa.array([None, None, 7], pa.int64())})
+    )
+    rows = {
+        r["g"]: r["nd"]
+        for r in group_count_distinct(allnull, ["g"], "v", out_col="nd").take_all()
+    }
+    assert rows == {"x": 0, "y": 1}
     with pytest.raises(ValueError):
         group_count_distinct(ds, [], "v")
 
