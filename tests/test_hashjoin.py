@@ -224,3 +224,71 @@ def test_left_outer_sparse_right_many_partitions():
     assert df.loc[df.k == 5, "n_hits"].iloc[0] == 1
     assert df.loc[df.k == 7, "n_hits"].iloc[0] == 2
     assert df.n_hits.isna().sum() == 198
+
+
+# ---------------------------------------------------------- hypothesis fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_KEYS = hst.lists(hst.one_of(hst.none(), hst.integers(0, 5)), min_size=0, max_size=10)
+_MODES = [
+    "inner", "left_outer", "left_semi", "left_anti",
+    "right_outer", "right_semi", "right_anti", "full_outer",
+]
+
+
+def _fuzz_oracle(l: pd.DataFrame, r: pd.DataFrame, how: str) -> pd.DataFrame:
+    """Mode-by-mode set oracle built from null-stripped inner pieces —
+    never relies on pandas' NaN==NaN merge quirk."""
+    lnn, rnn = l.dropna(subset=["lk"]), r.dropna(subset=["rk"])
+    inner = lnn.merge(rnn, left_on="lk", right_on="rk")[["lk", "lv", "rv"]]
+    lmatch = l["lk"].isin(rnn["rk"]) & l["lk"].notna()
+    rmatch = r["rk"].isin(lnn["lk"]) & r["rk"].notna()
+    if how == "inner":
+        return inner
+    if how == "left_semi":
+        return l[lmatch][["lk", "lv"]]
+    if how == "left_anti":
+        return l[~lmatch][["lk", "lv"]]
+    if how in ("right_semi", "right_anti"):
+        m = (r[rmatch] if how == "right_semi" else r[~rmatch]).copy()
+        m["lk"] = m["rk"]
+        return m[["lk", "rv"]]
+    lout = l[~lmatch].copy()
+    lout["rv"] = None
+    rout = r[~rmatch].copy()
+    rout["lk"] = rout["rk"]
+    rout["lv"] = None
+    if how == "left_outer":
+        return pd.concat([inner, lout])[["lk", "lv", "rv"]]
+    if how == "right_outer":
+        return pd.concat([inner, rout])[["lk", "lv", "rv"]]
+    return pd.concat([inner, lout, rout])[["lk", "lv", "rv"]]  # full_outer
+
+
+@settings(max_examples=12, deadline=None)
+@given(lk=_KEYS, rk=_KEYS, how=hst.sampled_from(_MODES), nparts=hst.sampled_from([1, 3, 16]))
+def test_hash_join_fuzz_vs_pandas(lk, rk, how, nparts):
+    lt = pa.table(
+        {"lk": pa.array(lk, pa.int64()),
+         "lv": pa.array([f"l{i}" for i in range(len(lk))], pa.string())}
+    )
+    rt = pa.table(
+        {"rk": pa.array(rk, pa.int64()),
+         "rv": pa.array([f"r{i}" for i in range(len(rk))], pa.string())}
+    )
+    out = hash_join(
+        rd.from_arrow(lt), rd.from_arrow(rt), "lk", "rk", how=how,
+        num_partitions=nparts, left_schema=lt.schema, right_schema=rt.schema,
+    ).take_all()
+    exp_df = _fuzz_oracle(lt.to_pandas(), rt.to_pandas(), how)
+    key = lambda t: tuple((v is None, v) for v in t)
+    got = sorted(
+        (tuple(None if pd.isna(v) else v for v in d.values()) for d in out), key=key
+    )
+    exp = sorted(
+        (tuple(None if pd.isna(v) else v for v in row) for row in exp_df.itertuples(index=False)),
+        key=key,
+    )
+    assert got == exp, (how, lk, rk)
