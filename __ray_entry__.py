@@ -536,6 +536,34 @@ def _cross_neardup_query(sf_dir: str):
     return cross_neardup_pairs(L, R, threshold=0.5, num_partitions=16)
 
 
+def _pagerank_query(sf_dir: str):
+    """PageRank over the symmetrized supplier-part graph (an edge per
+    lineitem row in each direction, so no node dangles and the
+    recursive-CTE oracle needs no dangling-mass aggregate). Broadcast
+    strategy (cluster/pagerank.py); 5 damped power iterations."""
+    from fozziejoin_ray.cluster.pagerank import pagerank
+
+    li = _t(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            "s", pc.cast(t["l_suppkey"], pa.string()), ""
+        )
+        p = pc.binary_join_element_wise(
+            "p", pc.cast(t["l_partkey"], pa.string()), ""
+        )
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([s, p]), "dst": pa.concat_arrays([p, s])}
+        )
+
+    edges = li.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank(edges, iters=5, round_to=6)
+
+
 def _count_distinct_query(sf_dir: str):
     """Exact per-group COUNT(DISTINCT): distinct parts shipped per
     returnflag (pipelines/stats.py:group_count_distinct —
@@ -1390,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _semdedup_query,
         "count_distinct": _count_distinct_query,
         "cross_neardup": _cross_neardup_query,
+        "pagerank": _pagerank_query,
         "hll_distinct": _hll_distinct_query,
         # text analysis
         "token_count": _token_count_query,
@@ -1467,7 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
-        "dup_spans", "sample_k", "sample_group", "weighted_sample", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pmi_colloc", "bm25_topk",
+        "dup_spans", "sample_k", "sample_group", "weighted_sample", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pagerank", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
         "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
@@ -1826,6 +1855,34 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _HASH_SPLIT_SQL,
         "sample_k": _SAMPLE_K_SQL,
         # exact per-group distinct counting — stats.py:group_count_distinct
+        # fixed-iteration damped PageRank as a recursive CTE (DuckDB
+        # allows aggregation over the recursive reference); symmetric
+        # edges mean zero dangling mass — cluster/pagerank.py
+        "pagerank": """
+            WITH RECURSIVE base AS (
+              SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+                     'p' || CAST(l_partkey AS VARCHAR) AS d FROM lineitem
+              UNION ALL
+              SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                     's' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+            ),
+            deg AS (SELECT s, COUNT(*) AS dg FROM base GROUP BY s),
+            nodes AS (SELECT DISTINCT s AS node FROM base),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            pr(it, node, rank) AS (
+              SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+              UNION ALL
+              SELECT it + 1, node, 0.15 / (SELECT n FROM nn) + 0.85 * c
+              FROM (
+                SELECT p.it, nd.node, SUM(p.rank / dg.dg) AS c
+                FROM nodes nd
+                JOIN base e ON e.d = nd.node
+                JOIN pr p ON p.node = e.s
+                JOIN deg dg ON dg.s = e.s
+                GROUP BY p.it, nd.node
+              ) WHERE it < 5
+            )
+            SELECT node, ROUND(rank, 6) AS rank FROM pr WHERE it = 5""",
         "count_distinct": """
             SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_returnflag""",
