@@ -536,6 +536,25 @@ def _cross_neardup_query(sf_dir: str):
     return cross_neardup_pairs(L, R, threshold=0.5, num_partitions=16)
 
 
+def _approx_quantiles_query(sf_dir: str):
+    """Fixed-grid histogram quantiles over a continuous money column
+    (pipelines/stats.py:approx_quantiles — the sketch path for columns
+    whose cardinality ~ rows). The bin resolution is a deterministic
+    pure function of the data, and the oracle replicates the grid
+    arithmetic op-for-op, so the check is value-exact."""
+    from fozziejoin_ray.pipelines.stats import approx_quantiles
+
+    li = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    t = approx_quantiles(
+        li, "l_extendedprice", [0.05, 0.25, 0.5, 0.75, 0.95, 0.99], bins=8192
+    )
+    return t.set_column(
+        t.column_names.index("value"),
+        "value",
+        pc.round(t["value"], ndigits=6, round_mode="half_towards_infinity"),
+    )
+
+
 def _pagerank_query(sf_dir: str):
     """PageRank over the symmetrized supplier-part graph (an edge per
     lineitem row in each direction, so no node dangles and the
@@ -1419,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct": _count_distinct_query,
         "cross_neardup": _cross_neardup_query,
         "pagerank": _pagerank_query,
+        "approx_quantiles": _approx_quantiles_query,
         "hll_distinct": _hll_distinct_query,
         # text analysis
         "token_count": _token_count_query,
@@ -1496,7 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
-        "dup_spans", "sample_k", "sample_group", "weighted_sample", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pagerank", "pmi_colloc", "bm25_topk",
+        "dup_spans", "sample_k", "sample_group", "weighted_sample", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pagerank", "approx_quantiles", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
         "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
@@ -1883,6 +1903,23 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE it < 5
             )
             SELECT node, ROUND(rank, 6) AS rank FROM pr WHERE it = 5""",
+        # fixed-grid histogram quantiles: the SQL replicates the grid
+        # arithmetic op-for-op ((x-lo)/(hi-lo)*bins, trunc, +1 edge), so
+        # bins resolve identically — stats.py:approx_quantiles
+        "approx_quantiles": """
+            WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n FROM v),
+            b AS (SELECT LEAST(CAST(trunc((x - lo) / (hi - lo) * 8192) AS BIGINT), 8191) AS bi
+                  FROM v, mm),
+            h AS (SELECT bi, COUNT(*) AS c FROM b GROUP BY bi),
+            cum AS (SELECT bi, SUM(c) OVER (ORDER BY bi) AS cc FROM h),
+            qs AS (SELECT unnest([0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q),
+            tgt AS (SELECT q, GREATEST(1, CAST(ceil(q * (SELECT n FROM mm)) AS BIGINT)) AS pos FROM qs)
+            SELECT CAST(t.q AS DOUBLE) AS q,
+                   ROUND((SELECT lo FROM mm) + (MIN(cum.bi) + 1) * (((SELECT hi FROM mm) - (SELECT lo FROM mm)) / 8192), 6) AS value
+            FROM tgt t JOIN cum ON cum.cc >= t.pos
+            GROUP BY t.q""",
         "count_distinct": """
             SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_returnflag""",

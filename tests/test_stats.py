@@ -260,3 +260,31 @@ def test_hll_count_distinct_bounds():
         hll_count_distinct(small, "v", p=3)
     with pytest.raises(ValueError):
         hll_count_distinct(small, "v", p=10)  # rank bits exceed f64 mantissa
+
+
+def test_approx_quantiles_error_bound_and_invariance():
+    from fozziejoin_ray.pipelines.stats import approx_quantiles
+
+    rng = np.random.RandomState(3)
+    v = rng.lognormal(0.0, 1.0, 50_000)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(7)
+    qs = [0.05, 0.5, 0.95, 0.99]
+    t = approx_quantiles(ds, "x", qs, bins=4096)
+    got = dict(zip(t["q"].to_pylist(), t["value"].to_pylist()))
+    bin_w = (v.max() - v.min()) / 4096
+    for q in qs:
+        assert abs(got[q] - np.quantile(v, q)) <= 2 * bin_w, q
+    # partitioning-invariant (pure function of the multiset)
+    t2 = approx_quantiles(ds.repartition(2), "x", qs, bins=4096)
+    assert t2["value"].to_pylist() == t["value"].to_pylist()
+    # nulls ignored; empty raises like column_quantiles
+    withnull = rd.from_arrow(pa.table({"x": pa.array([1.0, None, 3.0])}))
+    tv = approx_quantiles(withnull, "x", [1.0], bins=4).column("value")[0].as_py()
+    assert tv >= 3.0 - 1e-9
+    allnull = rd.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())}))
+    with pytest.raises(ValueError, match="no non-null"):
+        approx_quantiles(allnull, "x", [0.5])
+    with pytest.raises(ValueError):
+        approx_quantiles(ds, "x", [])
+    with pytest.raises(ValueError):
+        approx_quantiles(ds, "x", [0.5], bins=0)
