@@ -607,6 +607,17 @@ def _hll_distinct_query(sf_dir: str):
     return hll_count_distinct(ev, "user_id")
 
 
+def _group_hll_query(sf_dir: str):
+    """Per-event-type HLL distinct users (pipelines/sketch.py:
+    group_hll_distinct). Rows-only by design (the sketch is the
+    point); pytest pins the per-group error bound and partition
+    invariance."""
+    from fozziejoin_ray.pipelines.sketch import group_hll_distinct
+
+    ev = _t(sf_dir, "events", ["event_type", "user_id"])
+    return group_hll_distinct(ev, ["event_type"], "user_id", out_col="n_users")
+
+
 def _semdedup_query(sf_dir: str):
     """SemDeDup (kmeans blocking + within-cluster cosine components,
     pipelines/ann.py:semdedup). Rows-only by design: iterative k-means
@@ -1440,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _pagerank_query,
         "approx_quantiles": _approx_quantiles_query,
         "hll_distinct": _hll_distinct_query,
+        "group_hll_distinct": _group_hll_query,
         # text analysis
         "token_count": _token_count_query,
         "quality_score": _quality_query,
@@ -1527,7 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_int_any", "regex_inner", "cluster_words",
         "dedup_minhash",
     ]
-    rows_only_last = ["ann_ivf", "kmeans_clusters", "cms_heavy_hitters", "semdedup", "hll_distinct"]
+    rows_only_last = ["ann_ivf", "kmeans_clusters", "cms_heavy_hitters", "semdedup", "hll_distinct", "group_hll_distinct"]
     ordered = {k: qs[k] for k in priority}
     ordered.update({k: v for k, v in qs.items() if k not in ordered and k not in rows_only_last})
     ordered.update({k: qs[k] for k in rows_only_last})

@@ -254,3 +254,99 @@ def hll_count_distinct(
             }
         )
     )
+
+
+def group_hll_distinct(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    *,
+    p: int = 12,
+    out_col: str = "n_distinct",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Approximate ``COUNT(DISTINCT col)`` PER KEY TUPLE via HyperLogLog
+    — the web-scale form of
+    :func:`fozziejoin_ray.pipelines.stats.group_count_distinct`, for
+    when even the distinct (key, value) pair set is too large to
+    exchange (distinct users per domain over a year of events). Same
+    register math as :func:`hll_count_distinct` (fixed-key siphash,
+    ~1.04/sqrt(2^p) standard error, linear counting small-range), so
+    estimates are deterministic and partitioning-invariant.
+
+    Scale shape: every batch reduces to ONE ``m = 2**p``-byte register
+    row per key present in the batch (np.maximum.at over the composite
+    (group, register) index — vectorized), then a single key exchange
+    merges rows by elementwise max inside ``map_groups``. Exchange
+    volume: m bytes per (batch, key), never per row. Output:
+    ``(keys..., out_col)``. NULL values ignored; NULL keys group
+    together."""
+    import pandas as pd
+
+    if not keys:
+        raise ValueError("keys must name at least one grouping column")
+    if not 11 <= p <= 18:
+        raise ValueError(f"p must be in [11, 18], got {p}")
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    wbits = 64 - p
+    mask = np.uint64((1 << wbits) - 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[keys + [col]]
+        ok = df[col].notna()
+        df = df[ok] if not ok.all() else df
+        if not len(df):
+            out = pd.DataFrame({k: df[k] for k in keys})
+            out["__reg"] = pd.Series([], dtype=object)
+            out["__gk"] = pd.Series([], dtype=np.int64)
+            return out
+        codes, uniq_keys = pd.factorize(
+            pd.util.hash_pandas_object(df[keys], index=False), use_na_sentinel=False
+        )
+        # representative row per key tuple for the output key columns
+        first = np.zeros(len(uniq_keys), dtype=np.int64)
+        first[codes[::-1]] = np.arange(len(df))[::-1]
+        h = pd.util.hash_array(df[col].to_numpy(), categorize=False)
+        idx = (h >> shift).astype(np.int64)
+        w = (h & mask).astype(np.uint64)
+        _, e = np.frexp(w.astype(np.float64))
+        rank = np.where(w > 0, wbits - e + 1, wbits + 1).astype(np.uint8)
+        regs = np.zeros((len(uniq_keys), m), dtype=np.uint8)
+        np.maximum.at(regs.reshape(-1), codes * m + idx, rank)
+        out = df.iloc[first][keys].reset_index(drop=True)
+        out["__reg"] = [r.tobytes() for r in regs]
+        # group on an int64 key hash: Ray's sort-shuffle cannot order
+        # None vs str; a hash collision only co-locates two tuples in
+        # one merge group, where the in-group groupby separates them
+        out["__gk"] = (
+            pd.util.hash_pandas_object(out[keys], index=False)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return out
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop(columns=["__gk"])
+        g = df.groupby(keys, sort=False, dropna=False)["__reg"]
+
+        def est(rows) -> int:
+            reg = np.zeros(m, dtype=np.uint8)
+            for rb in rows:
+                reg = np.maximum(reg, np.frombuffer(rb, dtype=np.uint8))
+            e = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+            zeros = int((reg == 0).sum())
+            if e <= 2.5 * m and zeros > 0:
+                e = m * np.log(m / zeros)
+            return int(round(e))
+
+        return g.apply(est).rename(out_col).reset_index()
+
+    part = (
+        ds.select_columns(list(dict.fromkeys(keys + [col])))
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__gk")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return part

@@ -288,3 +288,38 @@ def test_approx_quantiles_error_bound_and_invariance():
         approx_quantiles(ds, "x", [])
     with pytest.raises(ValueError):
         approx_quantiles(ds, "x", [0.5], bins=0)
+
+
+def test_group_hll_distinct_bounds_and_invariance():
+    import pandas as pd
+
+    from fozziejoin_ray.pipelines.sketch import group_hll_distinct
+
+    rng = np.random.RandomState(9)
+    n = 40_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", None], n),
+            "u": [f"user{int(x)}" for x in rng.randint(0, 3000, n)],
+        }
+    )
+    df.loc[rng.choice(n, 50, replace=False), "u"] = None  # nulls ignored
+    ds = rd.from_pandas(df).repartition(5)
+    def norm(rows):
+        return {
+            (None if pd.isna(r["g"]) else r["g"]): r["nd"] for r in rows
+        }
+
+    got = norm(group_hll_distinct(ds, ["g"], "u", out_col="nd").take_all())
+    exact = df.dropna(subset=["u"]).groupby("g", dropna=False)["u"].nunique()
+    for g, true in exact.items():
+        key = None if pd.isna(g) else g
+        assert abs(got[key] - true) / true < 0.05, (g, got[key], true)
+    got2 = norm(
+        group_hll_distinct(ds.repartition(2), ["g"], "u", out_col="nd").take_all()
+    )
+    assert got2 == got  # pure function of the (key, value) multiset
+    with pytest.raises(ValueError):
+        group_hll_distinct(ds, [], "u")
+    with pytest.raises(ValueError):
+        group_hll_distinct(ds, ["g"], "u", p=10)
