@@ -692,6 +692,27 @@ def _sample_group_query(sf_dir: str):
     return sample_per_group(docs, "doc_id", "lang", 20, salt="g1")
 
 
+def _mix_corpora_query(sf_dir: str):
+    """Training-mix assembly: even-id docs oversampled at 2.3x, odd-id
+    docs subsampled at 0.4x (pipelines/split.py:mix_corpora /
+    replicate_weighted — deterministic copy counts from the shared
+    bucket primitive, zero shuffle)."""
+    from fozziejoin_ray.pipelines.split import mix_corpora
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def side(par):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == par))
+
+        return fn
+
+    A = docs.map_batches(side(0), batch_format="pyarrow")
+    B = docs.map_batches(side(1), batch_format="pyarrow")
+    return mix_corpora({"a": (A, 2.3), "b": (B, 0.4)}, "doc_id", salt="mx")
+
+
 def _weighted_sample_query(sf_dir: str):
     """Quality-weighted Bernoulli downsampling: each doc kept with
     probability (n_chars %% 97)/96 (pipelines/split.py:weighted_sample
@@ -1495,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k": _sample_k_query,
         "sample_group": _sample_group_query,
         "weighted_sample": _weighted_sample_query,
+        "mix_corpora": _mix_corpora_query,
         "pmi_colloc": _pmi_query,
         "bm25_topk": _bm25_query,
         "heavy_hitters": _heavy_hitters_query,
@@ -1528,7 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_composite", "json_extract",
         "window_tumbling", "window_hopping", "pivot_events",
         "event_funnel", "rolling_agg", "window_distinct", "chunk_docs",
-        "dup_spans", "sample_k", "sample_group", "weighted_sample", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pagerank", "approx_quantiles", "pmi_colloc", "bm25_topk",
+        "dup_spans", "sample_k", "sample_group", "weighted_sample", "mix_corpora", "decontaminate_shuffle", "count_distinct", "cross_neardup", "pagerank", "approx_quantiles", "pmi_colloc", "bm25_topk",
         "heavy_hitters", "agg_pricing", "grouped_quantiles",
         "media_features", "frame_sample", "topk_pairs",
         # -- 2: one green representative per reference join family
@@ -1753,6 +1775,22 @@ _DECONTAM_SQL = """
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
+# per-source replicate/subsample counts from the same bucket primitive
+# (pipelines/split.py:mix_corpora; frac(2.3) written as its exact f64)
+_MIX_CORPORA_SQL = (
+    "SELECT doc_id, lang, CAST(i AS BIGINT) AS copy, 'a' AS source_label "
+    "FROM documents, UNNEST(range(0, 2 + CASE WHEN "
+    + _bucket_sql_expr("doc_id", salt="mx|a")
+    + f" < CAST({2.3 - 2!r} AS DOUBLE) * 10000 THEN 1 ELSE 0 END)) t(i) "
+    "WHERE doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT doc_id, lang, CAST(i AS BIGINT) AS copy, 'b' AS source_label "
+    "FROM documents, UNNEST(range(0, CASE WHEN "
+    + _bucket_sql_expr("doc_id", salt="mx|b")
+    + " < CAST(0.4 AS DOUBLE) * 10000 THEN 1 ELSE 0 END)) t(i) "
+    "WHERE doc_id % 2 = 1"
+)
+
 _SAMPLE_GROUP_SQL = (
     "SELECT doc_id, lang, source FROM ("
     "SELECT doc_id, lang, source, row_number() OVER ("
@@ -1937,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag""",
         "sample_group": _SAMPLE_GROUP_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "mix_corpora": _MIX_CORPORA_SQL,
         # per-group quantile_disc at each q, unpivoted to (lang, q, value)
         "grouped_quantiles": r"""
             WITH tc AS (SELECT lang,

@@ -308,3 +308,76 @@ def split_sql_expr(key_expr: str, ratios: dict[str, float], *, salt: str = "") -
         else:
             expr += f"ELSE '{lab}' "
     return expr + "END"
+
+
+def replicate_weighted(
+    ds: rd.Dataset,
+    key_col: str,
+    weight: float,
+    *,
+    salt: str = "",
+    copy_col: str = "copy",
+) -> rd.Dataset:
+    """Deterministic row replication at a fractional rate: every row
+    appears ``floor(weight)`` times plus one more with probability
+    ``frac(weight)`` (the same hash-bucket draw as
+    :func:`weighted_sample`), each copy tagged ``copy_col`` = 0..n-1 so
+    downstream packing/shuffling can tell copies apart. ``weight < 1``
+    degenerates to Bernoulli subsampling (copy always 0). Zero shuffle,
+    partitioning-stable, SQL-mirrorable (``UNNEST(range(...))`` with the
+    shared bucket expression)."""
+    if weight < 0:
+        raise ValueError(f"weight must be >= 0, got {weight}")
+    base = int(np.floor(weight))
+    frac = weight - base
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cnt = np.full(n, base, dtype=np.int64)
+        if frac > 0:
+            b = _bucket_of(t.column(key_col), salt)
+            cnt += (b < frac * _BUCKETS).astype(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        out = t.take(pa.array(idx))
+        starts = np.r_[np.int64(0), np.cumsum(cnt)[:-1]]
+        copy = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, cnt)
+        return out.append_column(copy_col, pa.array(copy))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mix_corpora(
+    sources: dict[str, tuple[rd.Dataset, float]],
+    key_col: str,
+    *,
+    salt: str = "",
+    source_col: str = "source_label",
+    copy_col: str = "copy",
+) -> rd.Dataset:
+    """Training-mix assembly: union the given corpora with per-source
+    sampling weights — the standard "2x Wikipedia, 0.3x CommonCrawl"
+    move. Each source is independently replicated/subsampled by
+    :func:`replicate_weighted` (salted per source so the same key in
+    two sources draws independently) and tagged ``source_col``; schemas
+    must already agree (project upstream). Zero shuffle end-to-end: the
+    mix is a metadata union of per-batch maps; feed it to
+    ``random_shuffle`` / ``hash_split`` / ``pack_sequences``
+    downstream as the recipe requires."""
+    if not sources:
+        raise ValueError("sources must be a non-empty {label: (dataset, weight)} dict")
+    parts = []
+    for label, (ds, w) in sources.items():
+        rep = replicate_weighted(
+            ds, key_col, w, salt=f"{salt}|{label}", copy_col=copy_col
+        )
+
+        def tag(t: pa.Table, _lab=label) -> pa.Table:
+            return t.append_column(
+                source_col, pa.array(np.repeat(_lab, t.num_rows), pa.string())
+            )
+
+        parts.append(rep.map_batches(tag, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

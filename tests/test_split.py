@@ -141,3 +141,40 @@ def test_weighted_sample_matches_sql_semantics():
     assert abs(len(got) / n - np.nanmean(np.clip(w, 0, 1))) < 0.03
     # w=1.5 -> always kept; w=-0.5 / null -> never
     assert f"k{n-3}" in got and f"k{n-4}" not in got and f"k{n-2}" not in got
+
+
+def test_replicate_weighted_and_mix_corpora():
+    from fozziejoin_ray.pipelines.split import (
+        _bucket_of,
+        mix_corpora,
+        replicate_weighted,
+    )
+
+    ids = [f"k{i}" for i in range(400)]
+    t = pa.table({"id": ids, "v": list(range(400))})
+    ds = rd.from_arrow(t).repartition(3)
+    got = replicate_weighted(ds, "id", 2.5, salt="rw").take_all()
+    # exact per-row copy counts from the same bucket primitive
+    b = _bucket_of(pa.array(ids), "rw")
+    exp_counts = 2 + (b < 0.5 * 10000).astype(int)
+    import collections
+
+    cnt = collections.Counter(r["id"] for r in got)
+    assert all(cnt[f"k{i}"] == exp_counts[i] for i in range(400))
+    # copy indices are 0..n-1 per row
+    copies = collections.defaultdict(set)
+    for r in got:
+        copies[r["id"]].add(r["copy"])
+    assert all(v == set(range(len(v))) for v in copies.values())
+    # weight < 1 degenerates to Bernoulli; weight 0 drops everything
+    assert len(replicate_weighted(ds, "id", 0.0).take_all()) == 0
+    sub = replicate_weighted(ds, "id", 0.25, salt="rw").take_all()
+    assert 0 < len(sub) < 200 and all(r["copy"] == 0 for r in sub)
+    with pytest.raises(ValueError):
+        replicate_weighted(ds, "id", -0.1)
+
+    mixed = mix_corpora({"x": (ds, 1.0), "y": (ds, 0.5)}, "id", salt="m").take_all()
+    by_src = collections.Counter(r["source_label"] for r in mixed)
+    assert by_src["x"] == 400 and 100 < by_src["y"] < 300
+    with pytest.raises(ValueError):
+        mix_corpora({}, "id")
