@@ -37,25 +37,22 @@ import ray
 import ray.data as rd
 
 
-def _distinct_nodes(edges: rd.Dataset, src_col: str, dst_col: str) -> pa.Array:
-    """All distinct node ids (src ∪ dst), one distinct pass per batch +
-    a driver unique over the survivors (bounded by node cardinality);
-    only endpoints of fully-valid edges count."""
+def _distinct_nodes(clean_edges: rd.Dataset) -> pa.Array:
+    """All distinct node ids (s ∪ d) of the CLEANED string edge table,
+    one distinct pass per batch + a driver unique over the survivors
+    (bounded by node cardinality)."""
 
     def uniq(t: pa.Table) -> pa.Table:
-        s = t[src_col].combine_chunks().cast(pa.string())
-        d = t[dst_col].combine_chunks().cast(pa.string())
-        # nodes come from VALID edges only: an edge with a null endpoint
-        # is dropped whole, and so is a node that only appears in one
-        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
-        both = pa.concat_arrays([s.filter(ok), d.filter(ok)])
+        both = pa.concat_arrays(
+            [t["s"].combine_chunks(), t["d"].combine_chunks()]
+        )
         return pa.table({"n": pc.unique(both)})
 
     parts = [
         b["n"]
-        for b in edges.select_columns([src_col, dst_col])
-        .map_batches(uniq, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+        for b in clean_edges.map_batches(uniq, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
     ]
     if not parts:
         return pa.array([], pa.string())
@@ -87,16 +84,26 @@ def pagerank(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
 
-    nodes = _distinct_nodes(edges, src_col, dst_col)
+    # materialize the cleaned string edge table ONCE: the node-set
+    # pass, the re-encode/degree passes and every iteration all read it
+    # (the same materialize-once shape the CC pipeline uses)
+    def clean(t: pa.Table) -> pa.Table:
+        sc = t[src_col].cast(pa.string())
+        dc = t[dst_col].cast(pa.string())
+        ok = pc.and_(pc.is_valid(sc), pc.is_valid(dc))
+        return pa.table({"s": sc, "d": dc}).filter(ok)
+
+    e = edges.select_columns([src_col, dst_col]).map_batches(
+        clean, batch_format="pyarrow"
+    ).materialize()
+    nodes = _distinct_nodes(e)
     n = len(nodes)
     if n == 0:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
         )
     if strategy == "shuffle":
-        return _pagerank_shuffle(
-            edges, nodes, src_col, dst_col, damping, iters, num_partitions, round_to
-        )
+        return _pagerank_shuffle(e, nodes, damping, iters, num_partitions, round_to)
 
     # ---- broadcast strategy: dense [0, N) re-encoding, one pass/iter
     import pandas as pd
@@ -106,16 +113,11 @@ def pagerank(
 
     def encode(t: pa.Table) -> pa.Table:
         index = ray.get(nref)
-        s = t[src_col].cast(pa.string()).to_pandas()
-        d = t[dst_col].cast(pa.string()).to_pandas()
-        ok = s.notna() & d.notna()
-        si = index.get_indexer(s[ok]).astype(np.int64)
-        di = index.get_indexer(d[ok]).astype(np.int64)
+        si = index.get_indexer(t["s"].to_pandas()).astype(np.int64)
+        di = index.get_indexer(t["d"].to_pandas()).astype(np.int64)
         return pa.table({"si": pa.array(si), "di": pa.array(di)})
 
-    enc = edges.select_columns([src_col, dst_col]).map_batches(
-        encode, batch_format="pyarrow"
-    ).materialize()
+    enc = e.map_batches(encode, batch_format="pyarrow").materialize()
 
     # out-degree: one streamed bincount reduce
     deg = np.zeros(n, dtype=np.int64)
@@ -156,26 +158,19 @@ def pagerank(
 
 
 def _pagerank_shuffle(
-    edges, nodes, src_col, dst_col, damping, iters, num_partitions, round_to
+    e, nodes, damping, iters, num_partitions, round_to
 ) -> rd.Dataset:
-    """Web-scale path: ranks as a Dataset, 2 exchanges per iteration."""
+    """Web-scale path: ranks as a Dataset, 2 exchanges per iteration
+    (``e`` is the caller's materialized cleaned string edge table)."""
     from ..joins.hashjoin import hash_join
     from ..pipelines.stats import group_aggregate
 
     n = len(nodes)
-
-    def clean(t: pa.Table) -> pa.Table:
-        s = t[src_col].cast(pa.string())
-        d = t[dst_col].cast(pa.string())
-        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
-        return pa.table({"s": s, "d": d}).filter(ok)
-
-    e = edges.select_columns([src_col, dst_col]).map_batches(
-        clean, batch_format="pyarrow"
-    ).materialize()
+    # degrees are iteration-invariant: materialize so the per-iteration
+    # dangling-mass pass never re-runs the aggregate over all edges
     degrees = group_aggregate(
         e, ["s"], {"deg": ("count", "*")}, num_partitions=num_partitions
-    )
+    ).materialize()
     # group_aggregate emits pandas blocks (numpy dtypes in Ray's schema
     # report) — give the joins explicit Arrow schemas
     dschema = pa.schema([("s", pa.string()), ("deg", pa.int64())])
@@ -190,6 +185,13 @@ def _pagerank_shuffle(
     ).materialize()
     rschema = pa.schema([("node", pa.string()), ("rank", pa.float64())])
     cschema = pa.schema([("d", pa.string()), ("contrib", pa.float64())])
+    nschema = pa.schema([("node", pa.string())])
+    # the no-out-edge node set never changes: compute it once
+    dang_nodes = hash_join(
+        node_ds, degrees, "node", "s", how="left_anti",
+        num_partitions=num_partitions, left_schema=nschema,
+        right_schema=dschema,
+    ).materialize()
 
     for it in range(iters):
         joined = hash_join(
@@ -216,11 +218,11 @@ def _pagerank_shuffle(
             {"contrib": ("sum", "contrib")},
             num_partitions=num_partitions,
         )
-        # dangling mass: ranks of nodes with no out-edges
+        # dangling mass: ranks of the (static) no-out-edge node set
         no_out = hash_join(
-            ranks, degrees, "node", "s", how="left_anti",
-            num_partitions=num_partitions, left_schema=rschema,
-            right_schema=dschema,
+            dang_nodes, ranks, "node", "node", how="inner",
+            num_partitions=num_partitions,
+            left_schema=nschema, right_schema=rschema,
         )
         dangling = 0.0
         for b in no_out.iter_batches(batch_size=None, batch_format="pyarrow"):

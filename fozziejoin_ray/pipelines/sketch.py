@@ -302,18 +302,23 @@ def group_hll_distinct(
             out["__reg"] = pd.Series([], dtype=object)
             out["__gk"] = pd.Series([], dtype=np.int64)
             return out
-        codes, uniq_keys = pd.factorize(
-            pd.util.hash_pandas_object(df[keys], index=False), use_na_sentinel=False
+        # EXACT intra-batch grouping (groupby.ngroup, C-vectorized) —
+        # factorizing a 64-bit key hash here could silently merge two
+        # colliding tuples with no recovery; only the exchange key
+        # (__gk below) may collide, where the in-group groupby recovers
+        codes = (
+            df.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
         )
+        n_groups = int(codes.max()) + 1
         # representative row per key tuple for the output key columns
-        first = np.zeros(len(uniq_keys), dtype=np.int64)
+        first = np.zeros(n_groups, dtype=np.int64)
         first[codes[::-1]] = np.arange(len(df))[::-1]
         h = pd.util.hash_array(df[col].to_numpy(), categorize=False)
         idx = (h >> shift).astype(np.int64)
         w = (h & mask).astype(np.uint64)
         _, e = np.frexp(w.astype(np.float64))
         rank = np.where(w > 0, wbits - e + 1, wbits + 1).astype(np.uint8)
-        regs = np.zeros((len(uniq_keys), m), dtype=np.uint8)
+        regs = np.zeros((n_groups, m), dtype=np.uint8)
         np.maximum.at(regs.reshape(-1), codes * m + idx, rank)
         out = df.iloc[first][keys].reset_index(drop=True)
         out["__reg"] = [r.tobytes() for r in regs]

@@ -333,6 +333,8 @@ def replicate_weighted(
 
     def fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        if n == 0:
+            return t.append_column(copy_col, pa.array([], pa.int64()))
         cnt = np.full(n, base, dtype=np.int64)
         if frac > 0:
             b = _bucket_of(t.column(key_col), salt)

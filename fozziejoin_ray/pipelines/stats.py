@@ -371,7 +371,9 @@ def approx_quantiles(
     partitioning-invariant, and rank-exact in WHICH bin each quantile
     falls: the returned value is the bin's upper edge, so the error is
     one bin width, (max-min)/bins — 0.01% of the range at the default.
-    NULLs and NaNs are ignored (SQL aggregate semantics). Returns a
+    NULLs, NaNs AND infinities are ignored (a single inf would
+    otherwise poison the whole grid); a constant column short-circuits
+    to the exact value. Returns a
     small in-memory table ``(q, value)``; raises ValueError on empty
     input like :func:`column_quantiles`."""
     if not qs or not all(0.0 <= q <= 1.0 for q in qs):
@@ -383,7 +385,7 @@ def approx_quantiles(
 
     def mm(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
+        v = v[np.isfinite(v)]
         if not len(v):
             return pa.table({"lo": pa.array([], pa.float64()), "hi": pa.array([], pa.float64())})
         return pa.table({"lo": pa.array([v.min()]), "hi": pa.array([v.max()])})
@@ -396,13 +398,18 @@ def approx_quantiles(
             lo = min(lo, b["lo"].to_numpy(zero_copy_only=False).min())
             hi = max(hi, b["hi"].to_numpy(zero_copy_only=False).max())
     if not np.isfinite(lo):
-        raise ValueError(f"approx_quantiles: no non-null values in {col!r}")
-    width = (hi - lo) or 1.0
+        raise ValueError(f"approx_quantiles: no finite values in {col!r}")
+    if hi == lo:
+        # constant column: the answer is exact, no histogram needed
+        return pa.table(
+            {"q": pa.array(qs, pa.float64()), "value": pa.array([lo] * len(qs), pa.float64())}
+        )
+    width = hi - lo
     edges = lo + np.arange(1, bins + 1) * (width / bins)
 
     def hist(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
+        v = v[np.isfinite(v)]
         idx = np.minimum(
             ((v - lo) / width * bins).astype(np.int64), bins - 1
         )

@@ -282,8 +282,18 @@ def test_approx_quantiles_error_bound_and_invariance():
     tv = approx_quantiles(withnull, "x", [1.0], bins=4).column("value")[0].as_py()
     assert tv >= 3.0 - 1e-9
     allnull = rd.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())}))
-    with pytest.raises(ValueError, match="no non-null"):
+    with pytest.raises(ValueError, match="no finite"):
         approx_quantiles(allnull, "x", [0.5])
+    # infinities are ignored, not grid-poisoning
+    withinf = rd.from_arrow(
+        pa.table({"x": pa.array([1.0, float("inf"), 2.0, float("-inf"), 3.0])})
+    )
+    ti = approx_quantiles(withinf, "x", [0.5], bins=8)
+    assert np.isfinite(ti.column("value")[0].as_py())
+    # constant column short-circuits to the exact value
+    const = rd.from_arrow(pa.table({"x": pa.array([5.0] * 100)}))
+    tc = approx_quantiles(const, "x", [0.1, 0.9])
+    assert tc["value"].to_pylist() == [5.0, 5.0]
     with pytest.raises(ValueError):
         approx_quantiles(ds, "x", [])
     with pytest.raises(ValueError):
