@@ -2055,7 +2055,19 @@ def cross_neardup_pairs(
     emissions carry (bucket, id, text), one bucket-hash exchange,
     in-partition cross-side pair expansion with the size-bound
     prefilter, first-agreeing-band ownership for exactly-once pairs;
-    no driver-side state, both sides stream."""
+    no driver-side state, both sides stream.
+
+    SIZE GUIDANCE (measured, 32 cpus / 37 GB object store, ~300 B
+    texts): the default ``bands=32`` (r=2) holds candidate recall
+    ~0.9999 down to the 0.5 boundary but doubles emission volume and
+    makes bucket collisions ~t^2-common — 240k x 240k ran 376 s and
+    480k x 480k exhausted worker heaps. ``bands=16`` (r=4) at
+    threshold >= ~0.7 measured 80.6 s at 240k x 240k with 99.87% of
+    the r=2 pair set (the delta is at-threshold boundary pairs) and
+    144.8 s at 480k x 480k with zero worker deaths. Rule of thumb:
+    keep 32 bands only when the threshold is near 0.5 or exactness at
+    the boundary matters; use 16 for bulk contamination sweeps at
+    t >= 0.7."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     edges = lsh_fused_edges(
