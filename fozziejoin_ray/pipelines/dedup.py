@@ -2033,7 +2033,7 @@ def cross_neardup_pairs(
     threshold: float = 0.8,
     shingle_k: int = 5,
     num_perm: int = 64,
-    bands: int = 32,
+    bands: int | None = None,
     seed: int = 13,
     num_partitions: int = 64,
     max_bucket: int = 4096,
@@ -2070,6 +2070,10 @@ def cross_neardup_pairs(
     t >= 0.7."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if bands is None:
+        # the measured rule above: near-boundary-exact 32-band r=2 only
+        # when the threshold needs it; r=4 everywhere else
+        bands = 32 if threshold < 0.7 else 16
     edges = lsh_fused_edges(
         left,
         text_col,
