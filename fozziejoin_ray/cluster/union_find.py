@@ -86,6 +86,17 @@ def _normalize_edge_table(t: pa.Table, a_col: str, b_col: str) -> pa.Table:
     import pyarrow.compute as pc
 
     a, b = t[a_col], t[b_col]
+    if a.type != b.type:
+        # promote to a common node type: the self-loop rewrite tables
+        # put src values in the b slot (and vice versa), so mismatched
+        # endpoint types would make the concat below raise
+        if pa.types.is_floating(a.type) or pa.types.is_floating(b.type):
+            tgt = pa.float64()
+        elif pa.types.is_integer(a.type) and pa.types.is_integer(b.type):
+            tgt = pa.int64()
+        else:
+            tgt = pa.string()
+        a, b = a.cast(tgt), b.cast(tgt)
     av, bv = pc.is_valid(a), pc.is_valid(b)
     out = [pa.table({"a": a, "b": b}).filter(pc.and_(av, bv))]
     a_only = pc.and_(av, pc.invert(bv))

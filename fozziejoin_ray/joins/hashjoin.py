@@ -58,9 +58,22 @@ def _schema_or(ds: rd.Dataset, override: pa.Schema | None, side: str) -> pa.Sche
 
 def _hash_mod_many(cols: list[pa.ChunkedArray | pa.Array], p: int) -> np.ndarray:
     """Fold per-column row hashes into one partition id (single-column
-    case degenerates to the plain ``hash % p`` used since round 2)."""
+    case degenerates to the plain ``hash % p`` used since round 2).
+
+    Integer/boolean columns are null-filled BEFORE the numpy
+    conversion: a single null used to flip the whole column to float64
+    (NaN), so the same key value hashed differently on a side whose
+    batch happened to contain a null and matching rows landed in
+    different partitions (latent since round 2, surfaced by the
+    hypothesis fuzz). Null keys never match, so their own placement is
+    arbitrary — only the dtype stability of the NON-null values
+    matters."""
+    import pyarrow.compute as pc
+
     h = np.zeros(0, dtype=np.uint64)
     for col in cols:
+        if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
+            col = pc.fill_null(col, 0)
         vals = col.to_numpy(zero_copy_only=False)
         hc = pd.util.hash_array(np.asarray(vals), categorize=False)
         h = hc if not len(h) else (h * np.uint64(1000003)) ^ hc
@@ -125,14 +138,19 @@ def hash_join(
     r2l = dict(zip(rkeys, lkeys))
 
     def prep(side: int, key_map: dict[str, str]):
-        # key_map: unified (left) key name -> source column on this side
+        # key_map: unified (left) key name -> source column on this side.
+        # Columns already consumed as keys must not ALSO be read as
+        # payload: a right key named like a left payload column would
+        # otherwise leak its values into that slot (or crash casting)
+        consumed = set(key_map.values())
+
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
             cols: dict[str, pa.Array | pa.ChunkedArray] = {}
             for name, typ in all_fields:
                 if name in key_map and key_map[name] in t.column_names:
                     cols[name] = t[key_map[name]].cast(key_types[name])
-                elif name in t.column_names:
+                elif name in t.column_names and name not in consumed:
                     col = t[name]
                     # upstream stages can emit degraded block dtypes for
                     # empty/all-null batches (e.g. arrow `null` from an

@@ -636,20 +636,6 @@ def kmeans_embeddings(
     return out
 
 
-def _local_components(n: int, li: np.ndarray, ri: np.ndarray) -> np.ndarray:
-    """Connected-component label (min member index) per node 0..n-1 given
-    undirected edges (li, ri) — vectorized min-label propagation to
-    fixpoint, no per-edge Python."""
-    lab = np.arange(n, dtype=np.int64)
-    while True:
-        m = np.minimum(lab[li], lab[ri])
-        before = lab.copy()
-        np.minimum.at(lab, li, m)
-        np.minimum.at(lab, ri, m)
-        lab = lab[lab]  # pointer-jump: compress one level per round
-        if np.array_equal(lab, before):
-            return lab
-
 
 def semdedup(
     ds: rd.Dataset,
@@ -718,7 +704,9 @@ def semdedup(
                 lis.append(li[m] + s)
                 ris.append(ri[m])
         if lis:
-            lab = _local_components(n, np.concatenate(lis), np.concatenate(ris))
+            from ..cluster.union_find import _min_label_cc
+
+            lab = _min_label_cc(np.concatenate(lis), np.concatenate(ris), n)
         else:
             lab = np.arange(n, dtype=np.int64)
         grp = ids[lab]

@@ -1694,34 +1694,6 @@ def lsh_fused_edges(
     )
 
 
-def _dedup_scored_edges(scored: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    """One row per (a, b): a pair that agreed in k bands was scored k
-    times (same value pair -> identical score). Hash-partition on the
-    pair and drop_duplicates per partition (Ray's multi-column sort
-    aggregate is far more expensive than this single int-keyed
-    exchange)."""
-    import pandas as pd
-
-    def add_pp(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
-        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
-        h = pd.util.hash_array(
-            np.asarray(a.to_numpy(zero_copy_only=False)), categorize=False
-        ) * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(
-            np.asarray(b.to_numpy(zero_copy_only=False)), categorize=False
-        )
-        return t.append_column("__pp", pa.array((h % num_partitions).astype(np.int64)))
-
-    def dedup_part(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.drop_duplicates(["a", "b"]).drop(columns=["__pp"])
-
-    return (
-        scored.map_batches(add_pp, batch_format="pyarrow")
-        .groupby("__pp")
-        .map_groups(dedup_part, batch_format="pandas")
-    )
-
-
 _INDEX_CACHE: dict = {}
 
 
@@ -2071,9 +2043,10 @@ def cross_neardup_pairs(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if bands is None:
-        # the measured rule above: near-boundary-exact 32-band r=2 only
-        # when the threshold needs it; r=4 everywhere else
-        bands = 32 if threshold < 0.7 else 16
+        # the measured rule above, expressed in rows-per-band so a
+        # non-default num_perm keeps the intended recall regime:
+        # r=2 (near-boundary-exact) below 0.7, r=4 at and above
+        bands = max(1, num_perm // (2 if threshold < 0.7 else 4))
     edges = lsh_fused_edges(
         left,
         text_col,

@@ -294,9 +294,10 @@ def group_hll_distinct(
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
     def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        # keep NULL-value rows for GROUPING (a key whose values are all
+        # NULL must surface with estimate 0, matching the exact sibling
+        # group_count_distinct); mask them out of the register math only
         df = df[keys + [col]]
-        ok = df[col].notna()
-        df = df[ok] if not ok.all() else df
         if not len(df):
             out = pd.DataFrame({k: df[k] for k in keys})
             out["__reg"] = pd.Series([], dtype=object)
@@ -313,13 +314,14 @@ def group_hll_distinct(
         # representative row per key tuple for the output key columns
         first = np.zeros(n_groups, dtype=np.int64)
         first[codes[::-1]] = np.arange(len(df))[::-1]
-        h = pd.util.hash_array(df[col].to_numpy(), categorize=False)
+        valid = df[col].notna().to_numpy()
+        h = pd.util.hash_array(df[col].to_numpy()[valid], categorize=False)
         idx = (h >> shift).astype(np.int64)
         w = (h & mask).astype(np.uint64)
         _, e = np.frexp(w.astype(np.float64))
         rank = np.where(w > 0, wbits - e + 1, wbits + 1).astype(np.uint8)
         regs = np.zeros((n_groups, m), dtype=np.uint8)
-        np.maximum.at(regs.reshape(-1), codes * m + idx, rank)
+        np.maximum.at(regs.reshape(-1), codes[valid] * m + idx, rank)
         out = df.iloc[first][keys].reset_index(drop=True)
         out["__reg"] = [r.tobytes() for r in regs]
         # group on an int64 key hash: Ray's sort-shuffle cannot order

@@ -292,3 +292,37 @@ def test_hash_join_fuzz_vs_pandas(lk, rk, how, nparts):
         key=key,
     )
     assert got == exp, (how, lk, rk)
+
+
+def test_null_bearing_int_keys_partition_consistently():
+    """Regression (found by the fuzz): one null in an int64 key column
+    used to flip the batch to float64 at hashing, so value 1 hashed as
+    1.0 on one side and 1 on the other and the match was lost across
+    partitions."""
+    lt = pa.table(
+        {"lk": pa.array([None, 1], pa.int64()), "lv": pa.array(["l0", "l1"], pa.string())}
+    )
+    rt = pa.table({"rk": pa.array([1], pa.int64()), "rv": pa.array(["r0"], pa.string())})
+    out = hash_join(
+        rd.from_arrow(lt), rd.from_arrow(rt), "lk", "rk", how="inner",
+        num_partitions=3, left_schema=lt.schema, right_schema=rt.schema,
+    ).take_all()
+    assert [(d["lk"], d["lv"], d["rv"]) for d in out] == [(1, "l1", "r0")]
+
+
+def test_right_key_sharing_left_payload_name():
+    """Regression: a right KEY named like a left PAYLOAD column must go
+    into the unified key slot, not leak into (or crash casting to) the
+    left payload slot."""
+    lt = pa.table(
+        {"id": pa.array(["x", "y"], pa.string()), "b": pa.array([10, 20], pa.int64())}
+    )
+    rt = pa.table(
+        {"b": pa.array(["y"], pa.string()), "w": pa.array([7], pa.int64())}
+    )
+    out = hash_join(
+        rd.from_arrow(lt), rd.from_arrow(rt), "id", "b", how="left_outer",
+        num_partitions=2, left_schema=lt.schema, right_schema=rt.schema,
+    ).take_all()
+    rows = {d["id"]: (d["b"], d["w"]) for d in out}
+    assert rows == {"x": (10, None), "y": (20, 7)}

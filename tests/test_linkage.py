@@ -359,3 +359,26 @@ def test_partition_granular_resume(docs_and_labels, tmp_path):
     man2.run_stage_partitioned("edges", fp2, P, spy_build)
     assert calls and set(calls[0]) == set(range(P))
     assert all(fp2 in fn for fn in os.listdir(dst_dir))
+
+
+def test_connected_components_mixed_endpoint_types_with_null():
+    """Regression: src=int64 / dst=float64-with-null (the pandas
+    null-promotion shape) crashed the self-loop rewrite concat with
+    mismatched schemas; endpoints now promote to a common node type."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fozziejoin_ray.cluster.union_find import connected_components
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 5], pa.int64()),
+                "b": pa.array([2.0, 3.0, None], pa.float64()),
+            }
+        )
+    )
+    out = {r["node"]: r["cluster"] for r in connected_components(edges, "a", "b").take_all()}
+    # {1,2,3} one component; 5 survives as its own node via the rewrite
+    assert out[1.0] == out[2.0] == out[3.0]
+    assert out[5.0] == 5.0 and out[5.0] != out[1.0]
