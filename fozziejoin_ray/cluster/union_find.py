@@ -75,6 +75,25 @@ def _min_label_cc(ea: np.ndarray, eb: np.ndarray, n: int) -> np.ndarray:
     return total
 
 
+def _common_node_type(at: pa.DataType, bt: pa.DataType) -> pa.DataType:
+    """Promotion rule for mismatched edge-endpoint types. Integer pairs
+    promote to int64 unless either side is uint64 (values above 2^63
+    would make the cast raise); every other mix — float-with-int
+    included — promotes to STRING: an int->float64 cast silently merges
+    distinct ids above 2^53 (ADVICE r4), and node identity must never
+    be lossy."""
+    if at == bt:
+        return at
+    if (
+        pa.types.is_integer(at)
+        and pa.types.is_integer(bt)
+        and at != pa.uint64()
+        and bt != pa.uint64()
+    ):
+        return pa.int64()
+    return pa.string()
+
+
 def _normalize_edge_table(t: pa.Table, a_col: str, b_col: str) -> pa.Table:
     """Engine NA rule applied to edges: a null endpoint never asserts
     connectivity, but the non-null endpoint must still surface as a
@@ -90,12 +109,7 @@ def _normalize_edge_table(t: pa.Table, a_col: str, b_col: str) -> pa.Table:
         # promote to a common node type: the self-loop rewrite tables
         # put src values in the b slot (and vice versa), so mismatched
         # endpoint types would make the concat below raise
-        if pa.types.is_floating(a.type) or pa.types.is_floating(b.type):
-            tgt = pa.float64()
-        elif pa.types.is_integer(a.type) and pa.types.is_integer(b.type):
-            tgt = pa.int64()
-        else:
-            tgt = pa.string()
+        tgt = _common_node_type(a.type, b.type)
         a, b = a.cast(tgt), b.cast(tgt)
     av, bv = pc.is_valid(a), pc.is_valid(b)
     out = [pa.table({"a": a, "b": b}).filter(pc.and_(av, bv))]
@@ -330,9 +344,17 @@ def connected_components(
     """
     edges = edges.materialize()
     esch = edges.schema()
-    node_type = dict(zip(esch.names, esch.types))[src] if esch is not None else None
-    if not isinstance(node_type, pa.DataType):
-        node_type = None  # pandas-backed blocks report numpy/python types
+    if esch is not None:
+        by_name = dict(zip(esch.names, esch.types))
+        st_, dt_ = by_name[src], by_name[dst]
+        if isinstance(st_, pa.DataType) and isinstance(dt_, pa.DataType):
+            # mismatched endpoint types promote inside
+            # _normalize_edge_table — the output node type must match
+            node_type = _common_node_type(st_, dt_)
+        else:
+            node_type = None  # pandas-backed blocks report numpy types
+    else:
+        node_type = None
     n = edges.count()
     if driver_threshold is not None and n <= driver_threshold:
         return _driver_union_find_batches(

@@ -102,5 +102,7 @@ def pack_sequences_sql(table: str, text_expr: str, id_col: str, seq_len: int) ->
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pre
           FROM tc
         )
-        SELECT {id_col}, n_tokens, pre // {seq_len} AS seq_id, pre % {seq_len} AS seq_pos
+        SELECT {id_col}, n_tokens,
+               CAST(pre // {seq_len} AS BIGINT) AS seq_id,
+               CAST(pre % {seq_len} AS BIGINT) AS seq_pos
         FROM c"""

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..kernels.stablehash import stable_col_hash, stable_row_hash
 from .lm import _flat_tokens
 
 
@@ -208,11 +209,14 @@ def hll_count_distinct(
     mask = np.uint64((1 << wbits) - 1)
 
     def partial(t: pa.Table) -> pa.Table:
-        vals = t.column(col).to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(np.asarray(vals), categorize=False)
-        # drop nulls AFTER hashing is wrong (hash(None) is a value);
-        # mask them out first, SQL COUNT(DISTINCT) semantics
-        valid = ~pd.isna(vals)
+        s = t.column(col).to_pandas()
+        # dtype-stable value hash (stablehash.py): the raw to_numpy path
+        # hashed an int64 batch and a null-degraded float64 batch of the
+        # same value differently, inflating estimates (ADVICE r4).
+        # Nulls are masked AFTER hashing by position — SQL
+        # COUNT(DISTINCT) ignores them
+        h = stable_col_hash(s)
+        valid = s.notna().to_numpy()
         h = h[valid]
         reg = np.zeros(m, dtype=np.uint8)
         if len(h):
@@ -315,7 +319,10 @@ def group_hll_distinct(
         first = np.zeros(n_groups, dtype=np.int64)
         first[codes[::-1]] = np.arange(len(df))[::-1]
         valid = df[col].notna().to_numpy()
-        h = pd.util.hash_array(df[col].to_numpy()[valid], categorize=False)
+        # dtype-stable value hash: hashing the raw block's numpy values
+        # gave the same value two hashes across batches (int64 block vs
+        # null-degraded float64 block), inflating estimates (ADVICE r4)
+        h = stable_col_hash(df[col])[valid]
         idx = (h >> shift).astype(np.int64)
         w = (h & mask).astype(np.uint64)
         _, e = np.frexp(w.astype(np.float64))
@@ -326,12 +333,12 @@ def group_hll_distinct(
         out["__reg"] = [r.tobytes() for r in regs]
         # group on an int64 key hash: Ray's sort-shuffle cannot order
         # None vs str; a hash collision only co-locates two tuples in
-        # one merge group, where the in-group groupby separates them
-        out["__gk"] = (
-            pd.util.hash_pandas_object(out[keys], index=False)
-            .to_numpy()
-            .view(np.int64)
-        )
+        # one merge group, where the in-group groupby separates them.
+        # The hash must be dtype-STABLE (stablehash.py): the raw-block
+        # hash_pandas_object sent key 7 (int64 block) and 7.0
+        # (null-degraded float64 block) to different merge groups,
+        # emitting duplicate output rows per key (ADVICE r4)
+        out["__gk"] = stable_row_hash(out, keys).view(np.int64)
         return out
 
     def merge(df: "pd.DataFrame") -> "pd.DataFrame":

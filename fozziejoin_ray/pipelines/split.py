@@ -267,16 +267,9 @@ def sample_per_group(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    def prune(t: pa.Table) -> pa.Table:
+    def _keep_k_per_run(srt: pa.Table) -> pa.Table:
         import pandas as pd
 
-        h = _rank_of(t.column(key_col), salt).astype(np.int64)
-        t2 = t.append_column("__spg_h", pa.array(h))
-        if t.num_rows <= k:
-            return t2
-        srt = t2.sort_by(
-            [(group_col, "ascending"), ("__spg_h", "ascending"), (key_col, "ascending")]
-        )
         g = srt.column(group_col).to_numpy(zero_copy_only=False)
         codes = pd.factorize(g, use_na_sentinel=False)[0]  # runs are contiguous
         new = np.r_[True, codes[1:] != codes[:-1]]
@@ -285,12 +278,36 @@ def sample_per_group(
         pos = np.arange(len(codes)) - np.repeat(starts, lens)
         return srt.filter(pa.array(pos < k))
 
+    def prune(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from fozziejoin_ray.kernels.stablehash import stable_col_hash
+
+        h = _rank_of(t.column(key_col), salt).astype(np.int64)
+        t2 = t.append_column("__spg_h", pa.array(h))
+        # exchange on a dtype-stable int64 group hash, not the raw group
+        # values: Ray's sort-shuffle cannot order None-vs-str groups and
+        # per-block dtype drift splits one group across exchange groups
+        # (the __gk pattern from sketch.group_hll_distinct; ADVICE r4).
+        # A hash collision only co-locates two groups — `final`
+        # re-separates by the actual group value
+        gk = stable_col_hash(t.column(group_col).to_pandas()).view(np.int64)
+        t2 = t2.append_column("__spg_gk", pa.array(gk))
+        if t.num_rows <= k:
+            return t2
+        srt = t2.sort_by(
+            [(group_col, "ascending"), ("__spg_h", "ascending"), (key_col, "ascending")]
+        )
+        return _keep_k_per_run(srt)
+
     def final(t: pa.Table) -> pa.Table:
-        srt = t.sort_by([("__spg_h", "ascending"), (key_col, "ascending")])
-        return srt.slice(0, k).drop_columns(["__spg_h"])
+        srt = t.sort_by(
+            [(group_col, "ascending"), ("__spg_h", "ascending"), (key_col, "ascending")]
+        )
+        return _keep_k_per_run(srt).drop_columns(["__spg_h", "__spg_gk"])
 
     cand = ds.map_batches(prune, batch_format="pyarrow")
-    return cand.groupby(group_col).map_groups(final, batch_format="pyarrow")
+    return cand.groupby("__spg_gk").map_groups(final, batch_format="pyarrow")
 
 
 def split_sql_expr(key_expr: str, ratios: dict[str, float], *, salt: str = "") -> str:

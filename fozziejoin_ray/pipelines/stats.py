@@ -145,7 +145,12 @@ def group_aggregate(
                 s = getattr(g[col], how)()
             cols[pc_] = s
         out = pd.DataFrame(cols).reset_index()
-        h = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
+        # dtype-stable key hash (see kernels/stablehash.py): a null in a
+        # block's int key column degraded the whole block to float64 and
+        # split one key tuple across __gp partitions
+        from fozziejoin_ray.kernels.stablehash import stable_row_hash
+
+        h = stable_row_hash(out, keys)
         out["__gp"] = (h % np.uint64(num_partitions)).astype(np.int64)
         return out
 
@@ -322,10 +327,16 @@ def group_count_distinct(
         raise ValueError("keys must name at least one grouping column")
 
     def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        from fozziejoin_ray.kernels.stablehash import stable_row_hash
+
         # keep NULL-col tuples too: a key whose values are all NULL must
         # still surface with count 0 (SQL GROUP BY emits the group)
         df = df[keys + [col]].drop_duplicates()
-        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        # dtype-STABLE tuple hash: hash_pandas_object on the raw block
+        # hashed int64 blocks differently from null-degraded float64
+        # blocks, splitting one distinct tuple across __cd partitions
+        # and double-counting it (ADVICE r4)
+        h = stable_row_hash(df)
         df = df.copy()
         df["__cd"] = (h % np.uint64(num_partitions)).astype(np.int64)
         return df

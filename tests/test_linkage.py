@@ -379,6 +379,10 @@ def test_connected_components_mixed_endpoint_types_with_null():
         )
     )
     out = {r["node"]: r["cluster"] for r in connected_components(edges, "a", "b").take_all()}
-    # {1,2,3} one component; 5 survives as its own node via the rewrite
-    assert out[1.0] == out[2.0] == out[3.0]
-    assert out[5.0] == 5.0 and out[5.0] != out[1.0]
+    # float-with-int endpoint mixes promote to STRING (a float64 cast
+    # would merge distinct ids above 2^53 — ADVICE r4); Arrow renders
+    # integral floats without the trailing ".0", so int 2 and float 2.0
+    # still name the same node. {1,2,3} one component; 5 survives as
+    # its own node via the self-loop rewrite
+    assert out["1"] == out["2"] == out["3"]
+    assert out["5"] == "5" and out["5"] != out["1"]
