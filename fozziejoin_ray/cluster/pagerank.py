@@ -16,11 +16,14 @@ formulation):
   driver-side (length N each, batches-many adds). Driver memory O(N)
   floats — the same bound as kmeans' centroid reduce, fine up to ~10^8
   nodes; the RANKS are what must fit, never the edges.
-- ``strategy="shuffle"`` (node set itself is web-scale): ranks live in a
-  Dataset, each iteration joins ranks onto edges by src (grace hash
-  join), pre-aggregates contributions per dst inside each batch, and
-  sums them with the combiner groupby — 2-3 exchanges per iteration, no
-  driver-side state beyond the dangling-mass scalar.
+- ``strategy="shuffle"`` (node set itself is web-scale): BSP over P
+  co-partitioned shard actors — edges routed ONCE by hash(src) so each
+  shard owns both the out-edges and the ranks of its nodes, distinct
+  destination-id lists traded once at setup, then each iteration moves
+  ONLY the P×P grid of pre-aggregated float contribution vectors plus
+  P dangling scalars (one exchange bounded by distinct (shard, dst)
+  pairs — the edge table never moves again). Replaced the r4 design of
+  2-3 grace hash joins per iteration.
 
 Float sums are partial-sum reassociations, so ranks are stable to ~1e-12
 but not bit-identical across partitionings; there is deliberately no SQL
@@ -157,93 +160,192 @@ def pagerank(
     )
 
 
+def _owner_of(ids: np.ndarray, nparts: int) -> np.ndarray:
+    """Deterministic owner partition per node id (object/str array) —
+    pd.util.hash_array's fixed-key hash, identical in every process."""
+    import pandas as pd
+
+    return (
+        pd.util.hash_array(np.asarray(ids, dtype=object), categorize=False)
+        % np.uint64(nparts)
+    ).astype(np.int64)
+
+
+@ray.remote
+class _PRPartition:
+    """One co-partitioned PageRank shard: owns all out-edges of nodes
+    with ``hash(node) % P == pid`` AND the ranks of those nodes, so a
+    full iteration needs exactly ONE exchange — the pre-aggregated
+    per-destination contribution vectors (pure float arrays, aligned to
+    id lists traded once at setup). Edge data never moves after
+    ingest."""
+
+    def __init__(self, pid: int, nparts: int):
+        self.pid, self.P = pid, nparts
+        self._tables: list = []
+
+    def add_edges(self, t: pa.Table) -> int:
+        self._tables.append(t)
+        return t.num_rows
+
+    def local_index(self):
+        """Encode the edge shard: factorize srcs (deg via bincount),
+        group edges by destination OWNER, factorize dsts within each
+        owner group. Returns the P distinct-dst-id lists (one per
+        owner) — the only id exchange; later iterations trade only
+        float vectors aligned to these lists."""
+        import pandas as pd
+
+        if self._tables:
+            t = pa.concat_tables(self._tables)
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            s = np.array([], dtype=object)
+            d = np.array([], dtype=object)
+        self._tables = None  # raw tables no longer needed
+        self.src_code, self.src_ids = pd.factorize(s, sort=False)
+        self.deg = np.bincount(self.src_code, minlength=len(self.src_ids)).astype(
+            np.float64
+        )
+        owner = _owner_of(d, self.P) if len(d) else np.zeros(0, np.int64)
+        order = np.argsort(owner, kind="stable")
+        bounds = np.searchsorted(owner[order], np.arange(self.P + 1))
+        self.grp_src = []  # per-owner: src codes of its edges
+        self.grp_dst = []  # per-owner: dst codes into dst_ids[j]
+        self.grp_size = []  # per-owner: distinct dst count
+        dst_lists = []
+        for j in range(self.P):
+            sl = order[bounds[j] : bounds[j + 1]]
+            codes, ids = pd.factorize(d[sl], sort=False)
+            self.grp_src.append(self.src_code[sl])
+            self.grp_dst.append(codes)
+            self.grp_size.append(len(ids))
+            dst_lists.append(np.asarray(ids, dtype=object))
+        return dst_lists if self.P > 1 else dst_lists[0]
+
+    def register_nodes(self, *incoming) -> int:
+        """Own every node in src_ids ∪ (dst lists other shards routed
+        here); precompute position maps so incoming contribution
+        vectors scatter by integer index forever after."""
+        import pandas as pd
+
+        incoming = [
+            np.asarray(v[0] if isinstance(v, list) and self.P == 1 else v, dtype=object)
+            for v in incoming
+        ]
+        allids = np.concatenate([np.asarray(self.src_ids, dtype=object)] + incoming)
+        codes, uniq = pd.factorize(allids, sort=False)
+        self.node_ids = np.asarray(uniq, dtype=object)
+        index = pd.Index(self.node_ids)
+        self.src_pos = index.get_indexer(self.src_ids).astype(np.int64)
+        self.maps = [index.get_indexer(v).astype(np.int64) for v in incoming]
+        self.has_out = np.zeros(len(self.node_ids), dtype=bool)
+        self.has_out[self.src_pos] = True
+        return len(self.node_ids)
+
+    def init_ranks(self, n: int) -> float:
+        self.n = n
+        self.rank = np.full(len(self.node_ids), 1.0 / n, dtype=np.float64)
+        return float(self.rank[~self.has_out].sum())
+
+    def contribs(self):
+        """Per-destination-owner contribution vectors from the CURRENT
+        ranks — vec[j] aligns to the dst id list traded at setup
+        (factorize codes are dense, so max code + 1 == list length)."""
+        ws = self.rank[self.src_pos] / np.maximum(self.deg, 1.0)
+        out = []
+        for j in range(self.P):
+            vec = np.zeros(self.grp_size[j], dtype=np.float64)
+            np.add.at(vec, self.grp_dst[j], ws[self.grp_src[j]])
+            out.append(vec)
+        return out if self.P > 1 else out[0]
+
+    def apply(self, add_term: float, damping: float, *vecs) -> float:
+        """rank_new = add_term + damping * contrib; returns the shard's
+        new dangling mass (ranks of owned nodes with no out-edges)."""
+        contrib = np.zeros(len(self.node_ids), dtype=np.float64)
+        for k, v in enumerate(vecs):
+            v = np.asarray(v[0] if isinstance(v, list) and self.P == 1 else v)
+            if len(v):
+                contrib[self.maps[k]] += v  # maps[k] aligns 1:1 with v
+        self.rank = add_term + damping * contrib
+        return float(self.rank[~self.has_out].sum())
+
+    def result(self, round_to: int) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(self.node_ids, pa.string()),
+                "rank": pa.array(np.round(self.rank, round_to)),
+            }
+        )
+
+
 def _pagerank_shuffle(
     e, nodes, damping, iters, num_partitions, round_to
 ) -> rd.Dataset:
-    """Web-scale path: ranks as a Dataset, 2 exchanges per iteration
-    (``e`` is the caller's materialized cleaned string edge table)."""
-    from ..joins.hashjoin import hash_join
-    from ..pipelines.stats import group_aggregate
+    """Web-scale path: BSP over co-partitioned shard actors.
 
+    Setup (once): edges stream through one routing pass into P actors
+    by hash(src) — so each shard owns the full out-edge list AND the
+    rank of every node it is responsible for — then one id exchange
+    trades the distinct destination lists and builds integer scatter
+    maps. Per ITERATION the only data movement is the P×P grid of
+    pre-aggregated float contribution vectors (one per shard pair,
+    already summed per destination) plus P dangling scalars: a single
+    exchange whose volume is bounded by the distinct (shard, dst)
+    pairs, never the edge count. Replaces the r4 design of 2-3 grace
+    hash joins per iteration (~21 s/iter fixed cost on the sf0.1
+    bench graph; see BASELINE.md round-5 A/B).
+
+    Driver state: O(P) scalars/refs per iteration — ranks stay sharded,
+    matching the strategy's reason to exist (node sets beyond the
+    broadcast path's O(N) driver vector)."""
     n = len(nodes)
-    # degrees are iteration-invariant: materialize so the per-iteration
-    # dangling-mass pass never re-runs the aggregate over all edges
-    degrees = group_aggregate(
-        e, ["s"], {"deg": ("count", "*")}, num_partitions=num_partitions
-    ).materialize()
-    # group_aggregate emits pandas blocks (numpy dtypes in Ray's schema
-    # report) — give the joins explicit Arrow schemas
-    dschema = pa.schema([("s", pa.string()), ("deg", pa.int64())])
-    ewd = hash_join(
-        e, degrees, "s", "s", how="inner", num_partitions=num_partitions,
-        right_schema=dschema,
-    ).materialize()
+    P = max(1, int(num_partitions))
+    # num_cpus=0: shard actors are idle between BSP phases; reserving P
+    # full CPUs would deadlock the ingest Dataset tasks on small boxes.
+    # On a real cluster give them dedicated resources via scheduling
+    # strategy instead.
+    actors = [_PRPartition.options(num_cpus=0).remote(i, P) for i in range(P)]
 
-    node_ds = rd.from_arrow(pa.table({"node": nodes})).materialize()
-    ranks = rd.from_arrow(
-        pa.table({"node": nodes, "rank": pa.array(np.full(n, 1.0 / n))})
-    ).materialize()
-    rschema = pa.schema([("node", pa.string()), ("rank", pa.float64())])
-    cschema = pa.schema([("d", pa.string()), ("contrib", pa.float64())])
-    nschema = pa.schema([("node", pa.string())])
-    # the no-out-edge node set never changes: compute it once
-    dang_nodes = hash_join(
-        node_ds, degrees, "node", "s", how="left_anti",
-        num_partitions=num_partitions, left_schema=nschema,
-        right_schema=dschema,
-    ).materialize()
+    def route(t: pa.Table) -> pa.Table:
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        owner = _owner_of(s, P)
+        refs = []
+        for j in np.unique(owner):
+            refs.append(actors[j].add_edges.remote(t.filter(pa.array(owner == j))))
+        ray.get(refs)  # ingest complete when the routing pass finishes
+        return pa.table({"ok": pa.array([len(refs)], pa.int64())})
 
-    for it in range(iters):
-        joined = hash_join(
-            ewd, ranks, "s", "node", how="inner",
-            num_partitions=num_partitions, right_schema=rschema,
-        )
+    e.map_batches(route, batch_format="pyarrow").count()
 
-        def partial(t: pa.Table) -> pa.Table:
-            import pandas as pd
+    if P > 1:
+        lists = [a.local_index.options(num_returns=P).remote() for a in actors]
+        counts = [
+            actors[j].register_nodes.remote(*[lists[k][j] for k in range(P)])
+            for j in range(P)
+        ]
+    else:
+        lists = [actors[0].local_index.remote()]
+        counts = [actors[0].register_nodes.remote(lists[0])]
+    owned = sum(ray.get(counts))
+    assert owned == n, f"shard node ownership {owned} != node count {n}"
 
-            d = t["d"].to_pandas()
-            w = (
-                t["rank"].to_numpy(zero_copy_only=False)
-                / t["deg"].to_numpy(zero_copy_only=False)
-            )
-            g = pd.Series(w).groupby(d.values, sort=False).sum()
-            return pa.table(
-                {"d": pa.array(g.index.astype(str)), "contrib": pa.array(g.to_numpy())}
-            )
+    dangling = sum(ray.get([a.init_ranks.remote(n) for a in actors]))
+    for _ in range(iters):
+        add_term = (1.0 - damping) / n + damping * dangling / n
+        if P > 1:
+            grid = [a.contribs.options(num_returns=P).remote() for a in actors]
+            newd = [
+                actors[j].apply.remote(
+                    add_term, damping, *[grid[k][j] for k in range(P)]
+                )
+                for j in range(P)
+            ]
+        else:
+            vec = actors[0].contribs.remote()
+            newd = [actors[0].apply.remote(add_term, damping, vec)]
+        dangling = sum(ray.get(newd))
 
-        contribs = group_aggregate(
-            joined.map_batches(partial, batch_format="pyarrow"),
-            ["d"],
-            {"contrib": ("sum", "contrib")},
-            num_partitions=num_partitions,
-        )
-        # dangling mass: ranks of the (static) no-out-edge node set
-        no_out = hash_join(
-            dang_nodes, ranks, "node", "node", how="inner",
-            num_partitions=num_partitions,
-            left_schema=nschema, right_schema=rschema,
-        )
-        dangling = 0.0
-        for b in no_out.iter_batches(batch_size=None, batch_format="pyarrow"):
-            dangling += float(pc.sum(b["rank"]).as_py() or 0.0)
-
-        merged = hash_join(
-            node_ds, contribs, "node", "d", how="left_outer",
-            num_partitions=num_partitions, right_schema=cschema,
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
-
-        def update(t: pa.Table) -> pa.Table:
-            c = pc.fill_null(t["contrib"], 0.0)
-            r = pc.add(pc.multiply(c, pa.scalar(damping)), pa.scalar(base))
-            return pa.table({"node": t["node"], "rank": r})
-
-        ranks = merged.map_batches(update, batch_format="pyarrow").materialize()
-
-    def final(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"node": t["node"], "rank": pc.round(t["rank"], ndigits=round_to)}
-        )
-
-    return ranks.map_batches(final, batch_format="pyarrow")
+    return rd.from_arrow_refs([a.result.remote(round_to) for a in actors])
