@@ -637,6 +637,70 @@ def kmeans_embeddings(
 
 
 
+@ray.remote
+def _semdedup_tile_edges(ta: pa.Table, tb, threshold: float, cfg: dict) -> pa.Table:
+    """Spanning-forest dup edges of one tile pair (tb None = the
+    diagonal tile): per-task compute/memory bounded by tile_rows^2, and
+    the OUTPUT bounded by the tile's vertex count — a spanning forest
+    of the local >= threshold subgraph carries full connectivity, so an
+    all-duplicate giant cluster emits O(rows) edges per task instead of
+    O(rows^2) pairs."""
+    from ..cluster.union_find import _min_label_cc
+
+    id_col, embed_col, dtype = cfg["id_col"], cfg["embed_col"], cfg["dtype"]
+    Xa = _normalize(_embed_matrix(ta, embed_col, dtype))
+    ia = ta[id_col].to_numpy(zero_copy_only=False)
+    if tb is None:
+        sims = Xa @ Xa.T
+        li, ri = np.nonzero(sims >= threshold)
+        m = li < ri
+        ea, eb = li[m], ri[m]
+        ids = ia
+    else:
+        Xb = _normalize(_embed_matrix(tb, embed_col, dtype))
+        ib = tb[id_col].to_numpy(zero_copy_only=False)
+        sims = Xa @ Xb.T
+        li, ri = np.nonzero(sims >= threshold)
+        ea, eb = li, ri + len(ia)
+        ids = np.concatenate([ia, ib])
+    idt = ta.schema.field(id_col).type
+    if not len(ea):
+        return pa.table({"a": pa.array([], idt), "b": pa.array([], idt)})
+    lab = _min_label_cc(ea.astype(np.int64), eb.astype(np.int64), len(ids))
+    mask = lab != np.arange(len(ids))
+    return pa.table(
+        {
+            "a": pa.array(ids[lab[mask]], idt),
+            "b": pa.array(ids[mask], idt),
+        }
+    )
+
+
+@ray.remote
+def _semdedup_map_tile(
+    t: pa.Table, map_ids: np.ndarray, map_grps: np.ndarray, cfg: dict
+) -> pa.Table:
+    """Label one tile of a giant cluster from the (sorted id ->
+    component-min-id) map: ids absent from the map are singletons."""
+    id_col = cfg["id_col"]
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    idt = t.schema.field(id_col).type
+    grp = ids.copy()
+    if len(map_ids):
+        pos = np.searchsorted(map_ids, ids)
+        pos[pos == len(map_ids)] = 0
+        hit = map_ids[pos] == ids
+        grp[hit] = map_grps[pos[hit]]
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "cluster": t["cluster"],
+            "dup_group": pa.array(grp, idt),
+            "keep": pa.array(grp == ids),
+        }
+    )
+
+
 def semdedup(
     ds: rd.Dataset,
     *,
@@ -647,6 +711,7 @@ def semdedup(
     seed: int = 42,
     threshold: float = 0.95,
     dtype=np.float64,
+    pair_budget: int | None = 4_000_000,
 ) -> rd.Dataset:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
     over the embedding column, then WITHIN each cluster drop all but one
@@ -662,12 +727,22 @@ def semdedup(
     partial rows); the dedup is ONE cluster-keyed exchange and a
     per-cluster chunked gram matrix + vectorized min-label components —
     the cluster IS the blocking key, which is the point of SemDeDup:
-    only same-cluster pairs are ever scored. A skewed/giant cluster
-    bounds memory via the chunked gram but stays O(|c|^2) compute —
-    raise ``n_clusters`` to shrink clusters (the paper runs k ~ sqrt(N)).
-    No SQL oracle (iterative k-means is not SQL-expressible); pytest
-    verifies the per-cluster dedup against a brute NumPy reference on
-    the same assignments."""
+    only same-cluster pairs are ever scored.
+
+    Giant-cluster cap (``pair_budget``): a skewed cluster whose
+    |c|^2 exceeds the budget no longer runs as one straggler task —
+    its rows tile into ~sqrt(pair_budget)-row blocks held once in the
+    object store, every tile pair is one bounded task emitting a
+    SPANNING FOREST of its local >= threshold subgraph (output O(tile
+    rows), never O(pairs)), and the driver resolves the component ->
+    min-id map from those forest edges (O(|c|) driver memory, the same
+    bound as the broadcast paths). Keeper semantics are unchanged:
+    identical components, min id keeps. ``pair_budget=None`` restores
+    the single-task-per-cluster path. No SQL oracle (iterative k-means
+    is not SQL-expressible); pytest verifies the per-cluster dedup
+    against a brute NumPy reference on the same assignments and the
+    tiled path against the untiled one on an adversarial giant
+    cluster."""
     proj = ds.select_columns([id_col, embed_col])
     assigned, cents = kmeans_embeddings(
         proj, embed_col=embed_col, id_col=id_col, k=n_clusters, iters=iters,
@@ -721,8 +796,95 @@ def semdedup(
             }
         )
 
-    return (
-        proj.map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster")
-        .map_groups(dedup_cluster, batch_format="pyarrow")
-    )
+    assigned_ds = proj.map_batches(assign, batch_format="pyarrow")
+    if pair_budget is None:
+        return assigned_ds.groupby("cluster").map_groups(
+            dedup_cluster, batch_format="pyarrow"
+        )
+
+    import math
+
+    tile_rows = max(256, math.isqrt(int(pair_budget)))
+    assigned_ds = assigned_ds.materialize()
+    sizes = np.zeros(n_clusters, dtype=np.int64)
+    for b in assigned_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array(
+                    np.bincount(
+                        t["cluster"].to_numpy(zero_copy_only=False),
+                        minlength=n_clusters,
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        sizes += b["n"].to_numpy(zero_copy_only=False)
+    giant = {int(c) for c in np.nonzero(sizes > tile_rows)[0]}
+    if not giant:
+        return assigned_ds.groupby("cluster").map_groups(
+            dedup_cluster, batch_format="pyarrow"
+        )
+
+    giant_arr = np.array(sorted(giant), dtype=np.int64)
+
+    def _split(keep_giant: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            c = t["cluster"].to_numpy(zero_copy_only=False)
+            m = np.isin(c, giant_arr)
+            return t.filter(pa.array(m if keep_giant else ~m))
+
+        return fn
+
+    import pandas as pd
+
+    from ..cluster.union_find import _min_label_cc
+
+    cfg = {"id_col": id_col, "embed_col": embed_col, "dtype": dtype}
+    outs = []
+    if int(sizes.sum()) > int(sizes[giant_arr].sum()):  # any non-giant rows
+        outs.append(
+            assigned_ds.map_batches(_split(False), batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pyarrow")
+        )
+    for c in sorted(giant):
+        rows_c = assigned_ds.map_batches(
+            lambda t, cc=c: t.filter(
+                pa.array(t["cluster"].to_numpy(zero_copy_only=False) == cc)
+            ),
+            batch_format="pyarrow",
+        )
+        tiles = rows_c.repartition(
+            max(1, math.ceil(int(sizes[c]) / tile_rows))
+        ).materialize()
+        refs = tiles.to_arrow_refs()
+        futs = []
+        for i in range(len(refs)):
+            futs.append(_semdedup_tile_edges.remote(refs[i], None, threshold, cfg))
+            for j in range(i + 1, len(refs)):
+                futs.append(
+                    _semdedup_tile_edges.remote(refs[i], refs[j], threshold, cfg)
+                )
+        edges = pa.concat_tables(ray.get(futs))
+        if edges.num_rows:
+            a = edges["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = edges["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(np.concatenate([a, b]), sort=False)
+            lab = _min_label_cc(codes[: len(a)], codes[len(a):], len(uniq))
+            u = pd.Series(uniq)
+            rep = u.groupby(lab, sort=False).transform("min").to_numpy()
+            order = np.argsort(uniq, kind="stable")
+            map_ids, map_grps = np.asarray(uniq)[order], rep[order]
+        else:
+            map_ids = map_grps = np.empty(0, dtype=object)
+        out_refs = [
+            _semdedup_map_tile.remote(r, map_ids, map_grps, cfg) for r in refs
+        ]
+        outs.append(rd.from_arrow_refs(out_refs))
+
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

@@ -794,6 +794,27 @@ def _ws_grams(parents: np.ndarray, toks: np.ndarray, n: int):
     return np.nonzero(valid)[0].astype(np.int64), g[valid].astype(object)
 
 
+def _rebuild_from_coverage(
+    t: pa.Table, idc, parents, toks, ntok, covered, id_col: str
+) -> pa.Table:
+    """Shared tail of both dup-span strategies: turn the +1/-1 coverage
+    difference array into the kept-token rebuild."""
+    keep = np.cumsum(covered[:-1]) == 0
+    kept_per_doc = np.bincount(parents[keep], minlength=t.num_rows).astype(np.int64)
+    values = pa.array(toks[keep], pa.string())
+    offs = np.r_[0, np.cumsum(kept_per_doc)]
+    la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
+    texts = pc.binary_join(la, pa.scalar(" ", pa.string()))
+    return pa.table(
+        {
+            id_col: idc,
+            "text_dedup": texts,
+            "n_kept": pa.array(kept_per_doc),
+            "n_removed": pa.array(ntok - kept_per_doc),
+        }
+    )
+
+
 def remove_dup_spans(
     ds: rd.Dataset,
     *,
@@ -802,6 +823,8 @@ def remove_dup_spans(
     n: int = 5,
     min_count: int = 2,
     num_partitions: int = 32,
+    strategy: str = "auto",
+    max_broadcast_hashes: int = 32_000_000,
 ) -> rd.Dataset:
     """Lee et al. 2022-style duplicate-span REMOVAL: drop every token
     that lies inside any word ``n``-gram occurring at least
@@ -816,18 +839,32 @@ def remove_dup_spans(
     the same convention as pipelines/chunk.py — and rebuilds documents
     from the uncovered tokens.
 
-    Scale shape: one materialize (two passes over the input), ONE
+    Scale shape: one materialize (two passes over the input) and ONE
     gram-keyed exchange of per-batch partial (gram, count) rows to get
-    exact global occurrence counts, then a shuffle-free rewrite pass.
-    The >= min_count gram set returns to the driver as 64-bit hashes
-    and broadcasts via ``ray.put`` (the decontaminate pattern): dup
-    grams are a thin tail of the gram space, but at extreme corpus
-    sizes where even that set outgrows driver memory the gram->(doc,
-    pos) join-back layout (dup_ngram_frac's exchange) is the fallback —
-    documented, not implemented. Hash membership admits a false
-    positive only on a 64-bit collision between a dup and a non-dup
-    gram (~#grams^2 / 2^64; immaterial, and an error only ever REMOVES
-    an extra span, never resurrects one).
+    exact global occurrence counts, shared by every strategy. Then:
+
+    - ``strategy="broadcast"``: the >= min_count gram set returns to
+      the driver as 64-bit hashes and broadcasts via ``ray.put`` (the
+      decontaminate pattern) into a shuffle-free rewrite pass. Bounded
+      by the dup-set fitting the driver/object store.
+    - ``strategy="shuffle"``: NOTHING data-sized touches the driver —
+      gram occurrences ``(gh, id, doc-relative start)`` semi-join the
+      (distributed) dup-hash set by gram hash (grace hash join, the
+      decontaminate_shuffle tier), collapse to one span-start list per
+      document, and join back onto the input for the rewrite. Costs
+      two more exchanges (occurrences + the doc join-back) — the price
+      of unbounded dup sets.
+    - ``strategy="auto"`` (default): counts the dup-hash set (already
+      materialized for both paths) and picks broadcast iff it is at
+      most ``max_broadcast_hashes`` (8 bytes each; the default 32M =
+      256 MB per node).
+
+    Both strategies are value-identical by construction: they consume
+    the same dup-hash set and mark the same spans (pytest forces both
+    paths on the same corpus). Hash membership admits a false positive
+    only on a 64-bit collision between a dup and a non-dup gram
+    (~#grams^2 / 2^64; immaterial, and an error only ever REMOVES an
+    extra span, never resurrects one) — identical in both strategies.
     """
     import pandas as pd
     import ray
@@ -836,6 +873,10 @@ def remove_dup_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast' or 'shuffle', got {strategy!r}"
+        )
     ds = ds.materialize()
 
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -851,18 +892,33 @@ def remove_dup_spans(
 
     def dup_hashes(df: "pd.DataFrame") -> "pd.DataFrame":
         if not len(df):
-            return pd.DataFrame({"gh": pd.Series([], dtype=np.uint64)})
+            return pd.DataFrame({"gh": pd.Series([], dtype=np.int64)})
         tot = df.groupby("gram", sort=False)["c"].sum()
         dup = tot[tot >= min_count].index.to_numpy(dtype=object)
-        return pd.DataFrame({"gh": _gram_hashes(dup)})
+        return pd.DataFrame({"gh": _gram_hashes(dup).view(np.int64)})
 
-    dup_tbl = (
+    dup_h = (
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("__gp")
         .map_groups(dup_hashes, batch_format="pandas")
-        .take_all()
+        .materialize()
     )
-    dup_set = np.sort(np.array([r["gh"] for r in dup_tbl], dtype=np.uint64))
+    if strategy == "auto":
+        strategy = "broadcast" if dup_h.count() <= max_broadcast_hashes else "shuffle"
+    if strategy == "shuffle":
+        return _remove_dup_spans_shuffle(
+            ds, dup_h, text_col, id_col, n, num_partitions
+        )
+
+    dup_set = np.sort(
+        np.concatenate(
+            [
+                b["gh"].to_numpy(zero_copy_only=False).view(np.uint64)
+                for b in dup_h.iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.uint64)]
+        )
+    )
     dup_ref = ray.put(dup_set)
 
     def rewrite(t: pa.Table) -> pa.Table:
@@ -880,19 +936,127 @@ def remove_dup_spans(
             # spans never cross a document (enforced by _ws_grams)
             np.add.at(covered, starts[hit], 1)
             np.add.at(covered, starts[hit] + n, -1)
-        keep = np.cumsum(covered[:-1]) == 0
-        kept_per_doc = np.bincount(parents[keep], minlength=t.num_rows).astype(np.int64)
-        values = pa.array(toks[keep], pa.string())
-        offs = np.r_[0, np.cumsum(kept_per_doc)]
-        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
-        texts = pc.binary_join(la, pa.scalar(" ", pa.string()))
+        return _rebuild_from_coverage(t, idc, parents, toks, ntok, covered, id_col)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _remove_dup_spans_shuffle(
+    ds: rd.Dataset,
+    dup_h: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_partitions: int,
+) -> rd.Dataset:
+    """Join-back tier of :func:`remove_dup_spans` for dup sets beyond
+    broadcast: occurrences semi-join the distributed dup-hash set by
+    gram hash, collapse to per-document span-start lists, and join back
+    onto the input — the driver never holds anything data-sized."""
+    from ..joins.hashjoin import hash_join
+    from ..kernels.stablehash import stable_col_hash
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not isinstance(id_type, pa.DataType):
+        raise TypeError(
+            f"{id_col} must be an Arrow-typed column for the shuffle tier, "
+            f"got {id_type!r} (pandas-backed blocks)"
+        )
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        parents, toks, ntok = _ws_token_stream(t, text_col)
+        starts, grams = _ws_grams(parents, toks, n)
+        if not len(starts):
+            return pa.table(
+                {
+                    "gh": pa.array([], pa.int64()),
+                    id_col: pa.array([], id_type),
+                    "__rds_start": pa.array([], pa.int64()),
+                }
+            )
+        # doc-RELATIVE start positions: stable across batch layouts, so
+        # the rewrite pass can reconstruct flat positions from its own
+        # tokenization of the same materialized input
+        doc_first = np.r_[np.int64(0), np.cumsum(ntok)][:-1]
+        sp = parents[starts]
         return pa.table(
             {
-                id_col: idc,
-                "text_dedup": texts,
-                "n_kept": pa.array(kept_per_doc),
-                "n_removed": pa.array(ntok - kept_per_doc),
+                "gh": pa.array(_gram_hashes(grams).view(np.int64)),
+                id_col: idc.take(pa.array(sp)),
+                "__rds_start": pa.array(starts - doc_first[sp]),
             }
         )
 
-    return ds.map_batches(rewrite, batch_format="pyarrow")
+    occ_schema = pa.schema(
+        [("gh", pa.int64()), (id_col, id_type), ("__rds_start", pa.int64())]
+    )
+    dup_occ = hash_join(
+        ds.map_batches(occ_rows, batch_format="pyarrow"),
+        dup_h,
+        "gh",
+        "gh",
+        how="left_semi",
+        num_partitions=num_partitions,
+        left_schema=occ_schema,
+        right_schema=pa.schema([("gh", pa.int64())]),
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        gk = stable_col_hash(t.column(id_col).to_pandas()).view(np.int64) % np.int64(
+            max(1, num_partitions)
+        )
+        return t.append_column("__rds_dp", pa.array(gk))
+
+    def collect(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        srt = t.sort_by([(id_col, "ascending"), ("__rds_start", "ascending")])
+        ids = srt.column(id_col).to_numpy(zero_copy_only=False)
+        codes = pd.factorize(ids)[0]  # runs are contiguous after the sort
+        new = np.r_[True, codes[1:] != codes[:-1]]
+        starts_idx = np.flatnonzero(new)
+        offs = np.r_[starts_idx, np.int64(len(codes))]
+        la = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), srt.column("__rds_start").combine_chunks()
+        )
+        return pa.table(
+            {id_col: srt.column(id_col).take(pa.array(starts_idx)), "__rds_starts": la}
+        )
+
+    spans = (
+        dup_occ.map_batches(tag, batch_format="pyarrow")
+        .groupby("__rds_dp")
+        .map_groups(collect, batch_format="pyarrow")
+    )
+
+    joined = hash_join(
+        ds,
+        spans,
+        id_col,
+        id_col,
+        how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema(list(zip(sch.names, sch.types))),
+        right_schema=pa.schema(
+            [(id_col, id_type), ("__rds_starts", pa.list_(pa.int64()))]
+        ),
+    )
+
+    def rewrite_joined(t: pa.Table) -> pa.Table:
+        idc = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        parents, toks, ntok = _ws_token_stream(t, text_col)
+        covered = np.zeros(len(toks) + 1, dtype=np.int64)
+        sl = t["__rds_starts"].combine_chunks()
+        flat = sl.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat):
+            span_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
+            doc_first = np.r_[np.int64(0), np.cumsum(ntok)][:-1]
+            gstart = flat + doc_first[span_parent]
+            np.add.at(covered, gstart, 1)
+            np.add.at(covered, gstart + n, -1)
+        out = _rebuild_from_coverage(t, idc, parents, toks, ntok, covered, id_col)
+        return out
+
+    return joined.map_batches(rewrite_joined, batch_format="pyarrow")

@@ -391,6 +391,55 @@ def test_io_roundtrip_and_lance_gate(tmp_path):
     assert jback.schema().names == ["doc_id"]
 
 
+def test_lance_gate_mocked_passthrough(monkeypatch, tmp_path):
+    """Contract-test the Lance entry points with a mocked backend
+    (VERDICT r4 Next #7): the env has no pylance, so assert that a
+    deployment that DOES have it gets columns/kwargs passed through
+    verbatim, and that the ImportError message still fires when the
+    backend is absent."""
+    import ray.data as rd
+
+    from fozziejoin_ray.sources.io import read_table, write_table
+
+    calls = {}
+
+    def fake_read_lance(path, columns=None, **kwargs):
+        calls["read"] = {"path": path, "columns": columns, **kwargs}
+        return rd.from_items([{"doc_id": 1}])
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    out = read_table(
+        "/data/corpus.lance", format="lance", columns=["doc_id", "spans"], scan_limit=7
+    )
+    assert out.count() == 1
+    assert calls["read"] == {
+        "path": "/data/corpus.lance",
+        "columns": ["doc_id", "spans"],
+        "scan_limit": 7,
+    }
+
+    ds = docs_ds()
+    monkeypatch.setattr(
+        type(ds),
+        "write_lance",
+        lambda self, path, **kw: calls.__setitem__("write", {"path": path, **kw}),
+        raising=False,
+    )
+    write_table(ds, str(tmp_path / "w.lance"), format="lance", max_rows_per_file=5)
+    assert calls["write"] == {
+        "path": str(tmp_path / "w.lance"),
+        "max_rows_per_file": 5,
+    }
+
+    # absent backend: the gate raises the actionable ImportError
+    def raising_read_lance(path, **kw):
+        raise ImportError("no pylance")
+
+    monkeypatch.setattr(rd, "read_lance", raising_read_lance, raising=False)
+    with pytest.raises(ImportError, match="pylance"):
+        read_table("/data/x.lance", format="lance")
+
+
 def test_dedup_executes_upstream_once():
     """minhash/ngram/simhash dedup materialize their (id, text)
     projection once: on a derived input the upstream graph must execute
@@ -817,6 +866,40 @@ def test_semdedup_matches_bruteforce_per_cluster():
     by_id = {r["vec_id"]: r for r in got}
     if by_id[0]["cluster"] == by_id[2]["cluster"]:
         assert by_id[2]["dup_group"] == 0 and not by_id[2]["keep"]
+
+
+def test_semdedup_giant_cluster_tiled_matches_untiled():
+    """VERDICT r4 Next #5: a cluster whose pair count exceeds
+    pair_budget runs as bounded tile tasks (spanning-forest edges) and
+    must produce the same components/keepers as the single-task path —
+    including an adversarial near-all-duplicate giant cluster."""
+    from fozziejoin_ray.pipelines.ann import semdedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(4).astype(np.float64)
+    # 400 near-copies of one vector (one giant dup component) + 100
+    # spread; tile_rows floors at 256, so the 400-row cluster tiles
+    M = np.vstack(
+        [base + 1e-4 * rng.randn(400, 4), rng.randn(100, 4) * 5]
+    )
+    ds = emb_ds(M)
+
+    kw = dict(n_clusters=3, iters=3, seed=5, threshold=0.95)
+    untiled = sorted(
+        semdedup(ds, pair_budget=None, **kw).take_all(), key=lambda d: d["vec_id"]
+    )
+    tiled = sorted(
+        semdedup(ds, pair_budget=1024, **kw).take_all(), key=lambda d: d["vec_id"]
+    )
+    assert untiled == tiled
+    # the giant component really exists and keeps exactly one row
+    groups = {}
+    for r in tiled:
+        groups.setdefault(r["dup_group"], []).append(r)
+    big = max(groups.values(), key=len)
+    assert len(big) >= 350
+    assert sum(r["keep"] for r in big) == 1
+    assert min(r["vec_id"] for r in big) == [r for r in big if r["keep"]][0]["vec_id"]
 
 
 def test_cross_neardup_pairs_vs_brute():
