@@ -1352,6 +1352,18 @@ def _repetition_query(sf_dir: str):
 # ---------------------------------------------------------------- multimodal
 
 
+def _blocking_stats_query(sf_dir: str):
+    """Per-strategy blocking quality metrics over the documents corpus
+    (pipelines/blockstats.py): the pre-flight instrument for choosing
+    an entity-resolution blocking key. n_total comes from parquet
+    metadata (count() on the untransformed read — no data scan)."""
+    from fozziejoin_ray.pipelines.blockstats import blocking_stats
+
+    n_total = _t(sf_dir, "documents", ["doc_id"]).count()
+    docs = _t(sf_dir, "documents", ["text", "n_chars"])
+    return blocking_stats(docs, n_total=n_total)
+
+
 def _media_features_query(sf_dir: str):
     """Actor-pool feature extraction over a media table derived from the
     documents corpus (payload = utf8 text bytes): the fake decode is
@@ -1523,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _cms_query,
         "agg_pricing": _agg_pricing_query,
         "grouped_quantiles": _grouped_quantiles_query,
+        "blocking_stats": _blocking_stats_query,
         # multimodal plumbing (stubbed codecs, real Ray path)
         "media_features": _media_features_query,
         "frame_sample": _frame_sample_query,
@@ -2784,6 +2797,29 @@ def oracle_sql() -> dict[str, str]:
         # media fake-decode mirrors (pipelines/media.py): feature[j] =
         # ((crc32(text_bytes) * (j+1)) % 1000003) / 1000003.0 — exact
         # integer arithmetic, bit-identical across engines
+        # blocking_stats: mirror of pipelines/blockstats.py — same key
+        # functions, same c*(c-1)/2 pair arithmetic, same IEEE op order
+        # for reduction_ratio (1.0 - cand_double / total_pairs_double).
+        "blocking_stats": """
+            WITH n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            k AS (
+              SELECT 'first_token' AS strategy,
+                     lower(split_part(text, ' ', 1)) AS key FROM documents
+              UNION ALL
+              SELECT 'prefix4', lower(substr(text, 1, 4)) FROM documents
+              UNION ALL
+              SELECT 'len_bucket', CAST(n_chars // 16 AS VARCHAR) FROM documents
+            ),
+            c AS (SELECT strategy, key, COUNT(*)::BIGINT AS c FROM k
+                  WHERE key IS NOT NULL AND key != '' GROUP BY strategy, key)
+            SELECT strategy,
+                   COUNT(*)::BIGINT AS n_blocks,
+                   CAST(SUM(c) AS BIGINT) AS blocked_docs,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
+                   CAST(MAX(c) AS BIGINT) AS max_block,
+                   1.0 - CAST(SUM(c * (c - 1) // 2) AS DOUBLE)
+                       / CAST(n.n * (n.n - 1) // 2 AS DOUBLE) AS reduction_ratio
+            FROM c, n GROUP BY strategy, n.n ORDER BY strategy""",
         "media_features": _media_sql(
             """
             SELECT 'm://' || doc_id AS media_ref, 'image' AS kind,

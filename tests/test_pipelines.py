@@ -934,3 +934,94 @@ def test_cross_neardup_pairs_vs_brute():
 
     with pytest.raises(ValueError):
         cross_neardup_pairs(L, R, threshold=0.0)
+
+
+def test_blocking_stats_vs_brute():
+    """blocking_stats (pipelines/blockstats.py) against a plain-python
+    count over the same key functions, including null text, empty text,
+    leading-space text (empty first token: excluded from blocking), and
+    a skewed first-token block."""
+    from collections import Counter
+
+    from fozziejoin_ray.pipelines.blockstats import STRATEGIES, blocking_stats
+
+    texts = [
+        "alpha beta gamma",
+        "alpha delta",
+        "Alpha epsilon",  # lower() folds into the alpha block
+        " leading space",  # empty first token -> unblocked for first_token
+        "",  # empty -> unblocked everywhere text-keyed
+        None,  # null -> unblocked everywhere
+        "zeta solo",
+        "alphabet soup",  # prefix4 'alph' collides with alpha docs
+    ]
+    n_chars = [len(t) if t is not None else 0 for t in texts]
+    t = pa.table(
+        {
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)  # exercise cross-batch merge
+    got = (
+        blocking_stats(ds, n_total=len(texts))
+        .to_pandas()
+        .sort_values("strategy")
+        .reset_index(drop=True)
+    )
+
+    def brute_keys(name):
+        if name == "first_token":
+            return [t.split(" ")[0].lower() if t else None for t in texts]
+        if name == "prefix4":
+            return [t[:4].lower() if t else None for t in texts]
+        return [str(c // 16) for c in n_chars]
+
+    total_pairs = len(texts) * (len(texts) - 1) // 2
+    for name in STRATEGIES:
+        counts = Counter(k for k in brute_keys(name) if k)
+        row = got[got["strategy"] == name].iloc[0]
+        cand = sum(c * (c - 1) // 2 for c in counts.values())
+        assert row["n_blocks"] == len(counts), name
+        assert row["blocked_docs"] == sum(counts.values()), name
+        assert row["candidate_pairs"] == cand, name
+        assert row["max_block"] == max(counts.values()), name
+        assert row["reduction_ratio"] == 1.0 - float(cand) / float(total_pairs), name
+    assert list(got["n_blocks"].dtype.name for _ in range(1))[0] == "int64"
+    assert got["reduction_ratio"].dtype.name == "float64"
+
+
+def test_blocking_pair_completeness_vs_brute():
+    """Pair completeness over a docgen-labeled corpus: brute-force the
+    truth and co-blocked pair sets in python and compare exactly."""
+    from collections import Counter
+    from itertools import combinations
+
+    from fozziejoin_ray.pipelines.blockstats import blocking_pair_completeness
+
+    rows = [
+        # (key, entity): entity 0 split across two blocks -> lost pairs
+        ("a", 0), ("a", 0), ("b", 0),
+        ("b", 1), ("b", 1),
+        (None, 2), ("", 2), ("c", 2),  # unblocked rows co-block nothing
+        ("d", 3),
+    ]
+    t = pa.table(
+        {
+            "key": pa.array([k for k, _ in rows], pa.string()),
+            "entity": pa.array([e for _, e in rows], pa.int64()),
+        }
+    )
+    got = blocking_pair_completeness(
+        rd.from_arrow(t).repartition(3), "key", "entity"
+    )
+
+    truth = Counter(e for _, e in rows)
+    true_pairs = sum(c * (c - 1) // 2 for c in truth.values())
+    co = Counter((k, e) for k, e in rows if k)
+    co_blocked = sum(c * (c - 1) // 2 for c in co.values())
+    assert got["true_pairs"] == true_pairs
+    assert got["co_blocked_pairs"] == co_blocked
+    assert got["pair_completeness"] == co_blocked / true_pairs
+    # sanity on the scenario itself: entity 0 lost its cross-block pair
+    assert co_blocked < true_pairs
