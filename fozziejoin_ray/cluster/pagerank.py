@@ -182,10 +182,15 @@ class _PRPartition:
 
     def __init__(self, pid: int, nparts: int):
         self.pid, self.P = pid, nparts
-        self._tables: list = []
+        self._edges: pa.Table | None = None
 
-    def add_edges(self, t: pa.Table) -> int:
-        self._tables.append(t)
+    def set_edges(self, t: pa.Table) -> int:
+        """Idempotent ingest: the routing exchange delivers this
+        shard's ENTIRE edge group in one call, so a retried routing
+        task re-sends identical content and the overwrite is a no-op —
+        no double-ingest under Ray Data task retries / lineage
+        re-execution (round-5 review)."""
+        self._edges = t
         return t.num_rows
 
     def local_index(self):
@@ -196,14 +201,14 @@ class _PRPartition:
         float vectors aligned to these lists."""
         import pandas as pd
 
-        if self._tables:
-            t = pa.concat_tables(self._tables)
+        if self._edges is not None and self._edges.num_rows:
+            t = self._edges
             s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
             d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
         else:
             s = np.array([], dtype=object)
             d = np.array([], dtype=object)
-        self._tables = None  # raw tables no longer needed
+        self._edges = None  # raw table no longer needed
         self.src_code, self.src_ids = pd.factorize(s, sort=False)
         self.deg = np.bincount(self.src_code, minlength=len(self.src_ids)).astype(
             np.float64
@@ -309,16 +314,23 @@ def _pagerank_shuffle(
     # strategy instead.
     actors = [_PRPartition.options(num_cpus=0).remote(i, P) for i in range(P)]
 
-    def route(t: pa.Table) -> pa.Table:
+    # route by hash(src) through ONE owner-keyed exchange; each shard's
+    # whole group is then delivered by a single idempotent set_edges
+    # slot write, so Ray Data task retries / lineage re-execution
+    # cannot double-ingest (a retried delivery re-sends identical
+    # content and overwrites the same slot).
+    def tag_owner(t: pa.Table) -> pa.Table:
         s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
-        owner = _owner_of(s, P)
-        refs = []
-        for j in np.unique(owner):
-            refs.append(actors[j].add_edges.remote(t.filter(pa.array(owner == j))))
-        ray.get(refs)  # ingest complete when the routing pass finishes
-        return pa.table({"ok": pa.array([len(refs)], pa.int64())})
+        return t.append_column("__own", pa.array(_owner_of(s, P)))
 
-    e.map_batches(route, batch_format="pyarrow").count()
+    def deliver(t: pa.Table) -> pa.Table:
+        j = int(t["__own"][0].as_py())
+        ray.get(actors[j].set_edges.remote(t.drop_columns(["__own"])))
+        return pa.table({"ok": pa.array([j], pa.int64())})
+
+    e.map_batches(tag_owner, batch_format="pyarrow").groupby("__own").map_groups(
+        deliver, batch_format="pyarrow"
+    ).count()
 
     if P > 1:
         lists = [a.local_index.options(num_returns=P).remote() for a in actors]

@@ -903,12 +903,29 @@ def remove_dup_spans(
         .map_groups(dup_hashes, batch_format="pandas")
         .materialize()
     )
-    if strategy == "auto":
+    auto_selected = strategy == "auto"
+    if auto_selected:
         strategy = "broadcast" if dup_h.count() <= max_broadcast_hashes else "shuffle"
     if strategy == "shuffle":
-        return _remove_dup_spans_shuffle(
-            ds, dup_h, text_col, id_col, n, num_partitions
-        )
+        try:
+            return _remove_dup_spans_shuffle(
+                ds, dup_h, text_col, id_col, n, num_partitions
+            )
+        except ValueError:
+            if not auto_selected:
+                raise
+            # auto mode: the id contract failed (null/duplicated ids) —
+            # fall back to broadcast, which never touches ids, rather
+            # than silently diverging. The driver-size bound applies.
+            import warnings
+
+            warnings.warn(
+                f"remove_dup_spans: {id_col!r} violates the shuffle tier's "
+                "unique-non-null id contract; falling back to broadcast "
+                "despite the dup-set size",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     dup_set = np.sort(
         np.concatenate(
@@ -941,6 +958,47 @@ def remove_dup_spans(
     return ds.map_batches(rewrite, batch_format="pyarrow")
 
 
+def _validate_unique_ids(ds: rd.Dataset, id_col: str) -> None:
+    """Raise ValueError unless ``id_col`` is non-null and unique.
+
+    Distributed check: per-batch (id, count) partials -> one id-keyed
+    groupby (the bounded exchange the shuffle tier pays anyway) -> a
+    per-block (sum, max) reduction, so the driver folds one row per
+    BLOCK, never one per id."""
+    from .stats import value_counts
+
+    def chk(t: pa.Table) -> pa.Table:
+        c = t.column("sum(count)")
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+                "m": pa.array([pc.max(c).as_py() or 0], pa.int64()),
+            }
+        )
+
+    nonnull, maxc = 0, 0
+    for b in (
+        value_counts(ds, id_col)
+        .map_batches(chk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        nonnull += int(pc.sum(b["s"]).as_py() or 0)
+        maxc = max(maxc, int(pc.max(b["m"]).as_py() or 0))
+    total = ds.count()
+    if nonnull != total:
+        raise ValueError(
+            f"remove_dup_spans shuffle tier requires non-null {id_col!r} "
+            f"({total - nonnull} null ids found) — the join-back key "
+            "would silently drop those documents' span lists"
+        )
+    if maxc > 1:
+        raise ValueError(
+            f"remove_dup_spans shuffle tier requires unique {id_col!r} "
+            f"(an id occurs {maxc} times) — duplicated ids would merge "
+            "documents' span lists in the join-back"
+        )
+
+
 def _remove_dup_spans_shuffle(
     ds: rd.Dataset,
     dup_h: rd.Dataset,
@@ -952,9 +1010,18 @@ def _remove_dup_spans_shuffle(
     """Join-back tier of :func:`remove_dup_spans` for dup sets beyond
     broadcast: occurrences semi-join the distributed dup-hash set by
     gram hash, collapse to per-document span-start lists, and join back
-    onto the input — the driver never holds anything data-sized."""
+    onto the input — the driver never holds anything data-sized.
+
+    Contract: ``id_col`` must be non-null and unique (it is the
+    join-back key; a null id would never re-match its own span list
+    under NA-never-matches semantics, and a duplicated id would merge
+    two documents' span lists). Validated up front by
+    :func:`_validate_unique_ids` — ``remove_dup_spans(strategy="auto")``
+    falls back to broadcast when the contract fails."""
     from ..joins.hashjoin import hash_join
     from ..kernels.stablehash import stable_col_hash
+
+    _validate_unique_ids(ds, id_col)
 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]

@@ -507,3 +507,56 @@ def test_decontaminate_shuffle_matches_broadcast():
         decontaminate_shuffle(docs, b, mode="nope")
     with pytest.raises(ValueError):
         decontaminate_shuffle(docs, b, join_back="nope")
+
+
+def test_remove_dup_spans_shuffle_id_contract():
+    """The shuffle tier validates its join-back key: null or duplicate
+    ids raise; auto mode falls back to broadcast with a warning and
+    produces the broadcast answer (review r5)."""
+    import warnings
+
+    import pytest
+
+    from fozziejoin_ray.pipelines.curation import remove_dup_spans
+
+    dup_text = "a b c d e f g h"  # one 5-gram duplicated across docs
+    t = pa.table(
+        {
+            "doc_id": pa.array(["x", "x", "y"], pa.string()),  # dup id
+            "text": pa.array([dup_text, dup_text, "z z z z z"], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="unique"):
+        remove_dup_spans(ds, strategy="shuffle", n=5).materialize()
+
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(["x", None, "y"], pa.string()),  # null id
+            "text": pa.array([dup_text, dup_text, "z z z z z"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        remove_dup_spans(rd.from_arrow(t2), strategy="shuffle", n=5).materialize()
+
+    # auto mode: force the size bound to prefer shuffle, then verify the
+    # broadcast fallback engages and matches plain broadcast output
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = (
+            remove_dup_spans(
+                rd.from_arrow(t2), strategy="auto", n=5, max_broadcast_hashes=0
+            )
+            .to_pandas()
+            .sort_values("text_dedup")
+            .reset_index(drop=True)
+        )
+        assert any("falling back to broadcast" in str(x.message) for x in w)
+    want = (
+        remove_dup_spans(rd.from_arrow(t2), strategy="broadcast", n=5)
+        .to_pandas()
+        .sort_values("text_dedup")
+        .reset_index(drop=True)
+    )
+    assert got["text_dedup"].tolist() == want["text_dedup"].tolist()
+    assert got["n_removed"].tolist() == want["n_removed"].tolist()

@@ -216,3 +216,63 @@ class TestSamplePerGroupStable:
         a = sample_per_group(one, "id", "g", k=3).to_pandas().sort_values("id")
         b = sample_per_group(two, "id", "g", k=3).to_pandas().sort_values("id")
         assert list(a["id"]) == list(b["id"])
+
+
+class TestStableHashCanonicalization:
+    """Round-5 review regressions: per-element canonicalization must be
+    exact for big int64 ids, survive tz-aware datetimes, and never let
+    a value's hash depend on its block-mates."""
+
+    def test_big_int64_ids_hash_exactly(self):
+        # snowflake-magnitude ids: consecutive values must all differ
+        # (the old float64 canonicalization collapsed ~256-wide runs)
+        base = 1_400_000_000_000_000_000
+        ids = pd.Series(np.arange(base, base + 1000, dtype=np.int64))
+        assert len(np.unique(stable_col_hash(ids))) == 1000
+
+    def test_big_int_object_block_matches_typed_block(self):
+        v = 2**60 + 12345
+        a = stable_col_hash(pd.Series([v], dtype="int64"))
+        b = stable_col_hash(pd.Series([v, None], dtype=object))
+        c = stable_col_hash(pd.Series([float(v), None]))  # 2^60+12345 not f64-exact
+        assert a[0] == b[0]
+        # the float64 representation rounded the value; purity still
+        # holds per-representation but equality with the exact int
+        # cannot (documented pandas-side limit)
+        assert c[0] != a[0] or float(v) == v
+
+    def test_tz_aware_datetime_hashes(self):
+        naive = pd.Series(
+            pd.to_datetime(["2026-01-01 12:00:00", "2026-01-02 00:00:00"])
+        )
+        aware = naive.dt.tz_localize("UTC")
+        other = aware.dt.tz_convert("America/New_York")
+        hn, ha, ho = map(stable_col_hash, (naive, aware, other))
+        # same UTC instant hashes alike regardless of tz representation
+        assert list(ha) == list(ho)
+        # naive column interpreted as UTC nanos agrees with the aware one
+        assert list(hn) == list(ha)
+        assert ha[0] != ha[1]
+
+    def test_object_branch_purity_mixed_blockmates(self):
+        pure = stable_col_hash(pd.Series([7, 8], dtype=object))
+        mixed = stable_col_hash(pd.Series([7, "x"], dtype=object))
+        assert pure[0] == mixed[0]
+        typed = stable_col_hash(pd.Series([7], dtype="int64"))
+        assert typed[0] == pure[0]
+
+    def test_uint64_beyond_int63_is_pure(self):
+        big = np.uint64(2**63 + 99)
+        a = stable_col_hash(pd.Series([big, np.uint64(1)], dtype=np.uint64))
+        b = stable_col_hash(pd.Series([big], dtype=np.uint64))
+        assert a[0] == b[0]
+        # small uint agrees with the signed-int representation
+        assert a[1] == stable_col_hash(pd.Series([1], dtype="int64"))[0]
+
+    def test_whole_float_still_matches_int(self):
+        a = stable_col_hash(pd.Series([5, 6], dtype="int64"))
+        b = stable_col_hash(pd.Series([5.0, None], dtype="float64"))
+        assert a[0] == b[0]
+        c = stable_col_hash(pd.Series([5.5, 5.0]))
+        assert c[1] == a[0] - (a[0] - b[0])  # 5.0 whole -> int hash
+        assert c[0] != c[1]
