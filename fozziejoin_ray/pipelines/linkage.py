@@ -413,6 +413,148 @@ def cluster_documents(
     )
 
 
+def cluster_documents_incremental(
+    new_docs: rd.Dataset,
+    old_keys: rd.Dataset,
+    old_clusters: rd.Dataset,
+    *,
+    method: str = "jaro_winkler",
+    max_distance: float = 0.15,
+    q: int = 2,
+    pair_budget: int | None = 4_000_000,
+    allpairs_salts: tuple[int, int] = (8, 8),
+    num_partitions: int = 32,
+    id_type: pa.DataType = pa.string(),
+) -> rd.Dataset:
+    """Fold NEW documents into an EXISTING clustering without
+    re-clustering the old corpus — the daily-ingest operation of a
+    production entity-resolution pipeline (at 10^12 docs you never
+    re-run the full O(N) job for an N/1000-sized delta).
+
+    Inputs: ``new_docs`` (spans-shaped, like :func:`cluster_documents`),
+    ``old_keys`` = ``extract_keys(old_docs)`` — the (doc_id, key) table
+    a production run retains alongside its checkpoint — and
+    ``old_clusters`` = the prior run's (doc_id, cluster_id) output.
+
+    Returns (doc_id, cluster_id) for old ∪ new, IDENTICAL to
+    ``cluster_documents(old ∪ new)`` with the same parameters. Why the
+    contraction is exact: the full run's edge set is E_old-old ∪
+    E_new-new ∪ E_new-old; old docs are unchanged, so E_old-old's
+    transitive closure is exactly the existing clusters — contracting
+    each old cluster to one supervertex (its cluster_id) preserves
+    components (quotient-graph property), and because
+    ``cluster_documents`` labels a cluster with its MIN member id,
+    min-id labeling commutes with the contraction: the merged
+    component's min over {new ids} ∪ {old cluster ids} equals its min
+    over all member doc ids. A new doc bridging two old clusters
+    merges them, exactly as the full re-run would.
+
+    Cost: one self-join over the NEW keys + one new-vs-old blocked
+    join (the old side streams through the blocking exchange but is
+    never self-joined) + a connected-components pass over edges
+    touching new docs only. Exact blocking only: approximate (minhash)
+    candidate recall is corpus-dependent, which would break the
+    equivalence guarantee."""
+    new_keys = extract_keys(new_docs)
+
+    nn = match_edges(
+        new_keys,
+        method=method,
+        max_distance=max_distance,
+        q=q,
+        pair_budget=pair_budget,
+        allpairs_salts=allpairs_salts,
+        blocking="exact",
+        num_partitions=num_partitions,
+    )
+
+    no = build_edges_blocked(
+        new_keys,
+        old_keys,
+        [("key", "key")],
+        method,
+        max_distance,
+        q,
+        0,
+        0.0,
+        "doc_id",
+        "doc_id",
+        pair_budget=pair_budget,
+        allpairs_salts=allpairs_salts,
+    )
+    oc = old_clusters.map_batches(
+        lambda t: pa.table({"__oc_doc": t["doc_id"], "__oc_cl": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    # collapse the old endpoint to its cluster supervertex
+    no_c = hash_join(
+        no.map_batches(
+            lambda t: pa.table({"__fj_lid": t["__fj_lid"], "__fj_rid": t["__fj_rid"]}),
+            batch_format="pyarrow",
+        ),
+        oc,
+        "__fj_rid",
+        "__oc_doc",
+        how="inner",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("__fj_lid", id_type), ("__fj_rid", id_type)]),
+        right_schema=pa.schema([("__oc_doc", id_type), ("__oc_cl", id_type)]),
+    )
+
+    def _sd(src_col, dst_col):
+        return lambda t: pa.table({"src": t[src_col], "dst": t[dst_col]})
+
+    edges = nn.map_batches(_sd("src", "dst"), batch_format="pyarrow").union(
+        no_c.map_batches(_sd("__fj_lid", "__oc_cl"), batch_format="pyarrow")
+    )
+    labels = connected_components(edges, "src", "dst", num_partitions=num_partitions)
+    labels_r = labels.map_batches(
+        lambda t: pa.table({"__cc_node": t["node"], "__cc_lbl": t["cluster"]}),
+        batch_format="pyarrow",
+    )
+
+    # new docs: their own node's label, else themselves
+    new_ids = new_keys.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    new_out = hash_join(
+        new_ids,
+        labels_r,
+        "doc_id",
+        "__cc_node",
+        how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("doc_id", id_type)]),
+        right_schema=pa.schema([("__cc_node", id_type), ("__cc_lbl", id_type)]),
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "cluster_id": pc.coalesce(t["__cc_lbl"], t["doc_id"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+    # old docs: their cluster supervertex's new label, else unchanged
+    old_out = hash_join(
+        old_clusters.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "__oc_cl": t["cluster_id"]}),
+            batch_format="pyarrow",
+        ),
+        labels_r,
+        "__oc_cl",
+        "__cc_node",
+        how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("doc_id", id_type), ("__oc_cl", id_type)]),
+        right_schema=pa.schema([("__cc_node", id_type), ("__cc_lbl", id_type)]),
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "cluster_id": pc.coalesce(t["__cc_lbl"], t["__oc_cl"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return new_out.union(old_out)
+
+
 def clustered_documents(docs: rd.Dataset, clusters: rd.Dataset, num_partitions: int = 32) -> rd.Dataset:
     """Re-attach the untouched spans column to cluster assignments by
     doc_id (spans never crossed a shuffle)."""

@@ -386,3 +386,44 @@ def test_connected_components_mixed_endpoint_types_with_null():
     # its own node via the self-loop rewrite
     assert out["1"] == out["2"] == out["3"]
     assert out["5"] == "5" and out["5"] != out["1"]
+
+
+def test_incremental_equals_full_rerun(docs_and_labels):
+    """cluster_documents_incremental folds a 25% delta into the prior
+    clustering and must reproduce cluster_documents(old + new) exactly
+    — including merges of two existing clusters bridged by a new doc
+    (the interleaved docgen split below guarantees entities straddle
+    the old/new boundary)."""
+    from fozziejoin_ray.pipelines.linkage import cluster_documents_incremental
+
+    docs_t, _ = docs_and_labels
+    # split by doc index mod 4: each 4-doc entity contributes 3 old
+    # docs + 1 new doc, so every entity's cluster must absorb a new doc
+    idx = pa.array([i % 4 == 3 for i in range(docs_t.num_rows)])
+    old_t = docs_t.filter(pa.compute.invert(idx))
+    new_t = docs_t.filter(idx)
+
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_documents(
+            rd.from_arrow(docs_t), method=METHOD, max_distance=MAXD, pair_budget=None
+        ).take_all()
+    }
+    old_clusters = cluster_documents(
+        rd.from_arrow(old_t), method=METHOD, max_distance=MAXD, pair_budget=None
+    )
+    inc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_documents_incremental(
+            rd.from_arrow(new_t),
+            extract_keys(rd.from_arrow(old_t)),
+            old_clusters,
+            method=METHOD,
+            max_distance=MAXD,
+            pair_budget=None,
+        ).take_all()
+    }
+    assert len(inc) == docs_t.num_rows
+    assert inc == full
+    # sanity: the increment really did join old clusters (not all singletons)
+    assert any(inc[d] != d for d in inc)
