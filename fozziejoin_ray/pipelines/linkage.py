@@ -413,6 +413,39 @@ def cluster_documents(
     )
 
 
+def _distinct_key_reps(keys: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """(doc_id, key), one row per distinct non-null key, doc_id = the
+    min id holding that key — the match_edges value-dedup rep, exposed
+    for the incremental cross join. One key-hash exchange of (doc, key)
+    rows; output bounded by distinct-key cardinality."""
+    import numpy as np
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keyarr = (
+            t["key"].combine_chunks()
+            if isinstance(t["key"], pa.ChunkedArray)
+            else t["key"]
+        )
+        h = pd.util.hash_array(
+            np.asarray(keyarr.to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return t.append_column("__kp", pa.array((h % num_partitions).astype(np.int64)))
+
+    def reps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["key"].notna()]
+        if not len(df):
+            return pd.DataFrame({"doc_id": [], "key": []})
+        out = df.groupby("key", sort=False, as_index=False)["doc_id"].min()
+        return out[["doc_id", "key"]]
+
+    return (
+        keys.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__kp")
+        .map_groups(reps, batch_format="pandas")
+    )
+
+
 def cluster_documents_incremental(
     new_docs: rd.Dataset,
     old_keys: rd.Dataset,
@@ -425,6 +458,11 @@ def cluster_documents_incremental(
     allpairs_salts: tuple[int, int] = (8, 8),
     num_partitions: int = 32,
     id_type: pa.DataType = pa.string(),
+    blocking: str = "exact",
+    minhash_bands: int = 32,
+    minhash_perm: int = 64,
+    shingle_k: int = 2,
+    old_index_dir: str | None = None,
 ) -> rd.Dataset:
     """Fold NEW documents into an EXISTING clustering without
     re-clustering the old corpus — the daily-ingest operation of a
@@ -452,10 +490,36 @@ def cluster_documents_incremental(
     Cost: one self-join over the NEW keys + one new-vs-old blocked
     join (the old side streams through the blocking exchange but is
     never self-joined) + a connected-components pass over edges
-    touching new docs only. Exact blocking only: approximate (minhash)
-    candidate recall is corpus-dependent, which would break the
-    equivalence guarantee."""
+    touching new docs only.
+
+    ``blocking="minhash"`` is the 10^12-document tier: banded-MinHash
+    signatures are a pure per-key hash, so whether a key PAIR shares a
+    band is corpus-independent — the incremental candidate set for any
+    new-old / new-new pair equals the full run's, and the equivalence
+    guarantee carries over verbatim PROVIDED the prior run used the
+    same banding parameters. Both cross sides are value-deduped to
+    distinct keys first (the match_edges rep design): same-key docs
+    are already tied (zero distance) within their own side, so one
+    representative per distinct key carries all cross connectivity.
+    Caveat: LSH's stop-word cap (buckets beyond ``max_bucket``) is
+    measured on whatever corpus a run sees, so cap decisions near the
+    boundary can differ between the prior run and the full re-run —
+    the documented recall caveat of the LSH tier itself, not of the
+    fold-in.
+
+    ``old_index_dir`` (minhash only) is the production fold-in path:
+    point it at a :func:`~fozziejoin_ray.pipelines.linkage_index.
+    build_linkage_lsh_index` directory persisted by the nightly run
+    and the cross join probes that index partition-locally instead of
+    re-exchanging the old key table — per-delta shuffle volume drops
+    from O(N_old) to O(delta x bands); same candidate semantics
+    (pytest pins probe == live cross == full re-run)."""
     new_keys = extract_keys(new_docs)
+    if blocking not in ("exact", "minhash"):
+        raise ValueError(f"blocking must be 'exact' or 'minhash', got {blocking!r}")
+    if old_index_dir is not None and blocking != "minhash":
+        raise ValueError("old_index_dir is a minhash-tier feature; pass blocking='minhash'")
+    _index_has_clusters = False
 
     nn = match_edges(
         new_keys,
@@ -464,54 +528,106 @@ def cluster_documents_incremental(
         q=q,
         pair_budget=pair_budget,
         allpairs_salts=allpairs_salts,
-        blocking="exact",
+        blocking=blocking,
         num_partitions=num_partitions,
+        minhash_bands=minhash_bands,
+        minhash_perm=minhash_perm,
+        shingle_k=shingle_k,
     )
 
-    no = build_edges_blocked(
-        new_keys,
-        old_keys,
-        [("key", "key")],
-        method,
-        max_distance,
-        q,
-        0,
-        0.0,
-        "doc_id",
-        "doc_id",
-        pair_budget=pair_budget,
-        allpairs_salts=allpairs_salts,
-    )
-    oc = old_clusters.map_batches(
-        lambda t: pa.table({"__oc_doc": t["doc_id"], "__oc_cl": t["cluster_id"]}),
-        batch_format="pyarrow",
-    )
-    # collapse the old endpoint to its cluster supervertex
-    no_c = hash_join(
-        no.map_batches(
-            lambda t: pa.table({"__fj_lid": t["__fj_lid"], "__fj_rid": t["__fj_rid"]}),
+    if blocking == "exact":
+        no = build_edges_blocked(
+            new_keys,
+            old_keys,
+            [("key", "key")],
+            method,
+            max_distance,
+            q,
+            0,
+            0.0,
+            "doc_id",
+            "doc_id",
+            pair_budget=pair_budget,
+            allpairs_salts=allpairs_salts,
+        )
+    elif old_index_dir is not None:
+        import json as _json
+        import os as _os
+
+        from .linkage_index import probe_linkage_lsh_index
+
+        with open(_os.path.join(old_index_dir, "index_meta.json")) as _f:
+            _index_has_clusters = bool(_json.load(_f).get("has_clusters"))
+        no = probe_linkage_lsh_index(
+            new_keys,
+            old_index_dir,
+            method=method,
+            max_distance=max_distance,
+            q=q,
+        ).map_batches(
+            lambda t: pa.table({"__fj_lid": t["src"], "__fj_rid": t["dst"]}),
             batch_format="pyarrow",
-        ),
-        oc,
-        "__fj_rid",
-        "__oc_doc",
-        how="inner",
-        num_partitions=num_partitions,
-        left_schema=pa.schema([("__fj_lid", id_type), ("__fj_rid", id_type)]),
-        right_schema=pa.schema([("__oc_doc", id_type), ("__oc_cl", id_type)]),
-    )
+        )
+    else:
+        from ..joins.string_join import build_edges_lsh
 
+        no = build_edges_lsh(
+            _distinct_key_reps(new_keys, num_partitions),
+            _distinct_key_reps(old_keys, num_partitions),
+            [("key", "key")],
+            method,
+            max_distance,
+            q,
+            0,
+            0.0,
+            "doc_id",
+            "doc_id",
+            num_partitions=num_partitions,
+            num_perm=minhash_perm,
+            bands=minhash_bands,
+            shingle_k=shingle_k,
+        )
     def _sd(src_col, dst_col):
         return lambda t: pa.table({"src": t[src_col], "dst": t[dst_col]})
+
+    if old_index_dir is not None and _index_has_clusters:
+        # the index baked cluster supervertices into its rep ids: probe
+        # edges are already (new doc, old cluster) — the fold-in's last
+        # O(N_old) exchange (the cluster-collapse join) disappears
+        no_c = no.map_batches(
+            lambda t: pa.table({"__fj_lid": t["__fj_lid"], "__oc_cl": t["__fj_rid"]}),
+            batch_format="pyarrow",
+        )
+    else:
+        oc = old_clusters.map_batches(
+            lambda t: pa.table({"__oc_doc": t["doc_id"], "__oc_cl": t["cluster_id"]}),
+            batch_format="pyarrow",
+        )
+        # collapse the old endpoint to its cluster supervertex
+        no_c = hash_join(
+            no.map_batches(
+                lambda t: pa.table({"__fj_lid": t["__fj_lid"], "__fj_rid": t["__fj_rid"]}),
+                batch_format="pyarrow",
+            ),
+            oc,
+            "__fj_rid",
+            "__oc_doc",
+            how="inner",
+            num_partitions=num_partitions,
+            left_schema=pa.schema([("__fj_lid", id_type), ("__fj_rid", id_type)]),
+            right_schema=pa.schema([("__oc_doc", id_type), ("__oc_cl", id_type)]),
+        )
 
     edges = nn.map_batches(_sd("src", "dst"), batch_format="pyarrow").union(
         no_c.map_batches(_sd("__fj_lid", "__oc_cl"), batch_format="pyarrow")
     )
     labels = connected_components(edges, "src", "dst", num_partitions=num_partitions)
+    # delta-bounded: one row per node touched by a new edge; materialized
+    # once because both the new-doc join and the relabel broadcast read it
     labels_r = labels.map_batches(
         lambda t: pa.table({"__cc_node": t["node"], "__cc_lbl": t["cluster"]}),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
     # new docs: their own node's label, else themselves
     new_ids = new_keys.map_batches(
@@ -533,25 +649,34 @@ def cluster_documents_incremental(
         batch_format="pyarrow",
     )
 
-    # old docs: their cluster supervertex's new label, else unchanged
-    old_out = hash_join(
-        old_clusters.map_batches(
-            lambda t: pa.table({"doc_id": t["doc_id"], "__oc_cl": t["cluster_id"]}),
-            batch_format="pyarrow",
-        ),
-        labels_r,
-        "__oc_cl",
-        "__cc_node",
-        how="left_outer",
-        num_partitions=num_partitions,
-        left_schema=pa.schema([("doc_id", id_type), ("__oc_cl", id_type)]),
-        right_schema=pa.schema([("__cc_node", id_type), ("__cc_lbl", id_type)]),
-    ).map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"], "cluster_id": pc.coalesce(t["__cc_lbl"], t["__oc_cl"])}
-        ),
-        batch_format="pyarrow",
-    )
+    # old docs: their cluster supervertex's new label, else unchanged.
+    # The label map is DELTA-BOUNDED (its nodes are new docs plus old
+    # clusters touched by a new edge), so it broadcasts via ray.put and
+    # the old side only STREAMS through a relabel scan — never through
+    # an exchange.
+    import ray as _ray
+
+    import pandas as pd
+
+    lbl_map: dict = {}
+    for b in labels_r.iter_batches(batch_size=None, batch_format="pyarrow"):
+        lbl_map.update(
+            zip(b["__cc_node"].to_pylist(), b["__cc_lbl"].to_pylist())
+        )
+    lref = _ray.put(lbl_map)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        m = _ray.get(lref)
+        s = pd.Series(t["cluster_id"].to_numpy(zero_copy_only=False))
+        mapped = s.map(m).fillna(s) if m else s
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pa.array(mapped.to_numpy(), id_type),
+            }
+        )
+
+    old_out = old_clusters.map_batches(relabel, batch_format="pyarrow")
     return new_out.union(old_out)
 
 

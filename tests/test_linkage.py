@@ -427,3 +427,159 @@ def test_incremental_equals_full_rerun(docs_and_labels):
     assert inc == full
     # sanity: the increment really did join old clusters (not all singletons)
     assert any(inc[d] != d for d in inc)
+
+
+def test_incremental_minhash_equals_full_rerun(docs_and_labels):
+    """Same equivalence at the 10^12-doc blocking tier: banded-MinHash
+    candidacy is a pure function of the key pair, so incremental
+    minhash == full minhash re-run with the same banding."""
+    from fozziejoin_ray.pipelines.linkage import cluster_documents_incremental
+
+    docs_t, _ = docs_and_labels
+    idx = pa.array([i % 4 == 3 for i in range(docs_t.num_rows)])
+    old_t = docs_t.filter(pa.compute.invert(idx))
+    new_t = docs_t.filter(idx)
+
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_documents(
+            rd.from_arrow(docs_t), method=METHOD, max_distance=MAXD,
+            blocking="minhash", num_partitions=8,
+        ).take_all()
+    }
+    old_clusters = cluster_documents(
+        rd.from_arrow(old_t), method=METHOD, max_distance=MAXD,
+        blocking="minhash", num_partitions=8,
+    )
+    inc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_documents_incremental(
+            rd.from_arrow(new_t),
+            extract_keys(rd.from_arrow(old_t)),
+            old_clusters,
+            method=METHOD,
+            max_distance=MAXD,
+            blocking="minhash",
+            num_partitions=8,
+        ).take_all()
+    }
+    assert len(inc) == docs_t.num_rows
+    assert inc == full
+    assert any(inc[d] != d for d in inc)
+
+
+def test_incremental_index_probe_equals_live_cross(docs_and_labels, tmp_path):
+    """The persisted-index fold-in (build_linkage_lsh_index +
+    old_index_dir probe) must reproduce both the live cross-LSH
+    incremental AND the full minhash re-run."""
+    from fozziejoin_ray.pipelines.linkage import cluster_documents_incremental
+    from fozziejoin_ray.pipelines.linkage_index import build_linkage_lsh_index
+
+    docs_t, _ = docs_and_labels
+    idx = pa.array([i % 4 == 3 for i in range(docs_t.num_rows)])
+    old_t = docs_t.filter(pa.compute.invert(idx))
+    new_t = docs_t.filter(idx)
+    old_keys = extract_keys(rd.from_arrow(old_t))
+    old_clusters = cluster_documents(
+        rd.from_arrow(old_t), method=METHOD, max_distance=MAXD,
+        blocking="minhash", num_partitions=8,
+    )
+
+    build_linkage_lsh_index(old_keys, str(tmp_path / "idx"), num_partitions=8)
+
+    def run(index_dir):
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in cluster_documents_incremental(
+                rd.from_arrow(new_t), old_keys, old_clusters,
+                method=METHOD, max_distance=MAXD, blocking="minhash",
+                num_partitions=8, old_index_dir=index_dir,
+            ).take_all()
+        }
+
+    via_index = run(str(tmp_path / "idx"))
+    live = run(None)
+    assert via_index == live
+    # cluster-baked index (the production nightly artifact): probes emit
+    # (new doc, old cluster) directly, skipping the collapse join
+    build_linkage_lsh_index(
+        old_keys, str(tmp_path / "idx2"), old_clusters=old_clusters, num_partitions=8
+    )
+    assert run(str(tmp_path / "idx2")) == live
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_documents(
+            rd.from_arrow(docs_t), method=METHOD, max_distance=MAXD,
+            blocking="minhash", num_partitions=8,
+        ).take_all()
+    }
+    assert via_index == full
+
+
+def test_index_probe_cap_semantics_vs_brute():
+    """Stop-word-cap parity: with a tiny max_bucket, probe edges must
+    equal the brute rule 'pair survives iff SOME band co-buckets it in
+    a bucket whose combined old+new size is within the cap', computed
+    directly from the shared signature helpers."""
+    import itertools as it
+
+    from fozziejoin_ray.kernels.strdist import score_pairs
+    from fozziejoin_ray.pipelines.dedup import (
+        _band_hashes, _minhash_params, char_shingles, minhash_signatures_batch,
+    )
+    from fozziejoin_ray.pipelines.linkage_index import (
+        build_linkage_lsh_index, probe_linkage_lsh_index,
+    )
+
+    # a hot shared shingle-profile: many near-identical DISTINCT keys on
+    # the old side (the engine banding runs on distinct-key reps, so the
+    # brute bucket counts below are per distinct key too) so several
+    # buckets exceed the tiny cap
+    old_keys_v = [f"smith john {i}" for i in range(12)] + ["unique zebra"]
+    new_keys_v = ["smith john 1x", "unique zebrb", "other name"]
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"o{i:03d}" for i in range(len(old_keys_v))]),
+        "key": pa.array(old_keys_v),
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"n{i:03d}" for i in range(len(new_keys_v))]),
+        "key": pa.array(new_keys_v),
+    }))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        build_linkage_lsh_index(old, d, num_partitions=4)
+        MAXB = 2
+        got = {
+            (r["src"], r["dst"])
+            for r in probe_linkage_lsh_index(
+                new, d, method="jaro_winkler", max_distance=0.2, max_bucket=MAXB
+            ).take_all()
+        }
+
+    # brute: same signatures, same combined-count cap rule
+    ma, mb = _minhash_params(64, 13)
+    def bands_of(vals):
+        sh = [char_shingles(v, 2) for v in vals]
+        return _band_hashes(minhash_signatures_batch(sh, ma, mb), 32)
+    BO, BN = bands_of(old_keys_v), bands_of(new_keys_v)
+    from collections import Counter
+    cnt = Counter()
+    for B in (BO, BN):
+        for row in B:
+            for b, h in enumerate(row):
+                cnt[(b, int(h))] += 1
+    want = set()
+    for ni, oi in it.product(range(len(new_keys_v)), range(len(old_keys_v))):
+        okb = [
+            b for b in range(32)
+            if BN[ni][b] == BO[oi][b] and cnt[(b, int(BN[ni][b]))] <= MAXB
+        ]
+        if okb:
+            d0 = score_pairs("jaro_winkler", [new_keys_v[ni]], [old_keys_v[oi]])[0]
+            if d0 <= 0.2:
+                want.add((f"n{ni:03d}", f"o{oi:03d}"))
+    assert got == want
+    assert want  # scenario sanity: some pairs survive
+    # scenario sanity: the cap actually bit somewhere
+    assert any(c > MAXB for c in cnt.values())
