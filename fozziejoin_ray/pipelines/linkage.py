@@ -221,7 +221,13 @@ def match_edges(
     def rep_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["key"].notna()]
         if not len(df):
-            return pd.DataFrame({"doc_id": [], "rep": [], "key": []})
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=object),
+                    "rep": pd.Series(dtype=object),
+                    "key": pd.Series(dtype=object),
+                }
+            )
         reps = df.groupby("key", sort=False)["doc_id"].transform("min")
         return pd.DataFrame({"doc_id": df["doc_id"], "rep": reps, "key": df["key"]})
 
@@ -435,7 +441,15 @@ def _distinct_key_reps(keys: rd.Dataset, num_partitions: int) -> rd.Dataset:
     def reps(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["key"].notna()]
         if not len(df):
-            return pd.DataFrame({"doc_id": [], "key": []})
+            # typed empty frame: a bare {} literal would emit a
+            # float64-schema block that conflicts with the string
+            # blocks of non-empty groups
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=object),
+                    "key": pd.Series(dtype=object),
+                }
+            )
         out = df.groupby("key", sort=False, as_index=False)["doc_id"].min()
         return out[["doc_id", "key"]]
 
@@ -503,9 +517,15 @@ def cluster_documents_incremental(
     representative per distinct key carries all cross connectivity.
     Caveat: LSH's stop-word cap (buckets beyond ``max_bucket``) is
     measured on whatever corpus a run sees, so cap decisions near the
-    boundary can differ between the prior run and the full re-run —
-    the documented recall caveat of the LSH tier itself, not of the
-    fold-in.
+    boundary can differ between the decomposed runs and the full
+    re-run — both between the PRIOR run's corpus and old∪new, and
+    between the fold-in's per-side censuses (new-new self, new-old
+    cross) and the full run's single-table census. Any bucket whose
+    per-run count crosses 4096 only in some of those views can flip a
+    candidate — the documented recall caveat of the LSH tier itself,
+    not of the fold-in (the equivalence tests and oracle run far
+    below the boundary; near it, LSH recall is approximate in EVERY
+    execution shape).
 
     ``old_index_dir`` (minhash only) is the production fold-in path:
     point it at a :func:`~fozziejoin_ray.pipelines.linkage_index.
@@ -557,7 +577,25 @@ def cluster_documents_incremental(
         from .linkage_index import probe_linkage_lsh_index
 
         with open(_os.path.join(old_index_dir, "index_meta.json")) as _f:
-            _index_has_clusters = bool(_json.load(_f).get("has_clusters"))
+            _meta = _json.load(_f)
+        _index_has_clusters = bool(_meta.get("has_clusters"))
+        # banding params MUST agree between the index (new-old probe)
+        # and the new-new self-join, or the candidate set matches
+        # neither parameterization's full re-run
+        _want = {
+            "minhash_bands": minhash_bands,
+            "minhash_perm": minhash_perm,
+            "shingle_k": shingle_k,
+        }
+        _mismatch = {
+            k: (_meta.get(k), v) for k, v in _want.items() if _meta.get(k) != v
+        }
+        if _mismatch:
+            raise ValueError(
+                f"old_index_dir banding params disagree with the fold-in's: "
+                f"{_mismatch} (index value, argument value) — rebuild the "
+                "index or pass matching minhash_* arguments"
+            )
         no = probe_linkage_lsh_index(
             new_keys,
             old_index_dir,
@@ -656,23 +694,31 @@ def cluster_documents_incremental(
     # an exchange.
     import ray as _ray
 
-    import pandas as pd
-
-    lbl_map: dict = {}
+    mk, mv = [], []
     for b in labels_r.iter_batches(batch_size=None, batch_format="pyarrow"):
-        lbl_map.update(
-            zip(b["__cc_node"].to_pylist(), b["__cc_lbl"].to_pylist())
-        )
-    lref = _ray.put(lbl_map)
+        mk.append(b["__cc_node"].to_numpy(zero_copy_only=False))
+        mv.append(b["__cc_lbl"].to_numpy(zero_copy_only=False))
+    mk = np.concatenate(mk) if mk else np.empty(0, dtype=object)
+    mv = np.concatenate(mv) if mv else np.empty(0, dtype=object)
+    order = np.argsort(mk, kind="stable")
+    lref = _ray.put((mk[order], mv[order]))
 
     def relabel(t: pa.Table) -> pa.Table:
-        m = _ray.get(lref)
-        s = pd.Series(t["cluster_id"].to_numpy(zero_copy_only=False))
-        mapped = s.map(m).fillna(s) if m else s
+        # searchsorted lookup keeps the id dtype end-to-end: no pandas
+        # map/fillna float64 detour that would reject string ids or
+        # silently round int64 ids beyond 2^53
+        keys, vals = _ray.get(lref)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        out = cl
+        if len(keys) and len(cl):
+            pos = np.searchsorted(keys, cl)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == cl
+            out = np.where(hit, vals[pos], cl)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "cluster_id": pa.array(mapped.to_numpy(), id_type),
+                "cluster_id": pa.array(out, id_type),
             }
         )
 

@@ -297,7 +297,12 @@ def probe_linkage_lsh_index(
         .materialize()
     )
 
-    # ---- phase A: combined-count census -> the (tiny) capped set
+    # ---- phase A: per-side census -> the (tiny) capped set. The cap
+    # rule mirrors the live two-table LSH join exactly (dedup.py
+    # _cross_pairs_by_bucket:1104 + _bucket_census:1326): a bucket is
+    # capped iff EITHER side's count exceeds max_bucket — matching the
+    # "a capped side caps the whole bucket" ownership semantics, so
+    # probe == live cross holds across the stop-word boundary too.
     def census(t: pa.Table) -> pa.Table:
         part = int(t["__part"][0].as_py())
         nb = t["__bucket"].to_numpy(zero_copy_only=False)
@@ -305,9 +310,9 @@ def probe_linkage_lsh_index(
             index_dir, part, columns=["__bucket"], want=np.unique(nb)
         )["__bucket"].to_numpy(zero_copy_only=False)
         # cap status only matters for buckets the delta touches
-        allb = np.concatenate([nb, ob[np.isin(ob, nb)]])
-        u, c = np.unique(allb, return_counts=True)
-        over = u[c > max_bucket]
+        un, cn = np.unique(nb, return_counts=True)
+        uo, co = np.unique(ob[np.isin(ob, un)], return_counts=True)
+        over = np.union1d(un[cn > max_bucket], uo[co > max_bucket])
         return pa.table({"__capped": pa.array(over, pa.uint64())})
 
     capped_parts = [

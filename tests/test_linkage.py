@@ -564,8 +564,10 @@ def test_index_probe_cap_semantics_vs_brute():
         return _band_hashes(minhash_signatures_batch(sh, ma, mb), 32)
     BO, BN = bands_of(old_keys_v), bands_of(new_keys_v)
     from collections import Counter
-    cnt = Counter()
-    for B in (BO, BN):
+    # per-SIDE counts: the cap rule (mirroring the live two-table LSH
+    # join) caps a bucket when EITHER side alone exceeds max_bucket
+    cnt_o, cnt_n = Counter(), Counter()
+    for B, cnt in ((BO, cnt_o), (BN, cnt_n)):
         for row in B:
             for b, h in enumerate(row):
                 cnt[(b, int(h))] += 1
@@ -573,7 +575,9 @@ def test_index_probe_cap_semantics_vs_brute():
     for ni, oi in it.product(range(len(new_keys_v)), range(len(old_keys_v))):
         okb = [
             b for b in range(32)
-            if BN[ni][b] == BO[oi][b] and cnt[(b, int(BN[ni][b]))] <= MAXB
+            if BN[ni][b] == BO[oi][b]
+            and cnt_o[(b, int(BN[ni][b]))] <= MAXB
+            and cnt_n[(b, int(BN[ni][b]))] <= MAXB
         ]
         if okb:
             d0 = score_pairs("jaro_winkler", [new_keys_v[ni]], [old_keys_v[oi]])[0]
@@ -582,4 +586,4 @@ def test_index_probe_cap_semantics_vs_brute():
     assert got == want
     assert want  # scenario sanity: some pairs survive
     # scenario sanity: the cap actually bit somewhere
-    assert any(c > MAXB for c in cnt.values())
+    assert any(c > MAXB for c in cnt_o.values())
