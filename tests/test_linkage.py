@@ -587,3 +587,43 @@ def test_index_probe_cap_semantics_vs_brute():
     assert want  # scenario sanity: some pairs survive
     # scenario sanity: the cap actually bit somewhere
     assert any(c > MAXB for c in cnt_o.values())
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_incremental_equivalence_randomized(seed):
+    """Randomized corpora (different seeds -> different name pools,
+    mutation patterns, and split geometry): incremental fold-in must
+    equal the full re-run on every one (exact blocking)."""
+    import numpy as np
+
+    from fozziejoin_ray.pipelines.linkage import cluster_documents_incremental
+
+    docs_t, _ = make_documents_table(120, seed=seed, docs_per_entity=3)
+    rng = np.random.RandomState(seed)
+    new_mask = rng.rand(docs_t.num_rows) < 0.3
+    old_t = docs_t.filter(pa.array(~new_mask))
+    new_t = docs_t.filter(pa.array(new_mask))
+    if new_t.num_rows == 0 or old_t.num_rows == 0:
+        pytest.skip("degenerate split")
+
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_documents(
+            rd.from_arrow(docs_t), method=METHOD, max_distance=MAXD, pair_budget=None
+        ).take_all()
+    }
+    old_clusters = cluster_documents(
+        rd.from_arrow(old_t), method=METHOD, max_distance=MAXD, pair_budget=None
+    )
+    inc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_documents_incremental(
+            rd.from_arrow(new_t),
+            extract_keys(rd.from_arrow(old_t)),
+            old_clusters,
+            method=METHOD,
+            max_distance=MAXD,
+            pair_budget=None,
+        ).take_all()
+    }
+    assert inc == full, seed

@@ -1025,3 +1025,63 @@ def test_blocking_pair_completeness_vs_brute():
     assert got["pair_completeness"] == co_blocked / true_pairs
     # sanity on the scenario itself: entity 0 lost its cross-block pair
     assert co_blocked < true_pairs
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_blocking_stats_fuzz_vs_brute(texts, nparts):
+    """Property fuzz of blocking_stats over arbitrary unicode / null
+    texts and block layouts: counts must equal the brute per-strategy
+    rule regardless of how rows split into blocks."""
+    from collections import Counter
+
+    from fozziejoin_ray.pipelines.blockstats import STRATEGIES, blocking_stats
+
+    n_chars = [len(t) if t is not None else 0 for t in texts]
+    tab = pa.table(
+        {
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    got = (
+        blocking_stats(rd.from_arrow(tab).repartition(nparts), n_total=len(texts))
+        .to_pandas()
+        .set_index("strategy")
+    )
+
+    def brute_keys(name):
+        if name == "first_token":
+            return [t.split(" ")[0].lower() if t else None for t in texts]
+        if name == "prefix4":
+            return [t[:4].lower() if t else None for t in texts]
+        return [str(c // 16) for c in n_chars]
+
+    for name in STRATEGIES:
+        counts = Counter(k for k in brute_keys(name) if k)
+        if not counts:
+            assert name not in got.index
+            continue
+        row = got.loc[name]
+        assert row["n_blocks"] == len(counts), (name, texts)
+        assert row["blocked_docs"] == sum(counts.values()), (name, texts)
+        assert row["candidate_pairs"] == sum(
+            c * (c - 1) // 2 for c in counts.values()
+        ), (name, texts)
+        assert row["max_block"] == max(counts.values()), (name, texts)
