@@ -21,6 +21,20 @@ Local smoke run (single node, same code path)::
         --input /root/testdata/sf0.001/documents.parquet --spansify \
         --output /tmp/clusters --num-cpus 8
 
+Production nightly/daily cycle (incremental fold-in)::
+
+    # nightly: full clustering, retain keys, persist the LSH index
+    ray job submit -- python -m fozziejoin_ray.jobs.linkage_job \
+        --input /data/docs.lance --format lance --output /data/nightly \
+        --emit-keys /data/keys --build-index /data/lsh_index
+
+    # daily: fold the delta in — probes the index partition-locally,
+    # O(delta) shuffle; output == a full re-run over old+new
+    ray job submit -- python -m fozziejoin_ray.jobs.linkage_job \
+        --input /data/delta.lance --format lance --output /data/daily \
+        --incremental --old-keys /data/keys --old-clusters /data/nightly \
+        --index-dir /data/lsh_index
+
 Resumability: with ``--checkpoint-dir`` every stage writes part files
 with per-partition lineage + wall-time metrics into ``manifest.json``;
 a rerun after a mid-stage kill reuses completed partitions (see
@@ -62,6 +76,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for local runs WITHOUT a cluster: cores for the "
                         "implicit ray.init; ignored when attached to a cluster")
+    # --- nightly/daily production cycle -------------------------------
+    p.add_argument("--build-index", default=None, metavar="DIR",
+                   help="after clustering, persist the banded LSH linkage index "
+                        "(keys + cluster supervertices) to DIR — the nightly "
+                        "artifact the daily --incremental fold-in probes")
+    p.add_argument("--incremental", action="store_true",
+                   help="fold-in mode: --input is the DELTA; requires "
+                        "--old-keys and --old-clusters (prior nightly outputs); "
+                        "output holds updated assignments for old+new docs")
+    p.add_argument("--old-keys", default=None,
+                   help="(incremental) parquet of the prior corpus' (doc_id, key) "
+                        "table — extract_keys output retained by the nightly run")
+    p.add_argument("--old-clusters", default=None,
+                   help="(incremental) parquet of the prior (doc_id, cluster_id)")
+    p.add_argument("--index-dir", default=None,
+                   help="(incremental, minhash) probe this persisted LSH index "
+                        "instead of re-exchanging the old key table")
+    p.add_argument("--emit-keys", default=None, metavar="DIR",
+                   help="also write the extracted (doc_id, key) table — retain "
+                        "it for future --incremental runs")
     return p
 
 
@@ -93,21 +127,63 @@ def main(argv: list[str] | None = None) -> int:
     n_docs = docs.count()
 
     id_type = pa.string() if args.id_type == "string" else pa.int64()
-    clusters = cluster_documents(
-        docs,
-        method=args.method,
-        max_distance=args.max_distance,
-        pair_budget=args.pair_budget,
-        checkpoint_dir=args.checkpoint_dir,
-        num_partitions=args.num_partitions,
-        id_type=id_type,
-        blocking=args.blocking,
-    )
+    if args.incremental:
+        if not (args.old_keys and args.old_clusters):
+            raise SystemExit("--incremental requires --old-keys and --old-clusters")
+        from ..pipelines.linkage import cluster_documents_incremental
+
+        old_keys = read_table(args.old_keys, format="parquet")
+        old_clusters = read_table(args.old_clusters, format="parquet")
+        clusters = cluster_documents_incremental(
+            docs,
+            old_keys,
+            old_clusters,
+            method=args.method,
+            max_distance=args.max_distance,
+            pair_budget=args.pair_budget,
+            num_partitions=args.num_partitions,
+            id_type=id_type,
+            blocking=args.blocking,
+            old_index_dir=args.index_dir,
+        )
+    else:
+        clusters = cluster_documents(
+            docs,
+            method=args.method,
+            max_distance=args.max_distance,
+            pair_budget=args.pair_budget,
+            checkpoint_dir=args.checkpoint_dir,
+            num_partitions=args.num_partitions,
+            id_type=id_type,
+            blocking=args.blocking,
+        )
     write_table(clusters, args.output, format=args.output_format)
+    if args.emit_keys or args.build_index:
+        from ..pipelines.linkage import extract_keys
+
+        keys = extract_keys(docs)
+        if args.incremental:
+            # the next nightly artifacts must cover old + new keys
+            keys = keys.union(old_keys)
+        keys = keys.materialize()
+        if args.emit_keys:
+            write_table(keys, args.emit_keys, format="parquet")
+        if args.build_index:
+            from ..pipelines.linkage_index import build_linkage_lsh_index
+
+            # read the just-written assignments back rather than
+            # re-executing the (lazy) clustering plan a second time
+            build_linkage_lsh_index(
+                keys,
+                args.build_index,
+                old_clusters=read_table(args.output, format=args.output_format),
+                num_partitions=args.num_partitions,
+                id_type=id_type,
+            )
 
     wall = time.time() - t0
     metrics = {
-        "job": "linkage",
+        "job": "linkage_incremental" if args.incremental else "linkage",
         "docs": n_docs,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,

@@ -44,3 +44,56 @@ def test_parser_defaults():
     args = build_parser().parse_args(["--input", "x", "--output", "y"])
     assert args.blocking == "minhash" and args.format == "parquet"
     assert args.method == "jaro_winkler" and not args.spansify
+
+
+def test_job_nightly_daily_cycle(tmp_path, capsys):
+    """The production cycle end-to-end through the CLI: nightly full run
+    emitting keys + LSH index, then a daily --incremental fold-in
+    probing that index; fold-in output must equal a full re-run over
+    old+new through the same CLI."""
+    import pyarrow as pa
+    import duckdb
+
+    # split the testdata corpus 75/25 by doc id parity on disk
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = src.column("doc_id").to_pylist()
+    mask = pa.array([i % 4 == 3 for i in ids])
+    pq.write_table(src.filter(pa.compute.invert(mask)), str(tmp_path / "old.parquet"))
+    pq.write_table(src.filter(mask), str(tmp_path / "new.parquet"))
+
+    # nightly: full clustering + retained keys + persisted index
+    rc = main([
+        "--input", str(tmp_path / "old.parquet"), "--spansify",
+        "--output", str(tmp_path / "nightly"),
+        "--num-partitions", "4", "--blocking", "minhash",
+        "--emit-keys", str(tmp_path / "keys"),
+        "--build-index", str(tmp_path / "idx"),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    # daily: fold the delta in via the persisted index
+    rc = main([
+        "--input", str(tmp_path / "new.parquet"), "--spansify",
+        "--output", str(tmp_path / "daily"),
+        "--num-partitions", "4", "--blocking", "minhash",
+        "--incremental",
+        "--old-keys", str(tmp_path / "keys"),
+        "--old-clusters", str(tmp_path / "nightly"),
+        "--index-dir", str(tmp_path / "idx"),
+    ])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["job"] == "linkage_incremental"
+
+    # reference: full CLI run over the whole corpus
+    rc = main([
+        "--input", f"{SF}/documents.parquet", "--spansify",
+        "--output", str(tmp_path / "full"),
+        "--num-partitions", "4", "--blocking", "minhash",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    got = pq.read_table(str(tmp_path / "daily")).sort_by("doc_id")
+    want = pq.read_table(str(tmp_path / "full")).sort_by("doc_id")
+    assert got.equals(want)
